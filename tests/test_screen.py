@@ -1,0 +1,247 @@
+'''Golden tests for the screening kernels: clash, TFD, MOI, RMSD-prune.'''
+
+import numpy as np
+
+import oracles
+from tscode_tpu.ops import clash, moi, rmsd_prune, score, tfd
+from tscode_tpu.pt import masses_of
+
+rng = np.random.default_rng(123)
+
+
+def _random_poses(n_poses, ids, spread=4.0):
+    n = int(sum(ids))
+    return rng.normal(size=(n_poses, n, 3)) * spread
+
+
+# ------------------------------------------------------------------- clash
+
+def test_compenetration_bimolecular():
+    ids = (7, 9)
+    poses = _random_poses(64, ids, spread=2.0)
+    pm = clash.cross_fragment_pair_mask(ids)
+    got = np.asarray(clash.compenetration_mask(poses, pm, thresh=1.5, max_clashes=0))
+    want = np.array([oracles.compenetration_check(p, ids=np.array(ids)) for p in poses],
+                    dtype=bool)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_compenetration_trimolecular_and_clash_counts():
+    ids = (5, 6, 4)
+    poses = _random_poses(48, ids, spread=2.5)
+    pm = clash.cross_fragment_pair_mask(ids)
+    for max_clashes in (0, 2):
+        got = np.asarray(clash.compenetration_mask(poses, pm, thresh=1.5,
+                                                   max_clashes=max_clashes))
+        want = np.array([oracles.compenetration_check(p, ids=np.array(ids),
+                                                      max_clashes=max_clashes)
+                         for p in poses], dtype=bool)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_intra_clash_double_counting():
+    coords = rng.normal(size=(16, 10, 3)) * 0.8
+    got = np.asarray(clash.count_intra_clashes(coords))
+    for i in range(16):
+        d = oracles.all_dists(coords[i], coords[i])
+        want = np.count_nonzero((d < 0.5) & (d > 0))
+        assert got[i] == want
+
+
+def test_compenetration_padding_invariance():
+    ids = (7, 9)
+    poses = _random_poses(16, ids, spread=2.0)
+    pm = clash.cross_fragment_pair_mask(ids)
+    padded = np.concatenate([poses, np.full((16, 6, 3), 1e3)], axis=1)
+    pm_pad = clash.cross_fragment_pair_mask(ids, n_pad=padded.shape[1])
+    got = np.asarray(clash.compenetration_mask(poses, pm))
+    got_pad = np.asarray(clash.compenetration_mask(padded, pm_pad))
+    np.testing.assert_array_equal(got, got_pad)
+
+
+# --------------------------------------------------------------------- TFD
+
+def _chain_quadruplets(n_atoms):
+    return np.array([[i, i + 1, i + 2, i + 3] for i in range(n_atoms - 3)])
+
+
+def test_torsion_fingerprints():
+    coords = rng.normal(size=(12, 10, 3)) * 2
+    quads = _chain_quadruplets(10)
+    got = np.asarray(tfd.torsion_fingerprints(coords, quads))
+    for i in range(12):
+        want = oracles.get_torsion_fingerprint(coords[i], quads)
+        np.testing.assert_allclose(got[i], want, atol=1e-4)
+
+
+def test_tfd_prune_matches_sequential_oracle():
+    # build an ensemble with duplicate torsional profiles
+    base = rng.normal(size=(12, 3)) * 2
+    quads = _chain_quadruplets(12)
+    structures = []
+    for _ in range(30):
+        if rng.random() < 0.5 and structures:
+            src = structures[rng.integers(len(structures))]
+            structures.append(src + rng.normal(size=(12, 3)) * 0.001)
+        else:
+            structures.append(base + rng.normal(size=(12, 3)) * 1.0)
+    structures = np.array(structures)
+
+    _, got_mask = tfd.prune_conformers_tfd(structures, quads, thresh=10)
+
+    # sequential oracle replicating the reference bucket loop
+    tf_mat = np.array([oracles.get_torsion_fingerprint(s, quads) for s in structures])
+    n = len(structures)
+    want_mask = np.ones(n, dtype=bool)
+    import networkx as nx
+    for k in tfd.K_SCHEDULE:
+        active = int(np.count_nonzero(want_mask))
+        if not (k == 1 or 5 * k < active):
+            continue
+        d = int(n // k)
+        for step in range(int(k)):
+            lo = d * step
+            hi = active if step == k - 1 else int(d * (step + 1))
+            _l = hi - lo
+            matches = set()
+            for i_rel in range(_l):
+                for j_rel in range(i_rel + 1, _l):
+                    if oracles.tfd_similarity(tf_mat[lo + i_rel], tf_mat[lo + j_rel]):
+                        matches.add((i_rel, j_rel))
+                        break
+            g = nx.Graph(matches)
+            for c in nx.connected_components(g):
+                nodes = tuple(g.subgraph(c).nodes)
+                for i in set(nodes) - {nodes[0]}:
+                    want_mask[i + lo] = False
+    np.testing.assert_array_equal(got_mask, want_mask)
+
+
+def test_is_new_structure_lru():
+    quads = _chain_quadruplets(8)
+    base = rng.normal(size=(8, 3)) * 2
+    coords = np.array([base, base + 1e-4, base + rng.normal(size=(8, 3)),
+                       base + 2e-4, base])
+    fps = np.asarray(tfd.torsion_fingerprints(coords, quads))
+    mask = tfd.is_new_structure_lru(fps, np.ones(5, bool))
+    assert mask.tolist() == [True, False, True, False, False]
+
+
+# --------------------------------------------------------------------- MOI
+
+def test_moi_prune():
+    base = rng.normal(size=(9, 3)) * 2
+    atomnos = np.array([6, 6, 8, 1, 1, 7, 6, 1, 9])
+    structures = [base]
+    R = oracles.rot_mat_from_pointer(np.array([0.3, 1.0, -0.2]), 73.0)
+    structures.append((R @ base.T).T + 5.0)               # rotamer duplicate
+    structures.append(base + rng.normal(size=(9, 3)))     # distinct
+    structures.append(base * np.array([1, 1, -1.0]))      # enantiomer duplicate
+    structures = np.array(structures)
+
+    pruned, mask = moi.prune_by_moment_of_inertia(structures, atomnos)
+
+    heavy = atomnos != 1
+    masses = masses_of(atomnos[heavy])
+    moments = [oracles.get_inertia_moments(s[heavy].copy(), masses) for s in structures]
+    # sanity on the oracle: duplicates share moments
+    np.testing.assert_allclose(moments[0], moments[1], rtol=1e-6)
+    np.testing.assert_allclose(moments[0], moments[3], rtol=1e-6)
+    assert mask.tolist() == [True, False, True, False]
+
+
+# ------------------------------------------------------------------- RMSD
+
+def _oracle_prune_rmsd(structures, atomnos, rmsd_thr=0.5):
+    heavy = atomnos != 1
+    hs = structures[:, heavy]
+    n = len(structures)
+    mask = np.ones(n, dtype=bool)
+    for k in rmsd_prune.K_SCHEDULE:
+        active = int(np.count_nonzero(mask))
+        if not (k == 1 or 20 * k < active):
+            continue
+        chunksize = int(n // k)
+        new = mask.copy()
+        for chunk in range(int(k)):
+            first = chunk * chunksize
+            last = n if chunk == k - 1 else chunksize * (chunk + 1)
+            for i in range(first, last):
+                if not mask[i]:
+                    continue
+                for j in range(i + 1, last):
+                    if mask[j]:
+                        r, md = oracles.rmsd_and_max(hs[i].copy(), hs[j].copy())
+                        if r < rmsd_thr and md < 2 * rmsd_thr:
+                            new[i] = False
+                            break
+        mask = new
+    return mask
+
+
+def _clustered_ensemble(n, n_atoms=12, seed=5):
+    g = np.random.default_rng(seed)
+    atomnos = g.integers(1, 9, size=n_atoms)
+    atomnos[0] = 6
+    structures = []
+    clusters = [g.normal(size=(n_atoms, 3)) * 2 for _ in range(max(2, n // 6))]
+    for _ in range(n):
+        if g.random() < 0.6:
+            src = clusters[g.integers(len(clusters))]
+            s = src + g.normal(size=(n_atoms, 3)) * 0.05
+        else:
+            s = g.normal(size=(n_atoms, 3)) * 2
+        structures.append(s)
+    return np.array(structures), atomnos
+
+
+def test_rmsd_prune_small():
+    structures, atomnos = _clustered_ensemble(18)
+    _, got = rmsd_prune.prune_conformers_rmsd(structures, atomnos, rmsd_thr=0.5)
+    want = _oracle_prune_rmsd(structures, atomnos, rmsd_thr=0.5)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_rmsd_prune_multipass():
+    # n large enough that the k=2 pass triggers (20*2 < active)
+    structures, atomnos = _clustered_ensemble(60, seed=9)
+    _, got = rmsd_prune.prune_conformers_rmsd(structures, atomnos, rmsd_thr=0.5)
+    want = _oracle_prune_rmsd(structures, atomnos, rmsd_thr=0.5)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_rmsd_similarity_sequential():
+    structures, _ = _clustered_ensemble(10)
+    ref = structures[0]
+    sims = [oracles.rmsd_and_max(ref.copy(), s.copy()) for s in structures[1:]]
+    want = any(r < 1.0 and m < 2.0 for r, m in sims)
+    got = rmsd_prune.rmsd_similarity_sequential(ref, structures[1:], rmsd_thr=1.0)
+    assert got == want
+
+
+# ------------------------------------------------------------------- score
+
+def test_score_embed_poses():
+    B, N, C = 10, 8, 2
+    structures = rng.normal(size=(B, N, 3)) * 3
+    cidx = rng.integers(0, N, size=(B, C, 2))
+    cdist = rng.uniform(1, 3, size=(B, C))
+    got = np.asarray(score.score_embed_poses(structures, cidx, cdist))
+    want = oracles.score_embed_poses(structures, cidx, cdist)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_fitness_scores_signed():
+    B, N = 6, 8
+    structures = rng.normal(size=(B, N, 3)) * 3
+    cidx = rng.integers(0, N, size=(B, 2, 2))
+    targets = rng.uniform(1, 3, size=(B, 2))
+    valid = np.array([[True, False]] * B)
+    got = np.asarray(score.fitness_scores(structures, cidx, targets, valid))
+    for b in range(B):
+        want = 0.0
+        for c in range(2):
+            if valid[b, c]:
+                d = np.linalg.norm(structures[b, cidx[b, c, 0]] - structures[b, cidx[b, c, 1]])
+                want += d - targets[b, c]
+        np.testing.assert_allclose(got[b], want, atol=1e-9)

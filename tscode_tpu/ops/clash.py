@@ -1,0 +1,99 @@
+'''
+Batched clash / compenetration screening.
+
+TPU re-design of the reference's hot clash kernels
+(/root/reference/tscode/numba_functions.py:26-105, algebra.py:98-157):
+instead of a blocked CPU distance-matrix with early exits, we compute
+squared distances for a whole padded pose batch at once in matmul form
+(|a|^2 + |b|^2 - 2 a.b rides the MXU) and reduce boolean clash counts.
+Early exits disappear; the semantics (pass/fail per pose) are identical.
+'''
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def pairwise_dist2(A, B):
+    '''
+    Squared Euclidean distance matrix, batched: A (..., N, 3), B (..., M, 3)
+    -> (..., N, M). Uses the matmul expansion so XLA can tile it on the MXU.
+    '''
+    a2 = jnp.sum(A * A, axis=-1)
+    b2 = jnp.sum(B * B, axis=-1)
+    ab = jnp.einsum('...ni,...mi->...nm', A, B)
+    d2 = a2[..., :, None] + b2[..., None, :] - 2.0 * ab
+    return jnp.maximum(d2, 0.0)
+
+
+def fragment_labels(ids):
+    '''
+    Fragment id per atom from contiguous fragment lengths
+    (the reference's `ids` array, numba_functions.py:60-91).
+    ids: sequence of ints -> (N,) int array.
+    '''
+    return np.repeat(np.arange(len(ids)), np.asarray(ids, dtype=int))
+
+
+def cross_fragment_pair_mask(ids, n_pad=None):
+    '''
+    (N, N) bool mask that is True for atom pairs (i, j) belonging to
+    different fragments, counting each unordered pair ONCE (f_i < f_j),
+    matching the rectangular all_dists(m2, m1) counting of the reference.
+    Padding rows/cols (beyond sum(ids)) are False.
+    '''
+    labels = fragment_labels(ids)
+    n = len(labels)
+    n_pad = n_pad or n
+    full = np.zeros((n_pad, n_pad), dtype=bool)
+    full[:n, :n] = labels[:, None] < labels[None, :]
+    return full
+
+
+def count_cross_clashes(poses, pair_mask, thresh=1.5):
+    '''
+    Number of cross-fragment atom pairs closer than `thresh`, per pose.
+    poses: (..., N, 3); pair_mask: (N, N) bool -> (...,) int32.
+    '''
+    d2 = pairwise_dist2(poses, poses)
+    hit = (d2 < thresh * thresh) & pair_mask
+    return jnp.sum(hit, axis=(-2, -1)).astype(jnp.int32)
+
+
+def compenetration_mask(poses, pair_mask, thresh=1.5, max_clashes=0):
+    '''
+    Boolean accept mask for a pose batch: True when the pose shows at most
+    `max_clashes` cross-fragment contacts below `thresh` Angstrom.
+    Batched equivalent of compenetration_check (numba_functions.py:59-105).
+    '''
+    return count_cross_clashes(poses, pair_mask, thresh=thresh) <= max_clashes
+
+
+def count_intra_clashes(coords, atom_mask=None, thresh=0.5):
+    '''
+    Sanity-check clash count within a single structure batch: pairs with
+    0 < d < thresh, counted TWICE per unordered pair exactly like the
+    reference's count_clashes (numba_functions.py:49-56, full-matrix count).
+    coords: (..., N, 3) -> (...,) int32.
+    '''
+    d2 = pairwise_dist2(coords, coords)
+    # the matmul-form d2 leaves ~1e-16 roundoff where the true distance is
+    # zero (diagonal / coincident atoms); 1e-12 A^2 restores the reference's
+    # exact d > 0 self-pair exclusion without excluding any real contact
+    hit = (d2 < thresh * thresh) & (d2 > 1e-12)
+    if atom_mask is not None:
+        pm = atom_mask[..., :, None] & atom_mask[..., None, :]
+        hit = hit & pm
+    return jnp.sum(hit, axis=(-2, -1)).astype(jnp.int32)
+
+
+def torsion_clash_ok(coords, moved_mask, other_mask, thresh=1.5, max_clashes=0):
+    '''
+    Clash check between the two graph sides of a rotated torsion
+    (reference torsion_comp_check, numba_functions.py:26-47). The i2/i3
+    bond atoms must already be excluded from `other_mask` by the caller.
+    coords: (..., N, 3); masks: (N,) bool -> (...,) bool accept.
+    '''
+    d2 = pairwise_dist2(coords, coords)
+    pm = other_mask[:, None] & moved_mask[None, :]
+    hit = (d2 < thresh * thresh) & pm
+    return jnp.sum(hit, axis=(-2, -1)) <= max_clashes

@@ -1,0 +1,142 @@
+'''
+Torsion fingerprint deviation (TFD) screening.
+
+Device side: batched dihedral fingerprints and pairwise wrapped-L1
+deltas (replacing the Numba prange of numba_functions.py:234-271).
+Host side: the exact bucketed dedup bookkeeping of the reference's
+prune_conformers_tfd (numba_functions.py:142-232), including its
+first-match-per-structure edge collection and keep-first-of-component
+rule, driven by device-computed similarity blocks.
+'''
+
+import jax
+import jax.numpy as jnp
+import networkx as nx
+import numpy as np
+
+from tscode_tpu.ops.linalg import dihedral
+
+K_SCHEDULE = (5e5, 2e5, 1e5, 5e4, 2e4, 1e4,
+              5000, 2000, 1000, 500, 200, 100,
+              50, 20, 10, 5, 2, 1)
+
+
+def torsion_fingerprints(coords, quadruplets):
+    '''
+    Per-structure vector of dihedrals over torsion quadruplets.
+    coords: (..., N, 3); quadruplets: (Q, 4) int -> (..., Q) float32
+    (the reference stores fingerprints in float32, numba_functions.py:238).
+    '''
+    quadruplets = jnp.asarray(quadruplets, dtype=jnp.int32)
+    pts = coords[..., quadruplets, :]                  # (..., Q, 4, 3)
+    return dihedral(pts).astype(jnp.float32)
+
+
+def tfd_delta_matrix(tf_a, tf_b):
+    '''
+    Pairwise total wrapped angle difference: (A, Q) x (B, Q) -> (A, B).
+    deltas wrap at 180 degrees (numba_functions.py:245-260).
+    '''
+    deltas = jnp.abs(tf_a[:, None, :] - tf_b[None, :, :])
+    deltas = jnp.abs(deltas - (deltas > 180) * 360.0)
+    return jnp.sum(deltas, axis=-1)
+
+
+@jax.jit
+def _tfd_sim_block(tf_block, thresh):
+    return tfd_delta_matrix(tf_block, tf_block) < thresh
+
+
+def prune_conformers_tfd(structures, quadruplets, thresh=10, tf_mat=None):
+    '''
+    Prune torsionally-similar structures; returns (pruned, keep_mask).
+    Faithful to the reference's bucketed loop (numba_functions.py:142-232):
+     * per k in the schedule, run only when k == 1 or 5k < #active
+     * chunk boundaries use the ORIGINAL array length, but the last chunk
+       ends at the current active count (reference quirk, line 175)
+     * within a chunk, each structure contributes an edge to its FIRST
+       similar successor only; connected components keep their first node.
+    The O(n^2 Q) similarity math runs on device; bookkeeping stays host-side.
+    '''
+    structures = np.asarray(structures)
+    n = len(structures)
+    if n == 0 or len(quadruplets) == 0:
+        return structures, np.ones(n, dtype=bool)
+
+    if tf_mat is None:
+        tf_mat = np.asarray(torsion_fingerprints(jnp.asarray(structures),
+                                                 np.asarray(quadruplets, dtype=np.int32)))
+
+    final_mask = np.ones(n, dtype=bool)
+
+    for k in K_SCHEDULE:
+        num_active = int(np.count_nonzero(final_mask))
+        if not (k == 1 or 5 * k < num_active):
+            continue
+
+        d = int(n // k)
+        for step in range(int(k)):
+            lo = d * step
+            hi = num_active if step == k - 1 else int(d * (step + 1))
+            _l = hi - lo
+            if _l <= 1:
+                continue
+
+            sim = np.array(_tfd_sim_block(jnp.asarray(tf_mat[lo:lo + _l]),
+                                          float(thresh)))
+            np.fill_diagonal(sim, False)
+
+            # first similar successor per structure (the reference's `break`).
+            # The reference collects matches into a python SET before
+            # building the graph (numba_functions.py:180-214), and which
+            # component member survives follows the set's iteration order —
+            # reproduce that exactly.
+            matches = set()
+            iu, ju = np.triu_indices(_l, k=1)
+            sim_u = sim[iu, ju]
+            for i_rel in range(_l):
+                js = ju[(iu == i_rel) & sim_u]
+                if len(js):
+                    matches.add((int(i_rel), int(js[0])))
+
+            if not matches:
+                continue
+
+            g = nx.Graph(matches)
+            groups = [tuple(g.subgraph(c).nodes)
+                      for c in nx.connected_components(g)]
+            best = [group[0] for group in groups]
+            for group, keep in zip(groups, best):
+                for i in set(group) - {keep}:
+                    final_mask[i + lo] = False
+
+    return structures[final_mask], final_mask
+
+
+def is_new_structure_lru(fingerprints, accept_mask, thresh=10):
+    '''
+    Host-side replay of string_embed's sequential TFD novelty filter
+    (embeds.py:47-69): iterate poses in generation order, keep a pose if
+    its fingerprint differs from every previously accepted one.
+
+    NOTE: the reference nominally trims its cache to the last 5 entries,
+    but the trim (`lru_cache = lru_cache[1:]`, embeds.py:66-67) rebinds a
+    local name and never propagates to the caller, so the effective
+    behavior — reproduced here — is comparison against ALL accepted poses.
+
+    fingerprints: (B, Q) float32 (precomputed on device);
+    accept_mask: (B,) bool (e.g. the clash mask). Returns (B,) bool.
+    '''
+    fingerprints = np.asarray(fingerprints)
+    out = np.zeros(len(fingerprints), dtype=bool)
+    cache = np.empty((0, fingerprints.shape[1]), dtype=fingerprints.dtype)
+    for i in np.nonzero(np.asarray(accept_mask))[0]:
+        tfp = fingerprints[i]
+        if len(cache):
+            deltas = np.abs(tfp[None, :] - cache)
+            deltas = np.abs(deltas - (deltas > 180) * 360.0)
+            if np.any(deltas.sum(axis=1) < thresh):
+                continue
+        out[i] = True
+        cache = np.concatenate([cache, tfp[None, :]])
+    return out
