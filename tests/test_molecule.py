@@ -1,0 +1,217 @@
+'''Molecule-layer tests: graph inference, orbital builders, alignment.
+
+Oracles are hand-derived from the reference's geometric definitions
+(reactive_atoms_classes.py, graph_manipulations.py) on the fixture
+molecules under tests/fixtures/.
+'''
+
+import os
+
+import numpy as np
+import pytest
+
+from tscode_tpu.graphs import (get_sp_n, get_sum_graph, graphize, is_amide_n,
+                               is_ester_o, neighbors)
+from tscode_tpu.molecule import Molecule, Pivot, align_structures
+from tscode_tpu.orbitals import ATOM_TYPE_TABLE, get_atom_builder
+
+FIX = os.path.join(os.path.dirname(__file__), 'fixtures')
+
+
+def fix(name):
+    return os.path.join(FIX, name)
+
+
+# ------------------------------------------------------------------ graphs
+
+def test_graphize_ethylene():
+    mol = Molecule(fix('C2H4.xyz'))
+    g = mol.graph
+    # C0-H1, C0-H2, C0-C3, C3-H4, C3-H5
+    assert sorted(neighbors(g, 0)) == [1, 2, 3]
+    assert sorted(neighbors(g, 3)) == [0, 4, 5]
+    assert neighbors(g, 1) == [0]
+
+
+def test_sp_n():
+    mol = Molecule(fix('C2H4.xyz'))
+    assert get_sp_n(0, mol.graph) == 2          # sp2 carbon
+    mol2 = Molecule(fix('CH3Cl.xyz'))
+    assert get_sp_n(0, mol2.graph) == 3         # sp3 carbon
+
+
+def test_formic_acid_graph_and_classes():
+    mol = Molecule(fix('HCOOH.xyz'))
+    g = mol.graph
+    # HCOOH: C bonded to =O, -O(H), H
+    c_idx = int(np.where(mol.atomnos == 6)[0][0])
+    o_idxs = np.where(mol.atomnos == 8)[0]
+    assert len(neighbors(g, c_idx)) == 3
+    kinds = {len(neighbors(g, int(o))) for o in o_idxs}
+    assert kinds == {1, 2}                      # carbonyl O and hydroxyl O
+    assert not is_amide_n(c_idx, g)
+    # NOTE: the reference's is_ester_o H-check tests node INDEX 1, not
+    # element (graph_manipulations.py:142), so formic acid oxygens
+    # classify as ester O — we reproduce that behavior
+    assert is_ester_o(int(o_idxs[0]), g)
+
+
+def test_sum_graph():
+    m1 = Molecule(fix('C2H4.xyz'))
+    m2 = Molecule(fix('CH3Cl.xyz'))
+    g = get_sum_graph([m1.graph, m2.graph], extra_edges=[(0, 6)])
+    assert len(g.nodes) == 11
+    assert g.has_edge(0, 6)
+    # is_single_molecule is evaluated BEFORE extra edges are added
+    # (reference graph_manipulations.py:318-322)
+    assert not g.is_single_molecule
+    assert g.nodes[10]['atomnos'] == 17         # Cl carried over
+
+
+# ---------------------------------------------------------------- orbitals
+
+def test_type_dispatch():
+    mol = Molecule(fix('CH3Cl.xyz'))
+    assert get_atom_builder(mol.graph, 0) is ATOM_TYPE_TABLE['C4']
+    assert get_atom_builder(mol.graph, 4) is ATOM_TYPE_TABLE['Cl1']
+    eth = Molecule(fix('C2H4.xyz'))
+    assert get_atom_builder(eth.graph, 0) is ATOM_TYPE_TABLE['C3']
+
+
+def test_sp2_orbital_geometry():
+    mol = Molecule(fix('C2H4.xyz'), reactive_indices=[0])
+    mol.compute_orbitals()
+    atom = mol.reactive_atoms[0][0]
+    assert str(atom) == 'sp2'
+    assert atom.center.shape == (2, 3)
+    # lobes are +-1.1 A (C sp2) from the atom, orthogonal to the plane
+    d = np.linalg.norm(atom.center - atom.coord, axis=1)
+    np.testing.assert_allclose(d, [1.1, 1.1], atol=1e-8)
+    plane_normal = atom.orb_vecs[0]
+    for n in neighbors(mol.graph, 0):
+        v = mol.atomcoords[0][n] - atom.coord
+        assert abs(plane_normal @ (v / np.linalg.norm(v))) < 1e-2
+    # opposite lobes
+    np.testing.assert_allclose(atom.orb_vecs[0], -atom.orb_vecs[1], atol=1e-12)
+
+
+def test_sp3_leaving_group():
+    mol = Molecule(fix('CH3Cl.xyz'), reactive_indices=[0])
+    mol.compute_orbitals()
+    atom = mol.reactive_atoms[0][0]
+    assert str(atom) == 'sp3'
+    assert atom.center.shape == (1, 3)
+    # single lobe at 1.0 A opposite the Cl
+    cl = mol.atomcoords[0][4]
+    lobe_dir = atom.orb_vecs[0] / np.linalg.norm(atom.orb_vecs[0])
+    cl_dir = (cl - atom.coord) / np.linalg.norm(cl - atom.coord)
+    np.testing.assert_allclose(lobe_dir, -cl_dir, atol=1e-8)
+    np.testing.assert_allclose(np.linalg.norm(atom.center[0] - atom.coord),
+                               1.0, atol=1e-8)
+
+
+def test_single_bond_orbital():
+    mol = Molecule(fix('CH3Cl.xyz'), reactive_indices=[4])
+    mol.compute_orbitals()
+    atom = mol.reactive_atoms[0][4]
+    assert str(atom) == 'Single Bond'
+    # Cl lobe: 1.5 A, pointing away from the carbon
+    np.testing.assert_allclose(np.linalg.norm(atom.center[0] - atom.coord),
+                               1.5, atol=1e-8)
+    c_dir = (mol.atomcoords[0][0] - atom.coord)
+    c_dir /= np.linalg.norm(c_dir)
+    np.testing.assert_allclose(atom.orb_vecs[0], -c_dir, atol=1e-8)
+
+
+def test_ketone_orbital():
+    mol = Molecule(fix('HCOOH.xyz'))
+    carbonyl_o = next(int(o) for o in np.where(mol.atomnos == 8)[0]
+                      if len(neighbors(mol.graph, int(o))) == 1)
+    mol = Molecule(fix('HCOOH.xyz'), reactive_indices=[carbonyl_o])
+    mol.compute_orbitals()
+    atom = mol.reactive_atoms[0][carbonyl_o]
+    assert str(atom) == 'Ketone (sp2)'
+    assert atom.center.shape == (2, 3)
+    d = np.linalg.norm(atom.center - atom.coord, axis=1)
+    np.testing.assert_allclose(d, [0.85, 0.85], atol=1e-8)
+    # n lobes at 120 deg from the C=O bond
+    c = mol.atomcoords[0][neighbors(mol.graph, carbonyl_o)[0]]
+    bond_dir = (c - atom.coord) / np.linalg.norm(c - atom.coord)
+    for lobe in atom.orb_vecs:
+        cosang = lobe @ bond_dir
+        np.testing.assert_allclose(np.degrees(np.arccos(cosang)), 120, atol=1)
+
+
+def test_ether_orbital():
+    mol = Molecule(fix('HCOOH.xyz'))
+    hydroxyl_o = next(int(o) for o in np.where(mol.atomnos == 8)[0]
+                      if len(neighbors(mol.graph, int(o))) == 2)
+    mol = Molecule(fix('HCOOH.xyz'), reactive_indices=[hydroxyl_o])
+    mol.compute_orbitals()
+    atom = mol.reactive_atoms[0][hydroxyl_o]
+    assert str(atom) == 'Ether'
+    assert atom.center.shape == (2, 3)
+    d = np.linalg.norm(atom.center - atom.coord, axis=1)
+    np.testing.assert_allclose(d, [1.0, 1.0], atol=1e-8)
+    # lobes preserve the substituent angle (rigid rotation of the 2 vecs)
+    nbs = neighbors(mol.graph, hydroxyl_o)
+    v1 = mol.atomcoords[0][nbs[0]] - atom.coord
+    v2 = mol.atomcoords[0][nbs[1]] - atom.coord
+    ang_subs = np.degrees(np.arccos(
+        v1 @ v2 / np.linalg.norm(v1) / np.linalg.norm(v2)))
+    l1, l2 = atom.orb_vecs
+    ang_lobes = np.degrees(np.arccos(
+        l1 @ l2 / np.linalg.norm(l1) / np.linalg.norm(l2)))
+    np.testing.assert_allclose(ang_lobes, ang_subs, atol=1e-6)
+
+
+def test_vicinal_sigmastar():
+    # C2F2H4 = 1,2-difluoroethane: two bonded sp3 carbons -> vicinal
+    mol = Molecule(fix('C2F2H4.xyz'))
+    c_idx = [int(i) for i in np.where(mol.atomnos == 6)[0]]
+    mol = Molecule(fix('C2F2H4.xyz'), reactive_indices=c_idx)
+    mol.compute_orbitals()
+    assert mol.sp3_sigmastar
+    for i in c_idx:
+        atom = mol.reactive_atoms[0][i]
+        assert atom.center.shape == (3, 3)     # staggered triplet
+
+
+def test_scale_orbs():
+    mol = Molecule(fix('C2H4.xyz'), reactive_indices=[0])
+    mol.compute_orbitals()
+    mol.scale_orbs(0.5)
+    atom = mol.reactive_atoms[0][0]
+    np.testing.assert_allclose(
+        np.linalg.norm(atom.center - atom.coord, axis=1), [0.55, 0.55],
+        atol=1e-8)
+    assert mol.get_orbital_length(0) == pytest.approx(0.55)
+
+
+# ----------------------------------------------------------------- pivots
+
+def test_pivot():
+    p = Pivot(np.zeros(3), np.array([2., 0, 0]),
+              np.zeros(3), np.array([1., 0, 0]), 0, 1)
+    np.testing.assert_allclose(p.pivot, [2, 0, 0])
+    np.testing.assert_allclose(p.meanpoint, [1, 0, 0])
+    assert p.index == (0, 1)
+
+
+# -------------------------------------------------------------- alignment
+
+def test_align_structures_recovers_rotation():
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(9, 3)) * 2
+    from tests.oracles import rot_mat_from_pointer  # noqa
+    R = rot_mat_from_pointer(np.array([1.0, 2.0, -0.5]), 63.0)
+    rotated = (R @ base.T).T + np.array([3.0, -1.0, 0.5])
+    aligned = align_structures(np.array([base, rotated]))
+    np.testing.assert_allclose(aligned[0], aligned[1], atol=1e-8)
+
+
+def test_molecule_centering_and_repr():
+    mol = Molecule(fix('C2H4.xyz'), reactive_indices=[0, 3])
+    np.testing.assert_allclose(mol.atomcoords.mean(axis=(0, 1)), 0, atol=1e-12)
+    mol.compute_orbitals()
+    assert 'sp2' in repr(mol)

@@ -1,0 +1,292 @@
+'''
+Molecule model: conformer ensembles with reactive-atom orbital geometry.
+
+TPU-first re-design of the reference's Hypermolecule / Pivot
+(/root/reference/tscode/hypermolecule_class.py:120-408): ensembles are
+held as padded-ready (n_confs, n_atoms, 3) float64 arrays, orbital
+construction is a two-phase pure pass (classify -> flags -> build) rather
+than the reference's mutable two-step class init, and every derived
+quantity the device sweeps need (lobe centers, pivot tables) is exposed
+as stacked numpy arrays.
+'''
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+
+from tscode_tpu.errors import CCReadError
+from tscode_tpu.graphs import (graphize, is_sigmatropic_names,
+                               is_vicinal_names, neighbors)
+from tscode_tpu.io_xyz import read_xyz
+from tscode_tpu.orbitals import (build_sp3, get_atom_builder,
+                                 pre_init_type_name)
+from tscode_tpu.pt import SYMBOLS
+
+
+def _kabsch_host(P, Q):
+    '''Rotation U with P @ U ~ Q (the rmsd-package kabsch convention the
+    reference relies on, hypermolecule_class.py:63).'''
+    C = P.T @ Q
+    V, _, W = np.linalg.svd(C)
+    if np.linalg.det(V) * np.linalg.det(W) < 0:
+        V = V.copy()
+        V[:, -1] = -V[:, -1]
+    return V @ W
+
+
+def align_structures(structures, indices=None):
+    '''
+    Align every structure to the first by Kabsch over `indices`
+    (all atoms when None), centering each on the index centroid.
+    structures: (B, N, 3) -> aligned (B, N, 3).
+    (reference hypermolecule_class.py:38-72)
+    '''
+    structures = np.array(structures, dtype=float)
+    if isinstance(indices, (list, tuple)):
+        indices = np.array(indices)
+    idx = slice(0, structures.shape[1]) if (indices is None or len(np.atleast_1d(indices)) == 0) \
+        else np.asarray(indices).ravel()
+
+    structures -= structures[:, idx].mean(axis=1, keepdims=True)
+    out = np.zeros_like(structures)
+    out[0] = structures[0]
+    for t in range(1, len(structures)):
+        try:
+            matrix = _kabsch_host(structures[0][idx], structures[t][idx])
+        except np.linalg.LinAlgError:
+            matrix = np.eye(3)
+        out[t] = (matrix @ structures[t].T).T
+    return out
+
+
+def align_by_moi(structures, atomnos):
+    '''
+    Align every structure to the first by superimposing diagonal
+    moments-of-inertia frames (reference hypermolecule_class.py:74-118).
+    '''
+    from tscode_tpu.pt import masses_of
+    import jax
+    from tscode_tpu.ops.linalg import get_inertia_moments
+
+    structures = np.array(structures, dtype=float)
+    masses = masses_of(atomnos)
+
+    structures -= structures.mean(axis=1, keepdims=True)
+    out = np.zeros_like(structures)
+    out[0] = structures[0]
+
+    moments = np.asarray(jax.jit(get_inertia_moments, backend='cpu')(
+        structures, masses))
+
+    ref_vecs = np.eye(3) * moments[0]
+    for t in range(1, len(structures)):
+        tgt_vecs = np.eye(3) * moments[t]
+        try:
+            matrix = _kabsch_host(ref_vecs, tgt_vecs)
+        except np.linalg.LinAlgError:
+            matrix = np.eye(3)
+        out[t] = (matrix @ structures[t].T).T
+    return out
+
+
+def smi_to_3d(smiles, basename):
+    '''SMILES -> 3D .xyz via obabel when available
+    (reference utils.py:442-450); raises CCReadError otherwise.'''
+    if shutil.which('obabel') is None:
+        raise CCReadError(
+            f'{smiles!r} is not a file and SMILES embedding requires '
+            f'openbabel (obabel executable not found).')
+    out = f'{basename}.xyz'
+    subprocess.run(['obabel', f'-:{smiles}', '-oxyz', f'-O{out}',
+                    '--gen3d', 'best'], check=True, capture_output=True)
+    return out
+
+
+class Molecule:
+    '''
+    A conformer ensemble with optional reactive atoms.
+
+    Attributes mirror what the embed layers consume:
+      atomcoords (n_confs, n_atoms, 3) float64, centroid-centered
+      atomnos    (n_atoms,) int
+      graph      NetworkX bond graph of conformer 0
+      reactive_indices  np.ndarray of int
+      reactive_atoms    {conf: {index: ReactiveAtom}} once computed
+      sigmatropic       [bool per conf], sp3_sigmastar bool
+      rotation / position  pose transform set by the embedder
+    '''
+
+    def __init__(self, filename, reactive_indices=None, debug=False,
+                 attrs=None):
+        if not os.path.isfile(filename):
+            if '.' in filename:
+                raise SyntaxError(
+                    f'Molecule {filename} cannot be read. Please check your syntax.')
+            filename = smi_to_3d(filename, 'generated_3D_coords')
+
+        self.rootname = filename.split('.')[0]
+        self.name = filename
+        self.debug = debug
+        self.attrs = dict(attrs or {})     # molecule-line var=value attributes
+
+        if isinstance(reactive_indices, np.ndarray):
+            self.reactive_indices = reactive_indices
+        else:
+            self.reactive_indices = (np.array(reactive_indices)
+                                     if isinstance(reactive_indices, (tuple, list))
+                                     else np.array([], dtype=int))
+
+        data = read_xyz(filename)
+        coordinates = np.array(data.atomcoords)
+
+        self.atomnos = np.asarray(data.atomnos)
+        self.position = np.zeros(3)
+        self.rotation = np.eye(3)
+
+        if len(self.reactive_indices) and (
+                self.reactive_indices.min() < 0
+                or self.reactive_indices.max() >= len(self.atomnos)):
+            from tscode_tpu.errors import InputError
+            raise InputError(
+                f'Reactive indices {self.reactive_indices.tolist()} out of '
+                f'range for {filename} ({len(self.atomnos)} atoms).')
+
+        self.centroid = coordinates.mean(axis=(0, 1))
+        self.atomcoords = coordinates - self.centroid
+        self.graph = graphize(self.atomcoords[0], self.atomnos)
+
+        self.reactive_atoms = {}
+        self.sigmatropic = [False] * len(self.atomcoords)
+        self.sp3_sigmastar = False
+
+    def __repr__(self):
+        r = self.rootname
+        if self.reactive_atoms:
+            r += f' {[str(a) for a in self.reactive_atoms[0].values()]}'
+        return r
+
+    @property
+    def n_confs(self):
+        return len(self.atomcoords)
+
+    @property
+    def n_atoms(self):
+        return self.atomcoords.shape[1]
+
+    # alias kept for parity with reference call sites
+    @property
+    def reactive_atoms_classes_dict(self):
+        return self.reactive_atoms
+
+    def compute_orbitals(self, override=None):
+        '''
+        Classify reactive atom types, derive the sigmatropic / vicinal
+        flags from the pre-init type names (faithful to the reference's
+        init ordering, hypermolecule_class.py:195-217), then build each
+        conformer's orbital geometry.
+        '''
+        if len(self.reactive_indices) == 0:
+            return
+
+        builders = {i: get_atom_builder(self.graph, i, override=override)
+                    for i in self.reactive_indices}
+        pre_names = [pre_init_type_name(self, builders[i], i)
+                     for i in self.reactive_indices]
+
+        self.sp3_sigmastar = is_vicinal_names(
+            pre_names, self.reactive_indices, self.graph)
+        self.sigmatropic = [
+            is_sigmatropic_names(pre_names, self.atomcoords[c],
+                                 self.reactive_indices, self.graph)
+            for c in range(self.n_confs)]
+
+        lg = self.attrs.get('lg')
+        self.reactive_atoms = {}
+        for c in range(self.n_confs):
+            per_conf = {}
+            for i in self.reactive_indices:
+                builder = builders[i]
+                kwargs = {}
+                if builder is build_sp3 and lg is not None:
+                    kwargs['leaving_group_index'] = int(lg)
+                per_conf[int(i)] = builder(self, int(i), conf=c, **kwargs)
+            self.reactive_atoms[c] = per_conf
+
+    def scale_orbs(self, value):
+        '''Rescale every orbital length by `value` (SHRINK keyword,
+        reference hypermolecule_class.py:283-290).'''
+        for c in range(self.n_confs):
+            for i, atom in self.reactive_atoms[c].items():
+                builder = get_atom_builder(self.graph, i)
+                orb_dim = np.linalg.norm(atom.center[0] - atom.coord)
+                self.reactive_atoms[c][i] = builder(
+                    self, i, conf=c, orb_dim=orb_dim * value)
+
+    def get_r_atoms(self, c):
+        return list(self.reactive_atoms[c].values())
+
+    def get_centers(self, c):
+        return np.array([[v for v in atom.center] for atom in self.get_r_atoms(c)])
+
+    def get_orbital_length(self, index):
+        from tscode_tpu.errors import NoOrbitalError
+        if index not in self.reactive_indices:
+            raise NoOrbitalError(
+                f'Index provided must be a molecule reactive index ({index}, {self.name})')
+        atom = self.reactive_atoms[0][index]
+        return float(np.linalg.norm(atom.center[0] - atom.coord))
+
+    def get_alignment_indices(self):
+        '''Reactive atoms plus their bonded neighbors
+        (reference hypermolecule_class.py:244-260).'''
+        if len(self.reactive_indices) == 0:
+            return None
+        indices = set()
+        for atom in self.reactive_indices:
+            indices |= set(neighbors(self.graph, int(atom)))
+        return list(indices)
+
+    def write_hypermolecule(self):
+        '''Debug output: every conformer with X dummy atoms at lobe centers
+        (reference hypermolecule_class.py:350-364).'''
+        hyp_name = self.rootname + '_hypermolecule.xyz'
+        with open(hyp_name, 'w') as f:
+            for c in range(self.n_confs):
+                orbs = np.vstack([a.center for a in self.get_r_atoms(c)])
+                f.write(f'{len(orbs) + self.n_atoms}\n')
+                f.write(f'tscode_tpu hypermolecule {c} for {self.rootname} '
+                        f'- reactive indices {self.reactive_indices}\n')
+                for i, atom in enumerate(self.atomcoords[c]):
+                    f.write('%-5s %-8s %-8s %-8s\n' % (
+                        SYMBOLS[int(self.atomnos[i])],
+                        round(atom[0], 6), round(atom[1], 6), round(atom[2], 6)))
+                for orb in orbs:
+                    f.write('%-5s %-8s %-8s %-8s\n' % (
+                        'X', round(orb[0], 6), round(orb[1], 6), round(orb[2], 6)))
+        return hyp_name
+
+
+class Pivot:
+    '''
+    Vector connecting two orbital lobe centers for cyclical embeds
+    (reference hypermolecule_class.py:376-408). For chelotropic
+    molecules both lobes belong to the same reactive atom.
+    '''
+
+    __slots__ = ('start', 'end', 'start_atom', 'end_atom',
+                 'pivot', 'meanpoint', 'index')
+
+    def __init__(self, c1, c2, a1, a2, index1, index2):
+        self.start = c1
+        self.end = c2
+        self.start_atom = a1
+        self.end_atom = a2
+        self.pivot = c2 - c1
+        self.meanpoint = (c1 + c2) / 2.0
+        self.index = (index1, index2)
+
+    def __repr__(self):
+        return (f'Pivot(index={self.index}, '
+                f'norm={round(float(np.linalg.norm(self.pivot)), 3)})')
