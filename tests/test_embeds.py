@@ -1,0 +1,210 @@
+'''Embed-generator golden tests: device sweeps vs sequential numpy oracles
+replicating the reference loops (embeds.py:36-133, 734-860).'''
+
+import os
+
+import numpy as np
+import pytest
+
+import oracles
+from tscode_tpu.embeds.string import string_embed
+from tscode_tpu.embeds.cyclical import cyclical_embed_bimol_rigid
+from tscode_tpu.graphs import get_quadruplets, get_sum_graph
+from tscode_tpu.molecule import Molecule
+from tscode_tpu.ops.linalg import cartesian_product, polygonize
+from tscode_tpu.pivots import set_pivots
+
+FIX = os.path.join(os.path.dirname(__file__), 'fixtures')
+
+
+def fix(name):
+    return os.path.join(FIX, name)
+
+
+# ------------------------------------------------------------------ string
+
+def _string_oracle(mol1, mol2, angles, clash_thresh=1.5, tfd_thresh=10):
+    '''Sequential replication of reference string_embed (embeds.py:36-133).'''
+    ids = np.array([mol1.n_atoms, mol2.n_atoms])
+    r1 = int(mol1.reactive_indices[0])
+    r2 = int(mol2.reactive_indices[0]) + int(ids[0])
+    quads = get_quadruplets(get_sum_graph((mol1.graph, mol2.graph), [[r1, r2]]))
+
+    conf_idx = cartesian_product(np.arange(mol1.n_confs), np.arange(mol2.n_confs))
+    k1 = len(mol1.get_r_atoms(0)[0].center)
+    k2 = len(mol2.get_r_atoms(0)[0].center)
+    lobe_idx = cartesian_product(np.arange(k1), np.arange(k2))
+
+    lru = []
+    poses = []
+    for c1, c2 in conf_idx:
+        for ai1, ai2 in lobe_idx:
+            for angle in angles:
+                ra1 = mol1.get_r_atoms(c1)[0]
+                ra2 = mol2.get_r_atoms(c2)[0]
+                p1, p2 = ra1.center[ai1], ra2.center[ai2]
+                ref_vec, mol_vec = ra1.orb_vecs[ai1], ra2.orb_vecs[ai2]
+
+                rot = oracles.rotation_matrix_from_vectors(mol_vec, -ref_vec)
+                if angle != 0:
+                    rot = oracles.rot_mat_from_pointer(ref_vec, angle) @ rot
+                pos = p1 - rot @ p2
+                pose = np.concatenate([
+                    mol1.atomcoords[c1],
+                    (rot @ mol2.atomcoords[c2].T).T + pos])
+
+                if oracles.compenetration_check(pose, ids=ids,
+                                                thresh=clash_thresh):
+                    tfp = oracles.get_torsion_fingerprint(pose, quads)
+                    if not any(oracles.tfd_similarity(tfp, ref, tfd_thresh)
+                               for ref in lru):
+                        lru.append(tfp)
+                        poses.append(pose)
+    return np.array(poses)
+
+
+def test_string_embed_vs_oracle():
+    mol1 = Molecule(fix('C2H4.xyz'), reactive_indices=[0])
+    mol2 = Molecule(fix('CH3Cl.xyz'), reactive_indices=[0])
+    mol1.compute_orbitals()
+    mol2.compute_orbitals()
+
+    angles = [n * 360 / 12 for n in range(12)]
+    got, cons = string_embed(mol1, mol2, angles, log=lambda *a, **k: None)
+    want = _string_oracle(mol1, mol2, angles)
+
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # constrained indices: [r1, r2 + n1] for every pose
+    assert cons.shape == (len(got), 1, 2)
+    assert cons[0].tolist() == [[0, 6]]
+
+
+def test_string_embed_zero_candidates():
+    from tscode_tpu.errors import ZeroCandidatesError
+    mol1 = Molecule(fix('C2H4.xyz'), reactive_indices=[0])
+    mol2 = Molecule(fix('CH3Cl.xyz'), reactive_indices=[0])
+    mol1.compute_orbitals()
+    mol2.compute_orbitals()
+    # an absurd clash threshold kills every pose
+    with pytest.raises(ZeroCandidatesError):
+        string_embed(mol1, mol2, [0.0], clash_thresh=100.0,
+                     log=lambda *a, **k: None)
+
+
+# ---------------------------------------------------------------- cyclical
+
+def _cyclical_oracle(mol1, mol2, systematic_angles, clash_thresh=1.5,
+                     max_norm_delta=10):
+    '''Sequential replication of _fast_bimol_rigid_cyclical_embed
+    (embeds.py:734-860).'''
+    mols = (mol1, mol2)
+    ids = np.array([mol1.n_atoms, mol2.n_atoms])
+    offsets = (0, mol1.n_atoms)
+    directions = np.array([[0., 1., 0.], [0., -1., 0.]])
+
+    conf_idx = cartesian_product(*[np.arange(m.n_confs) for m in mols])
+    poses, all_ids = [], []
+
+    for conf_ids in conf_idx:
+        piv_idx = cartesian_product(*[np.arange(len(m.pivots[conf_ids[i]]))
+                                      for i, m in enumerate(mols)])
+        for pi in piv_idx:
+            pivots = [mols[m].pivots[conf_ids[m]][pi[m]] for m in range(2)]
+            norms = np.array([np.linalg.norm(p.pivot) for p in pivots])
+            if abs(norms[0] - norms[1]) > max_norm_delta:
+                continue
+            polygon_vectors = polygonize(norms)
+
+            for v, vecs in enumerate(polygon_vectors):
+                swaps = [(0, 0), (0, 1)]
+                cums = []
+                for m, p in enumerate(pivots):
+                    pair = [p.start_atom.index + offsets[m],
+                            p.end_atom.index + offsets[m]]
+                    if swaps[v][m]:
+                        pair = list(reversed(pair))
+                    cums.append(pair)
+                arr_ids = [[cums[0][0], cums[1][0]], [cums[0][1], cums[1][1]]]
+
+                angular_poses = []
+                for angles in systematic_angles:
+                    rots, positions = [], []
+                    for i in range(2):
+                        start, end = vecs[i]
+                        angle = angles[i]
+                        rc = mols[i].atomcoords[conf_ids[i]][mols[i].reactive_indices]
+                        apm = rc.mean(axis=0)
+                        md = pivots[i].meanpoint - apm
+                        if np.all(md == 0.):
+                            md = pivots[i].meanpoint
+                        ra = oracles.align_vec_pair(
+                            np.array([end - start, directions[i]]),
+                            np.array([pivots[i].pivot, md]))
+                        if len(rc) == 2:
+                            axis = ra @ (rc[0] - rc[1])
+                        else:
+                            axis = ra @ pivots[i].pivot
+                        rs = oracles.rot_mat_from_pointer(axis, angle)
+                        cor = ra @ apm
+                        rot = rs @ ra
+                        pos = (cor - rs @ cor
+                               + (np.mean(vecs[i], axis=0) - ra @ pivots[i].meanpoint))
+                        rots.append(rot)
+                        positions.append(pos)
+
+                    pose = np.concatenate([
+                        (rots[m] @ mols[m].atomcoords[conf_ids[m]].T).T
+                        + positions[m] for m in range(2)])
+
+                    if oracles.compenetration_check(pose, ids=ids,
+                                                    thresh=clash_thresh):
+                        similar = False
+                        for ap in angular_poses:
+                            r, md_ = oracles.rmsd_and_max(pose.copy(), ap.copy())
+                            if r < 1.0 and md_ < 2.0:
+                                similar = True
+                                break
+                        if not similar:
+                            poses.append(pose)
+                            angular_poses.append(pose)
+                            all_ids.append(arr_ids)
+
+    return np.array(poses), np.array(all_ids)
+
+
+def _angle_grid(steps, rot_range, n_mols=2):
+    grid = cartesian_product(*[np.arange(steps + 1) for _ in range(n_mols)])
+    return grid * 2 * rot_range / steps - rot_range
+
+
+def test_cyclical_embed_vs_oracle():
+    # pseudo-Diels-Alder: two ethylenes, both carbons reactive on each
+    mol1 = Molecule(fix('C2H4.xyz'), reactive_indices=[0, 3])
+    mol2 = Molecule(fix('C2H4.xyz'), reactive_indices=[0, 3])
+    for m in (mol1, mol2):
+        m.compute_orbitals()
+        set_pivots(m)
+
+    assert len(mol1.pivots[0]) == 4       # 2 lobes x 2 lobes
+
+    angles = _angle_grid(2, 45)           # 9 angle pairs for test speed
+    got, got_ids = cyclical_embed_bimol_rigid(
+        mol1, mol2, angles, log=lambda *a, **k: None)
+    want, want_ids = _cyclical_oracle(mol1, mol2, angles)
+
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, atol=5e-6)
+    np.testing.assert_array_equal(got_ids, want_ids)
+
+
+def test_cyclical_suprafacial_filter():
+    mol = Molecule(fix('C2H4.xyz'), reactive_indices=[0, 3])
+    mol.compute_orbitals()
+    set_pivots(mol, suprafacial=True)
+    assert len(mol.pivots[0]) == 2
+    norms = sorted(np.linalg.norm(p.pivot) for p in mol.pivots[0])
+    all_norms = sorted(np.linalg.norm(p.pivot)
+                       for p in __import__('tscode_tpu.pivots',
+                                           fromlist=['get_pivots']).get_pivots(mol)[0])
+    assert norms == all_norms[:2]

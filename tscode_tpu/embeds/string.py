@@ -1,0 +1,160 @@
+'''
+String embed: two molecules, one reactive atom each.
+
+TPU re-design of the reference's triple Python loop
+(/root/reference/tscode/embeds.py:36-133): the whole
+(conf1 x conf2 x lobe1 x lobe2 x angle) grid is evaluated as ONE batched
+device program — alignment rotations, spin rotations, pose
+materialization, clash screening and torsion fingerprints all ride the
+VPU/MXU; only the order-dependent TFD novelty filter (a sequential
+prefix scan over generated poses) replays on host from the
+device-computed fingerprints.
+'''
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tscode_tpu.embeds.common import materialize_two_mol, stacked_lobes
+from tscode_tpu.errors import ZeroCandidatesError
+from tscode_tpu.graphs import get_quadruplets, get_sum_graph
+from tscode_tpu.ops.clash import cross_fragment_pair_mask
+from tscode_tpu.ops.linalg import rot_mat_from_pointer, rotation_matrix_from_vectors
+from tscode_tpu.ops.tfd import is_new_structure_lru, torsion_fingerprints
+
+_CHUNK = 4096
+
+
+@jax.jit
+def _string_chunk(coords1, coords2, centers1, vecs1, centers2, vecs2,
+                  pair_mask, quadruplets, angles,
+                  c1, c2, a1, a2, ai, clash_thresh):
+    '''
+    One grid chunk: index arrays (B,) -> poses (B, N, 3), clash accept
+    (B,) bool, torsion fingerprints (B, Q) f32.
+    '''
+    p1 = centers1[c1, a1]                       # (B, 3) target lobe
+    p2 = centers2[c2, a2]
+    ref_vec = vecs1[c1, a1]
+    mol_vec = vecs2[c2, a2]
+
+    # align mol2's orbital antiparallel to mol1's, then spin about it
+    align = rotation_matrix_from_vectors(mol_vec, -ref_vec)
+    spin = rot_mat_from_pointer(ref_vec, angles[ai])
+    R = jnp.einsum('bij,bjk->bik', spin, align)
+    t = p1 - jnp.einsum('bij,bj->bi', R, p2)
+
+    poses = materialize_two_mol(coords1, coords2, c1, c2, R, t)
+
+    d2 = _pairwise_d2(poses)
+    clash_ok = jnp.sum((d2 < clash_thresh * clash_thresh) & pair_mask,
+                       axis=(-2, -1)) <= 0
+
+    tfps = torsion_fingerprints(poses, quadruplets)
+    return poses, clash_ok, tfps
+
+
+def _pairwise_d2(poses):
+    a2 = jnp.sum(poses * poses, axis=-1)
+    ab = jnp.einsum('bni,bmi->bnm', poses, poses)
+    return jnp.maximum(a2[..., :, None] + a2[..., None, :] - 2.0 * ab, 0.0)
+
+
+def string_embed(mol1, mol2, angles, clash_thresh=1.5, tfd_thresh=10,
+                 log=print, chunk=_CHUNK):
+    '''
+    Generate string-embed poses for two single-reactive-atom molecules.
+
+    angles: iterable of spin angles in degrees (the embedder's
+    systematic_angles, reference embedder.py:735).
+    Returns (poses (B, N1+N2, 3) float64, constrained_indices (B, 1, 2)).
+    Raises ZeroCandidatesError when nothing survives, like the reference.
+    '''
+    ids = (mol1.n_atoms, mol2.n_atoms)
+    r1 = int(mol1.reactive_indices[0])
+    r2 = int(mol2.reactive_indices[0]) + ids[0]
+
+    quadruplets = get_quadruplets(
+        get_sum_graph((mol1.graph, mol2.graph), [[r1, r2]]))
+
+    centers1, vecs1 = stacked_lobes(mol1)
+    centers2, vecs2 = stacked_lobes(mol2)
+    n1c, n2c = mol1.n_confs, mol2.n_confs
+    k1, k2 = centers1.shape[1], centers2.shape[1]
+    angles = np.asarray(angles, dtype=np.float64)
+    n_ang = len(angles)
+
+    # grid in the reference's generation order:
+    # for (c1, c2) in cartesian (c1 fastest) -> for (ai1, ai2) (ai1 fastest)
+    # -> for angle
+    c1g, c2g, a1g, a2g, aig = [], [], [], [], []
+    conf_pairs = [(i1, i2) for i2 in range(n2c) for i1 in range(n1c)]
+    lobe_pairs = [(j1, j2) for j2 in range(k2) for j1 in range(k1)]
+    for (ci1, ci2) in conf_pairs:
+        for (l1, l2) in lobe_pairs:
+            c1g.extend([ci1] * n_ang)
+            c2g.extend([ci2] * n_ang)
+            a1g.extend([l1] * n_ang)
+            a2g.extend([l2] * n_ang)
+            aig.extend(range(n_ang))
+    c1g, c2g, a1g, a2g, aig = (np.array(x, dtype=np.int32)
+                               for x in (c1g, c2g, a1g, a2g, aig))
+    total = len(c1g)
+    log(f'--> Performing string embed ({total} candidates)')
+
+    n_pad = ids[0] + ids[1]
+    pair_mask = jnp.asarray(cross_fragment_pair_mask(ids))
+    dev = dict(coords1=jnp.asarray(mol1.atomcoords),
+               coords2=jnp.asarray(mol2.atomcoords),
+               centers1=jnp.asarray(centers1), vecs1=jnp.asarray(vecs1),
+               centers2=jnp.asarray(centers2), vecs2=jnp.asarray(vecs2),
+               pair_mask=pair_mask,
+               quadruplets=jnp.asarray(quadruplets, dtype=jnp.int32),
+               angles=jnp.asarray(angles))
+
+    poses_out, order = [], []
+    all_ok = np.zeros(total, dtype=bool)
+    all_tfps = None
+
+    for lo in range(0, total, chunk):
+        hi = min(lo + chunk, total)
+        pad = chunk - (hi - lo)
+        sl = lambda g: jnp.asarray(np.pad(g[lo:hi], (0, pad), mode='edge'))
+        poses, ok, tfps = _string_chunk(
+            **dev, c1=sl(c1g), c2=sl(c2g), a1=sl(a1g), a2=sl(a2g),
+            ai=sl(aig), clash_thresh=float(clash_thresh))
+        ok = np.asarray(ok)[:hi - lo]
+        tfps = np.asarray(tfps)[:hi - lo]
+        all_ok[lo:hi] = ok
+        if all_tfps is None:
+            all_tfps = np.empty((total, tfps.shape[1]), dtype=tfps.dtype)
+        all_tfps[lo:hi] = tfps
+        # keep only clash-passing poses on host to bound memory
+        idx = np.nonzero(ok)[0]
+        if len(idx):
+            poses_out.append(np.asarray(poses)[idx])
+            order.append(idx + lo)
+
+    if not poses_out:
+        raise ZeroCandidatesError(
+            '--> String embed did not find any suitable disposition of '
+            'molecules.\n    Try expanding the conformational space with '
+            'the csearch> operator or see the SHRINK keyword.')
+
+    kept_poses = np.concatenate(poses_out)
+    kept_order = np.concatenate(order)
+
+    # order-dependent TFD novelty filter, replayed over survivors only
+    # (reference embeds.py:47-69 via is_new_structure)
+    novel = is_new_structure_lru(all_tfps[kept_order],
+                                 np.ones(len(kept_order), dtype=bool),
+                                 thresh=tfd_thresh)
+    final = kept_poses[novel]
+
+    if len(final) == 0:
+        raise ZeroCandidatesError(
+            '--> String embed did not find any suitable disposition of '
+            'molecules (all poses torsionally redundant).')
+
+    constrained = np.array([[[r1, r2]]] * len(final))
+    return final, constrained

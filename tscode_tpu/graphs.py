@@ -203,6 +203,27 @@ def find_paths(graph, u, n, exclude_set=None):
     return paths
 
 
+def get_quadruplets(graph):
+    '''
+    Non-redundant torsion quadruplets: one 4-path per central bond, the
+    first found in node-iteration order (reference torsion_module.py:327-350
+    — the kept representative depends on that order, which we reproduce).
+    Returns (Q, 4) int array.
+    '''
+    allpaths = []
+    for node in graph:
+        allpaths.extend(find_paths(graph, node, 3))
+
+    quadruplets, seen = [], set()
+    for path in allpaths:
+        _, i2, i3, _ = path
+        q_id = tuple(sorted((i2, i3)))
+        if q_id not in seen:
+            quadruplets.append(path)
+            seen.add(q_id)
+    return np.array(quadruplets)
+
+
 _SP2_TYPE_NAMES = ('Ketone', 'Imine', 'sp2', 'sp', 'bent carbene')
 _VICINAL_TYPE_NAMES = ('sp3', 'Single Bond')
 

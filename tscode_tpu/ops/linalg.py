@@ -118,7 +118,9 @@ def rot_mat_from_pointer(pointer, angle_deg):
     # scalars at f32 precision, which would cost ~1e-8 in the matrix
     half = jnp.radians(jnp.asarray(angle_deg, dtype=pointer.dtype)) / 2.0
     s, c = jnp.sin(half), jnp.cos(half)
-    quat = jnp.concatenate([s[..., None] * pointer, c[..., None]], axis=-1)
+    xyz = s[..., None] * pointer
+    w = jnp.broadcast_to(c[..., None], xyz.shape[:-1] + (1,))
+    quat = jnp.concatenate([xyz, w], axis=-1)
     return quaternion_to_rotation_matrix(quat)
 
 
