@@ -1,0 +1,67 @@
+'''
+CLI entry point: `python -m tscode_tpu input.txt [options]`
+(reference /root/reference/tscode/__main__.py:49-119).
+'''
+
+import argparse
+import os
+import sys
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog='tscode_tpu',
+        description='TPU-native Transition State Conformational Docker')
+    parser.add_argument('inputfile', nargs='?',
+                        help='input file (.txt DSL)')
+    parser.add_argument('-n', '--name', default=None,
+                        help='custom name stamp for the run')
+    parser.add_argument('-cl', '--command-line', dest='cl', default=None,
+                        help='pass the input text directly on the command line')
+    parser.add_argument('-t', '--test', action='store_true',
+                        help='run installation smoke tests')
+    parser.add_argument('-p', '--profile', action='store_true',
+                        help='profile the run with cProfile')
+    parser.add_argument('--procs', type=int, default=None,
+                        help='cores per external QM job')
+    parser.add_argument('--threads', type=int, default=None,
+                        help='concurrent external QM jobs')
+    args = parser.parse_args(argv)
+
+    if args.test:
+        from tscode_tpu.tests_install import run_tests
+        run_tests()
+        return 0
+
+    if args.cl is not None:
+        filename = os.path.abspath(f'tscode_tpu_cl_input.txt')
+        with open(filename, 'w') as f:
+            f.write(args.cl.replace(';', '\n') + '\n')
+    elif args.inputfile is not None:
+        filename = os.path.abspath(args.inputfile)
+    else:
+        parser.print_help()
+        return 2
+
+    from tscode_tpu.embedder import Embedder
+
+    def _run():
+        embedder = Embedder(filename, stamp=args.name,
+                            procs=args.procs, threads=args.threads)
+        embedder.run()
+
+    if args.profile:
+        import cProfile
+        import pstats
+        with cProfile.Profile() as pr:
+            _run()
+        stats = pstats.Stats(pr)
+        stats.sort_stats('cumtime').print_stats(30)
+    else:
+        _run()
+
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -1,0 +1,41 @@
+'''
+JAX backend initialization with graceful fallback.
+
+The deployment environment may pin JAX_PLATFORMS to an experimental TPU
+plugin whose registration can fail per-process (e.g. a busy tunnel).
+`ensure_backend()` probes the configured platform once and falls back to
+CPU instead of crashing the run. On CPU it also enables x64 so the
+geometry paths hold 1e-6 A parity; on TPU the default f32 is kept for
+screening throughput (pruning decisions are mask-identical at f32 for
+the thresholds involved — 0.5 A RMSD, 1.5 A clash).
+'''
+
+import os
+
+_initialized = False
+
+
+def ensure_backend(prefer=None, quiet=False):
+    '''Initialize JAX, falling back to CPU when the configured platform
+    cannot start. Returns the active backend name.'''
+    global _initialized
+    import jax
+
+    if prefer is not None:
+        jax.config.update('jax_platforms', prefer)
+
+    try:
+        backend = jax.default_backend()
+    except RuntimeError as e:
+        if not quiet:
+            print(f'--> JAX platform '
+                  f'{os.environ.get("JAX_PLATFORMS", "?")!r} failed to '
+                  f'initialize ({str(e).splitlines()[0]}); falling back to CPU.')
+        jax.config.update('jax_platforms', 'cpu')
+        backend = jax.default_backend()
+
+    if backend == 'cpu' and not jax.config.jax_enable_x64:
+        jax.config.update('jax_enable_x64', True)
+
+    _initialized = True
+    return backend

@@ -1,0 +1,1002 @@
+'''
+Engine: input DSL parsing, embed-type state machine, and the refinement
+pipeline driver.
+
+Re-design of the reference Embedder / RunEmbedding
+(/root/reference/tscode/embedder.py:72-2379). Differences in shape, not
+behavior:
+ * the pipeline is a plain method sequence over array state (structures,
+   energies, constrained_indices, exit_status) with explicit masking —
+   every pruning stage runs as a batched device kernel with a host
+   bookkeeping tail;
+ * termination returns instead of sys.exit-ing, so the engine is usable
+   as a library (the CLI wraps it);
+ * calculators are optional: pure-geometry paths (NOOPT/BYPASS, embeds,
+   pruning) never require external binaries.
+'''
+
+import logging
+import os
+import re
+import time
+from copy import deepcopy
+from itertools import groupby
+
+import numpy as np
+
+from tscode_tpu import __version__
+from tscode_tpu.embeds.cyclical import cyclical_embed_bimol_rigid
+from tscode_tpu.embeds.string import string_embed
+from tscode_tpu.errors import InputError, ZeroCandidatesError
+from tscode_tpu.graphs import get_quadruplets, get_sum_graph, graphize
+from tscode_tpu.io_xyz import write_xyz
+from tscode_tpu.molecule import Molecule, align_by_moi, align_structures
+from tscode_tpu.ops import clash as clash_ops
+from tscode_tpu.ops import moi as moi_ops
+from tscode_tpu.ops import rmsd_prune as rmsd_ops
+from tscode_tpu.ops import tfd as tfd_ops
+from tscode_tpu.ops.linalg import cartesian_product, rmsd_and_max
+from tscode_tpu.options import Options, OptionSetter
+from tscode_tpu.pivots import set_pivots
+from tscode_tpu.pt import SYMBOLS
+from tscode_tpu.settings import CALCULATOR, DEFAULT_LEVELS
+from tscode_tpu.utils import (clean_directory, pretty_num, saturation_check,
+                              time_to_string)
+
+import jax.numpy as jnp
+
+
+class Embedder:
+    '''
+    Set-up state machine: parses the input file, loads molecules, reads
+    pairings, applies keywords/operators, and decides the embed type.
+    '''
+
+    def __init__(self, filename, stamp=None, procs=None, threads=None,
+                 run_in_place=False):
+        self.t_start_run = time.perf_counter()
+        if not run_in_place:
+            d = os.path.dirname(os.path.abspath(filename))
+            os.chdir(d)
+            filename = os.path.basename(filename)
+
+        self.stamp = stamp if stamp is not None else \
+            time.ctime().replace(' ', '_').replace(':', '-')[4:-8]
+
+        self.avail_cpus = len(os.sched_getaffinity(0))
+        self.threads = int(threads) if threads is not None else \
+            max(self.avail_cpus // 4, 1)
+        self.procs = int(procs) if procs is not None else 4
+
+        log_filename = f'tscode_{self.stamp}.log'
+        try:
+            os.remove(log_filename)
+        except FileNotFoundError:
+            pass
+        self.logfile = open(log_filename, 'a', buffering=1, encoding='utf-8')
+
+        from tscode_tpu.backend import ensure_backend
+        self.jax_backend = ensure_backend()
+
+        try:
+            self.write_banner_and_info()
+
+            self.options = Options()
+            self.embed = None
+            self.warnings = []
+            self.pairing_dists = {}
+
+            inp = self._parse_input(filename)
+            self.objects = [Molecule(name, c_ids, attrs=attrs)
+                            for name, c_ids, attrs in inp]
+            self.ids = np.array([mol.n_atoms for mol in self.objects])
+            self.graphs = [mol.graph for mol in self.objects]
+
+            self._read_pairings()
+            self.check_objects_compenetration()
+            self.check_saturation()
+            self._set_options(filename)
+            self._calculator_setup()
+            self._apply_operators()
+            self._setup()
+
+            if self.options.debug:
+                for mol in self.objects:
+                    if mol.reactive_atoms and len(mol.reactive_atoms[0]) > 0:
+                        mol.write_hypermolecule()
+                        self.log(f'--> DEBUG: written hypermolecule file for ({mol.name})')
+                self.log()
+
+        except Exception as e:
+            logging.exception(e)
+            raise
+
+    # ------------------------------------------------------------ logging
+
+    def log(self, string='', p=True):
+        if p:
+            print(string)
+        self.logfile.write(str(string) + '\n')
+
+    def write_banner_and_info(self):
+        banner = (
+            '\n'
+            '  ================================================================\n'
+            '   tscode_tpu - TPU-native Transition State Conformational Docker\n'
+            f'   version {__version__:<12} | procs {self.procs:<4} '
+            f'| threads {self.threads:<4} | cpus {self.avail_cpus:<4}\n'
+            f'   {time.ctime()[0:-8]}\n'
+            '  ================================================================\n')
+        self.log(banner)
+
+    # ------------------------------------------------------------ parsing
+
+    def _parse_input(self, filename):
+        '''
+        Input DSL: optional keyword line, then one molecule line each:
+        `op1> op2> file.xyz 2a 5b k=v` (reference embedder.py:243-305).
+        Returns [(filename, reactive_indices, attrs)].
+        '''
+        with open(filename, 'r') as f:
+            lines = f.readlines()
+
+        self.log(f'--> Input file: {filename}\n')
+        longest = max(len(line.rstrip('\n')) for line in lines)
+        self.log('    ' + '-' * (longest + 6))
+        for l, line in enumerate(lines):
+            self.log(f'{l + 1:2}> | ' + line.rstrip('\n').ljust(longest) + '   |')
+        self.log('    ' + '-' * (longest + 6) + '\n')
+
+        lines = [line.replace(', ', ',') for line in lines
+                 if line[0] not in ('#', '\n')]
+
+        def _remove_internal_constraints(strings):
+            # an index letter-tagged twice on the same line is an internal
+            # constraint, not a reactive index (reference :265-269)
+            numbers = [int(re.sub('[^0-9]', '', s)) for s in strings]
+            letters = [re.sub('[^A-Za-z]', '', s) for s in strings]
+            count = [letters.count(l) if l != '' else 1 for l in letters]
+            return tuple(n for n, c in zip(numbers, count) if c == 1)
+
+        from tscode_tpu.options import KEYWORDS
+        try:
+            keywords = [l.split('=')[0] if '(' not in l else l.split('(')[0]
+                        for l in lines[0].split()]
+            if any(k.upper() in KEYWORDS for k in keywords):
+                self.kw_line, *self.mol_lines = lines
+            else:
+                self.kw_line = ''
+                self.mol_lines = lines
+
+            inp = []
+            for _l, line in enumerate(self.mol_lines):
+                if '>' in line:
+                    self.options.operators_dict[_l] = [
+                        op.strip() for op in
+                        reversed(line.rstrip('\n').split('>')[:-1])]
+                    self.options.operators.append(line.rstrip('\n'))
+                    line = line.split('>')[-1].lstrip()
+
+                molname, *fragments = line.split()
+                attrs = {}
+                reactive = []
+                for frag in fragments:
+                    if '=' in frag:
+                        parts = frag.split('=')
+                        if len(parts) != 2:
+                            raise InputError(
+                                f"Error reading attribute '{frag}'. "
+                                f"Syntax: 'var=value'")
+                        attrs[parts[0]] = parts[1]
+                    else:
+                        reactive.append(frag)
+
+                reactive_indices = (_remove_internal_constraints(reactive)
+                                    if reactive else None)
+                inp.append((molname, reactive_indices, attrs))
+            return inp
+
+        except InputError:
+            raise
+        except Exception as e:
+            print(e)
+            raise InputError(
+                f'Error in reading molecule input for {filename}. '
+                f'Please check your syntax.')
+
+    def _read_pairings(self):
+        '''Letter pairings (a-z interactions, A-Z fixed, x/y/z NCI) from
+        molecule lines (reference embedder.py:369-499).'''
+        parsed = []
+        unlabeled_list = []
+        self.pairings_dict = {i: {} for i, _ in enumerate(self.objects)}
+
+        for i, line in enumerate(self.mol_lines):
+            fragments = [f for f in line.split('>')[-1].split()[1:]
+                         if '=' not in f]
+
+            unlabeled, pairings = [], []
+            for fragment in fragments:
+                if not fragment.lower().islower():
+                    unlabeled.append(int(fragment))
+                else:
+                    index, letters = [''.join(g) for _, g in
+                                      groupby(fragment, str.isalpha)]
+                    for letter in letters:
+                        pairings.append([int(index), letter])
+
+            for index, letter in pairings:
+                if self.pairings_dict[i].get(letter) is not None:
+                    prev = self.pairings_dict[i][letter]
+                    self.pairings_dict[i][letter] = (prev, index)
+                else:
+                    self.pairings_dict[i][letter] = index
+
+            if i > 0:
+                for z in pairings:
+                    z[0] += sum(self.ids[:i])
+                unlabeled = [z + sum(self.ids[:i]) for z in unlabeled]
+            unlabeled_list.extend(unlabeled)
+            parsed.extend(pairings)
+
+        links = {tag: [] for tag in set(p[1] for p in parsed)}
+        for index, tag in parsed:
+            links[tag].append(index)
+
+        self.pairings_table = {
+            letter: sorted(idxs)
+            for letter, idxs in sorted(links.items(), key=lambda x: x[0])}
+
+        for letter, idxs in self.pairings_table.items():
+            if len(idxs) == 1:
+                raise SyntaxError(
+                    f"Letter '{letter}' is only specified once. "
+                    f"Please flag the second reactive atom.")
+            if len(idxs) > 2:
+                raise SyntaxError(
+                    f"Letter '{letter}' is specified more than two times. "
+                    f"Please remove the unwanted letters.")
+
+        if len(self.mol_lines) in (2, 3) and len(unlabeled_list) == 2:
+            self.pairings_table['?'] = sorted(unlabeled_list)
+
+        # internal constraints: letters used twice on one molecule AND
+        # given an imposed distance on the keyword line
+        self.internal_constraints = []
+        self.kw_line = getattr(self, 'kw_line', '')
+        for letter, pair in self.pairings_table.items():
+            for mol_id in self.pairings_dict:
+                if isinstance(self.pairings_dict[mol_id].get(letter), tuple):
+                    if f'{letter}=' in self.kw_line:
+                        self.internal_constraints.append([pair])
+        self.internal_constraints = (
+            np.concatenate(self.internal_constraints)
+            if self.internal_constraints else np.array([], dtype=int))
+
+    # ------------------------------------------------------------- checks
+
+    def check_objects_compenetration(self):
+        for mol in self.objects:
+            counts = np.asarray(clash_ops.count_intra_clashes(
+                jnp.asarray(mol.atomcoords)))
+            for c, n in enumerate(counts):
+                if n > 0:
+                    s = (f'--> WARNING! {mol.name}, conformer {c + 1}, looks '
+                         f'compenetrated ({n} interatomic distance'
+                         f'{"s" if n > 1 else ""} < 0.5 A)')
+                    self.warnings.append(s)
+                    self.log(s)
+
+    def check_saturation(self):
+        self.log()
+        for mol in self.objects:
+            charge = int(mol.attrs.get('charge', 0))
+            if saturation_check(mol.atomnos, charge):
+                self.log(f'--> {mol.name}: saturation check passed '
+                         f'(even saturation index)')
+            else:
+                s = (f'--> WARNING! {mol.name}: saturation check failed. Odd '
+                     f'saturation index (charge={charge}). Radical or bad '
+                     f'input geometry?')
+                self.log(s)
+                self.warnings.append(s)
+
+    # ------------------------------------------------------------ options
+
+    def _set_options(self, filename):
+        try:
+            OptionSetter(self).set_options()
+        except SyntaxError:
+            raise
+        except Exception as e:
+            print(e)
+            raise InputError(
+                f'Error in reading keywords from {filename}. '
+                f'Please check your syntax.')
+
+    def _calculator_setup(self):
+        if self.options.theory_level is None and self.options.calculator:
+            self.options.theory_level = DEFAULT_LEVELS.get(
+                self.options.calculator)
+
+    def _set_custom_orbs(self, orb_string):
+        '''DIST(a=2.345,...): rebuild orbitals with imposed half-distances
+        (reference embedder.py:501-540).'''
+        for mol in self.objects:
+            if not mol.reactive_atoms:
+                mol.compute_orbitals(
+                    override='Single' if self.options.simpleorbitals else None)
+
+        self.pairing_dists = {p.split('=')[0]: float(p.split('=')[1])
+                              for p in orb_string.split(',')}
+
+        from tscode_tpu.orbitals import get_atom_builder
+
+        for letter, dist in self.pairing_dists.items():
+            if letter not in self.pairings_table:
+                raise SyntaxError(
+                    f"Letter '{letter}' is specified in DIST but not "
+                    f"present in molecules string.")
+            for i, mol in enumerate(self.objects):
+                r_index = self.pairings_dict[i].get(letter)
+                if r_index is None:
+                    continue
+                indices = (r_index,) if isinstance(r_index, (int, np.integer)) \
+                    else r_index
+                for r_i in indices:
+                    for c in range(mol.n_confs):
+                        if r_i in mol.reactive_atoms[c]:
+                            builder = get_atom_builder(mol.graph, r_i)
+                            mol.reactive_atoms[c][r_i] = builder(
+                                mol, r_i, conf=c, orb_dim=dist / 2)
+        self.orb_string = orb_string
+
+    # ---------------------------------------------------------- operators
+
+    def _apply_operators(self):
+        '''Execute op> prefixes right-to-left per molecule (reference
+        embedder.py:853-907); wired to the operators module.'''
+        for mol_index, op_list in self.options.operators_dict.items():
+            for op in op_list:
+                from tscode_tpu.operators import operate
+                self.objects[mol_index] = operate(op, self,
+                                                  self.objects[mol_index])
+
+    # -------------------------------------------------------------- setup
+
+    def _setup(self, p=True):
+        '''Embed-type decision + angle grids + pivots
+        (reference embedder.py:623-779).'''
+        if any('pka>' in op for op in self.options.operators) or \
+           any('scan>' in op for op in self.options.operators):
+            self.embed = 'data'
+            return
+
+        if any('refine>' in op for op in self.options.operators) or \
+                self.options.noembed:
+            self.embed = 'refine'
+            return
+
+        for mol in self.objects:
+            if self.options.max_confs < mol.n_confs:
+                self.log(f'--> {mol.name} - kept {self.options.max_confs}/'
+                         f'{mol.n_confs} conformations for the embed '
+                         f'(override with CONFS=n)\n')
+                mol.atomcoords = mol.atomcoords[:self.options.max_confs]
+
+        if all(len(mol.reactive_indices) == 0 for mol in self.objects):
+            self.embed = None
+            return
+
+        override = 'Single' if self.options.simpleorbitals else None
+
+        if len(self.objects) == 1:
+            mol = self.objects[0]
+            if len(mol.reactive_indices) == 2:
+                self.embed = 'monomolecular'
+                mol.compute_orbitals(override=override)
+                set_pivots(mol, suprafacial=self.options.suprafacial)
+                self.options.only_refined = True
+                self.options.fix_angles_in_deformation = True
+            else:
+                self.embed = 'error'
+
+        elif len(self.objects) in (2, 3):
+            cyclical = all(len(mol.reactive_indices) == 2
+                           for mol in self.objects)
+            chelotropic = sorted(len(mol.reactive_indices)
+                                 for mol in self.objects) == [1, 2]
+            string = (len(self.objects) == 2 and
+                      all(len(mol.reactive_indices) == 1
+                          for mol in self.objects))
+            multiembed = (len(self.objects) == 2 and
+                          all(len(mol.reactive_indices) >= 2
+                              for mol in self.objects) and not cyclical)
+
+            if cyclical or chelotropic or multiembed:
+                if cyclical:
+                    self.embed = 'cyclical'
+                elif multiembed:
+                    self.embed = 'multiembed'
+                else:
+                    self.embed = 'chelotropic'
+                    from tscode_tpu.orbitals import get_atom_builder
+                    for mol in self.objects:
+                        mol.compute_orbitals(override=override)
+                        # slightly enlarge orbitals (+0.2 A) for chelotropic
+                        # embeds (reference embedder.py:698-706)
+                        for c in range(mol.n_confs):
+                            for index, atom in list(mol.reactive_atoms[c].items()):
+                                orb_dim = np.linalg.norm(
+                                    atom.center[0] - atom.coord)
+                                builder = get_atom_builder(mol.graph, index)
+                                mol.reactive_atoms[c][index] = builder(
+                                    mol, index, conf=c, orb_dim=orb_dim + 0.2)
+
+                self.options.rotation_steps = 5
+                if hasattr(self.options, 'custom_rotation_steps'):
+                    self.options.rotation_steps = \
+                        self.options.custom_rotation_steps
+
+                steps = self.options.rotation_steps
+                self.systematic_angles = cartesian_product(
+                    *[np.arange(steps + 1) for _ in self.objects]) \
+                    * 2 * self.options.rotation_range / steps \
+                    - self.options.rotation_range
+
+                if p:
+                    for mol in self.objects:
+                        if not mol.reactive_atoms:
+                            mol.compute_orbitals(override=override)
+                        set_pivots(mol,
+                                   suprafacial=self.options.suprafacial)
+
+            elif string:
+                self.embed = 'string'
+                self.options.rotation_steps = 36
+                for mol in self.objects:
+                    if not mol.reactive_atoms:
+                        mol.compute_orbitals(override=override)
+                if hasattr(self.options, 'custom_rotation_steps'):
+                    self.options.rotation_steps = \
+                        self.options.custom_rotation_steps
+                self.systematic_angles = [
+                    n * 360 / self.options.rotation_steps
+                    for n in range(self.options.rotation_steps)]
+
+            else:
+                self.embed = 'error'
+
+            if multiembed:
+                self.embed = 'multiembed'
+                for mol in self.objects:
+                    mol.compute_orbitals(override=override)
+
+            if self.embed == 'error':
+                raise InputError(
+                    'Bad input - The only molecular configurations accepted '
+                    'are:\n'
+                    '1) One molecule with two reactive centers '
+                    '(monomolecular embed)\n'
+                    '2) One molecule with four indices (dihedral embed)\n'
+                    '3) Two or three molecules with two reactive centers '
+                    'each (cyclical embed)\n'
+                    '4) Two molecules with one reactive center each '
+                    '(string embed)\n'
+                    '5) Two molecules, one with a single reactive center '
+                    'and the other with two (chelotropic embed)\n'
+                    '6) Two molecules with at least two reactive centers each')
+        else:
+            raise InputError(
+                'Bad input - could not set up an appropriate embed type '
+                '(too many structures specified?)')
+
+        if p:
+            if self.options.shrink:
+                for mol in self.objects:
+                    mol.scale_orbs(self.options.shrink_multiplier)
+                    set_pivots(mol, suprafacial=self.options.suprafacial)
+                self.options.only_refined = True
+
+            self.candidates = self._get_number_of_candidates()
+            _s = self.candidates or 'Many'
+            self.log(f'--> Setup performed correctly. {_s} candidates will '
+                     f'be generated.\n')
+
+    def _get_number_of_candidates(self):
+        '''Candidate-count prediction (reference embedder.py:781-826).'''
+        l = len(self.objects)
+        if l == 1:
+            return int(sum(len(self.objects[0].pivots[c])
+                           for c in range(self.objects[0].n_confs)))
+
+        if self.embed == 'string':
+            return int(self.options.rotation_steps * np.prod(
+                [sum(len(mol.get_r_atoms(c)[0].center)
+                     for c in range(mol.n_confs)) for mol in self.objects]))
+
+        if self.embed == 'multiembed':
+            return 0
+
+        candidates = 2 * len(self.systematic_angles) * np.prod(
+            [mol.n_confs for mol in self.objects])
+        if l == 3:
+            candidates *= 4
+
+        if self.pairings_table:
+            if self.embed == 'cyclical':
+                if len(self.objects) == 2:
+                    candidates /= 2
+                else:
+                    candidates /= 4 if len(self.pairings_table) == 1 else 8
+
+        candidates *= np.prod([len(mol.pivots[0]) for mol in self.objects])
+        return int(candidates)
+
+    def _set_embedder_structures_from_mol(self):
+        '''refine>/REFINE runs: input ensemble becomes the structures
+        (reference embedder.py:828-839).'''
+        self.structures = self.objects[0].atomcoords
+        self.atomnos = self.objects[0].atomnos
+        if self.pairings_table:
+            self.constrained_indices = np.array(
+                [list(self.pairings_table.values()) for _ in self.structures])
+        else:
+            self.constrained_indices = np.array(
+                [[] for _ in self.structures])
+        self.ids = None
+        self.energies = np.zeros(len(self.structures))
+        self.exit_status = np.ones(len(self.structures), dtype=bool)
+        self.embed_graph = get_sum_graph(
+            [graphize(self.structures[0], self.atomnos)],
+            self.constrained_indices[0])
+
+    # ---------------------------------------------------------- pairings
+
+    def pairing_ok_fn(self):
+        '''Callable(ids) testing that an arrangement carries every
+        user-imposed pairing (reference embeds.py:777).'''
+        if not self.pairings_table:
+            return None
+        table = {tuple(v) for v in self.pairings_table.values()}
+        internal = {tuple(sorted(pair)) for pair in
+                    (self.internal_constraints.tolist()
+                     if len(self.internal_constraints) else [])}
+
+        def ok(ids):
+            pairs = {tuple(sorted(pair)) for pair in ids}
+            return all(p in pairs or p in internal for p in table)
+        return ok
+
+    def get_pairing_dist_from_letter(self, letter):
+        '''Target distance for a pairing letter: imposed (DIST) or the sum
+        of the two orbital half-dimensions (reference embedder.py:939-971).'''
+        if letter in self.pairing_dists:
+            return self.pairing_dists[letter]
+
+        d = 0
+        try:
+            for i, mol in enumerate(self.objects):
+                r_index = self.pairings_dict[i].get(letter)
+                if r_index is None:
+                    continue
+                if isinstance(r_index, (int, np.integer)):
+                    d += mol.get_orbital_length(r_index)
+                else:
+                    return None  # internal constraint without imposed dist
+            return d if d > 0 else None
+        except Exception:
+            return None
+
+    def get_pairing_dists_from_constrained_indices(self, pair):
+        '''Target distance for a constrained cumulative-index pair.'''
+        try:
+            letter = next(
+                lett for lett, ids in self.pairings_table.items()
+                if (ids[0] == min(pair) and ids[1] == max(pair)))
+            return self.get_pairing_dist_from_letter(letter)
+        except StopIteration:
+            return None
+
+    # ------------------------------------------------------------- output
+
+    def write_structures(self, tag, indices=None, energies=True,
+                         relative=True, extra='', align='indices', p=True):
+        '''(reference embedder.py:996-1043)'''
+        if energies:
+            rel_e = self.energies
+            if relative:
+                rel_e = rel_e - np.min(self.energies)
+
+        if len(self.structures) > 10000 and not self.options.let:
+            self.log(f'Truncated {tag} output structures to 10000 (from '
+                     f'{len(self.structures)} - keyword LET to override).')
+            output_structures = self.structures[:10000]
+        else:
+            output_structures = self.structures
+
+        if align == 'moi':
+            aligned = align_by_moi(output_structures, self.atomnos)
+        else:
+            aligned = align_structures(output_structures, indices=indices)
+
+        self.outname = f'tscode_{tag}_{self.stamp}.xyz'
+        with open(self.outname, 'w') as f:
+            for i, structure in enumerate(aligned):
+                title = f'Structure {i + 1} - {tag}'
+                if energies:
+                    title += f' - Rel. E. = {round(rel_e[i], 3)} kcal/mol '
+                title += extra
+                write_xyz(structure, self.atomnos, f, title=title)
+
+        if p:
+            self.log(f'Wrote {len(output_structures)} {tag} structures to '
+                     f'{self.outname} file.\n')
+
+    def write_mol_info(self):
+        for mol in self.objects:
+            s = f'--> {mol.name}: {mol.n_confs} conformer' \
+                f'{"s" if mol.n_confs > 1 else ""}, {mol.n_atoms} atoms'
+            if len(mol.reactive_indices):
+                s += (f', reactive indices '
+                      f'{[int(i) for i in mol.reactive_indices]}')
+            self.log(s)
+        self.log()
+
+    def write_options(self):
+        self.log('--> Options:\n')
+        for line in repr(self.options).split('\n'):
+            self.log('    ' + line)
+        self.log()
+
+    def log_warnings(self):
+        for warning in self.warnings:
+            self.log(warning)
+
+    def normal_termination(self):
+        '''(reference embedder.py:1068-1096, minus the sys.exit)'''
+        clean_directory()
+        self.log(f'\n--> tscode_tpu normal termination: total time '
+                 f'{time_to_string(time.perf_counter() - self.t_start_run, verbose=True)}.')
+
+        if hasattr(self, 'structures') and len(getattr(self, "structures", [])) > 0 \
+                and hasattr(self, 'energies') and len(self.energies) > 0:
+            energies = self.energies[:10]
+            if np.max(energies - np.min(energies)) > 0:
+                self.log(f'\n--> Energies of output structures (first 10, '
+                         f'{self.options.theory_level}/'
+                         f'{self.options.calculator})\n')
+                self.log('> #                Rel. E.           RMSD')
+                self.log('-------------------------------------------')
+                for i, energy in enumerate(energies - energies[0]):
+                    if i == 0:
+                        rmsd_value = '(ref)'
+                    else:
+                        r, _ = rmsd_and_max(
+                            self.structures[i] - self.structures[i].mean(0),
+                            self.structures[0] - self.structures[0].mean(0))
+                        rmsd_value = f'{float(r):.2f} A'
+                    self.log(f'> Candidate {str(i + 1):2}  :  {energy:.2f} '
+                             f'kcal/mol  :  {rmsd_value}')
+        self.logfile.close()
+
+    def run(self):
+        '''Run the pipeline on a copy of this embedder's state.'''
+        try:
+            run = RunEmbedding(self)
+            run.run()
+            return run
+        except Exception as e:
+            logging.exception(e)
+            raise
+
+
+class RunEmbedding(Embedder):
+    '''Pipeline driver over array state (reference embedder.py:1098-2379).'''
+
+    # attributes masked together through the pruning stages
+    MASKABLE = ('structures', 'energies', 'constrained_indices', 'exit_status')
+
+    def __init__(self, embedder):
+        # copy non-callable state from the set-up embedder
+        for attr in dir(embedder):
+            if not attr.startswith('__') and attr != 'run':
+                value = getattr(embedder, attr)
+                if not callable(value) or isinstance(value, np.ndarray):
+                    setattr(self, attr, value)
+
+    def rel_energies(self):
+        return self.energies - np.min(self.energies)
+
+    def apply_mask(self, attributes, mask):
+        for attr in attributes:
+            if hasattr(self, attr):
+                value = getattr(self, attr)
+                if isinstance(value, np.ndarray) and len(value) == len(mask):
+                    setattr(self, attr, value[mask])
+
+    def zero_candidates_check(self):
+        if len(self.structures) == 0:
+            self.log_warnings()
+            raise ZeroCandidatesError()
+
+    # ---------------------------------------------------------- pipeline
+
+    def generate_candidates(self):
+        '''(reference embedder.py:1136-1177)'''
+        if self.embed == 'refine':
+            self.log('\n')
+            return
+
+        if self.embed == 'string':
+            structures, constrained = string_embed(
+                self.objects[0], self.objects[1], self.systematic_angles,
+                clash_thresh=self.options.clash_thresh, log=self.log)
+            self.structures = structures
+            self.constrained_indices = constrained
+
+        elif self.embed in ('cyclical', 'chelotropic'):
+            if len(self.objects) == 2 and self.options.rigid:
+                structures, constrained = cyclical_embed_bimol_rigid(
+                    self.objects[0], self.objects[1], self.systematic_angles,
+                    clash_thresh=self.options.clash_thresh,
+                    pairing_ok=self.pairing_ok_fn(), log=self.log)
+                self.structures = structures
+                self.constrained_indices = constrained
+            else:
+                raise NotImplementedError(
+                    'non-rigid / trimolecular cyclical embeds are not wired '
+                    'up yet — use RIGID for bimolecular runs')
+
+        elif self.embed == 'monomolecular':
+            raise NotImplementedError(
+                'monomolecular embed requires the bending subsystem '
+                '(not wired up yet)')
+
+        elif self.embed == 'multiembed':
+            from tscode_tpu.multiembed import multiembed_dispatcher
+            self.structures = multiembed_dispatcher(self)
+
+        else:
+            raise InputError(f'Embed type {self.embed!r} not recognized.')
+
+        self.atomnos = np.concatenate(
+            [mol.atomnos for mol in self.objects])
+
+        additional_bonds = self.constrained_indices[0]
+        if len(self.internal_constraints) > 0:
+            additional_bonds = np.concatenate(
+                (self.internal_constraints, additional_bonds))
+        self.embed_graph = get_sum_graph(self.graphs, additional_bonds)
+
+        self.log(f'Generated {len(self.structures)} transition state '
+                 f'candidates '
+                 f'({time_to_string(time.perf_counter() - self.t_start_run)})\n')
+
+        self.write_structures('embedded', energies=False)
+
+    def compenetration_refining(self):
+        '''(reference embedder.py:1230-1266)'''
+        if self.embed not in ('string', 'cyclical', 'monomolecular'):
+            self.log('--> Checking structures for compenetrations')
+            t_start = time.perf_counter()
+            pm = clash_ops.cross_fragment_pair_mask(tuple(self.ids))
+            mask = np.asarray(clash_ops.compenetration_mask(
+                jnp.asarray(self.structures), jnp.asarray(pm),
+                thresh=self.options.clash_thresh,
+                max_clashes=self.options.max_clashes))
+            self.apply_mask(('structures', 'constrained_indices'), mask)
+            t_end = time.perf_counter()
+
+            if False in mask:
+                self.log(f'Discarded {np.count_nonzero(~mask)} candidates '
+                         f'for compenetration ({np.count_nonzero(mask)} '
+                         f'left, {time_to_string(t_end - t_start)})')
+            else:
+                self.log(f'All {len(mask)} structures passed the '
+                         f'compenetration check')
+            self.log()
+            self.zero_candidates_check()
+
+        self.energies = np.full(len(self.structures), 1e10)
+        self.exit_status = np.zeros(len(self.structures), dtype=bool)
+
+    def fitness_refining(self, threshold=5, verbose=False):
+        '''(reference embedder.py:1268-1308): discard structures whose
+        summed absolute deviation from the imposed pairing distances
+        exceeds threshold.'''
+        if verbose:
+            self.log(' \n--> Fitness pruning - removing inaccurate structures')
+
+        mask = np.ones(len(self.structures), dtype=bool)
+        for s, (structure, constraints) in enumerate(
+                zip(self.structures, self.constrained_indices)):
+            error = 0.0
+            for pair in constraints:
+                target = self.get_pairing_dists_from_constrained_indices(pair)
+                if target is not None:
+                    d = np.linalg.norm(structure[pair[0]] - structure[pair[1]])
+                    error += abs(d - target)
+            mask[s] = error <= threshold
+
+        self.apply_mask(self.MASKABLE, mask)
+
+        if False in mask:
+            self.log(f'Discarded {np.count_nonzero(~mask)} candidates for '
+                     f'unfitness ({np.count_nonzero(mask)} left)')
+        elif verbose:
+            self.log('All candidates meet the imposed criteria.')
+        self.log()
+        self.zero_candidates_check()
+
+    def similarity_refining(self, tfd=True, moi=True, rmsd=True,
+                            verbose=False):
+        '''(reference embedder.py:1310-1388): TFD -> MOI(<=500) ->
+        RMSD(<=1e5) -> rot-corrected RMSD(<=500).'''
+        if verbose:
+            self.log('--> Similarity Processing')
+
+        before = len(self.structures)
+        attr = ('constrained_indices', 'energies', 'exit_status')
+
+        if (tfd and len(self.objects) > 1 and hasattr(self, 'embed_graph')
+                and self.embed_graph.is_single_molecule):
+            t_start = time.perf_counter()
+            quadruplets = get_quadruplets(self.embed_graph)
+            if len(quadruplets) > 0:
+                self.structures, mask = tfd_ops.prune_conformers_tfd(
+                    self.structures, quadruplets)
+                self.apply_mask(attr, mask)
+                if False in mask:
+                    self.log(f'Discarded {np.count_nonzero(~mask)} structures '
+                             f'for TFD similarity ({np.count_nonzero(mask)} '
+                             f'left, {time_to_string(time.perf_counter() - t_start)})')
+
+        if moi and len(self.structures) <= 500:
+            before3 = len(self.structures)
+            t_start = time.perf_counter()
+            self.structures, mask = moi_ops.prune_by_moment_of_inertia(
+                self.structures, self.atomnos)
+            self.apply_mask(attr, mask)
+            if before3 > len(self.structures):
+                self.log(f'Discarded {np.count_nonzero(~mask)} candidates '
+                         f'for MOI similarity ({np.count_nonzero(mask)} left, '
+                         f'{time_to_string(time.perf_counter() - t_start)})')
+
+        if rmsd and len(self.structures) <= 1e5:
+            before1 = len(self.structures)
+            t_start = time.perf_counter()
+            self.structures, mask = rmsd_ops.prune_conformers_rmsd(
+                self.structures, self.atomnos, rmsd_thr=self.options.rmsd)
+            self.apply_mask(attr, mask)
+            if before1 > len(self.structures):
+                self.log(f'Discarded {np.count_nonzero(~mask)} candidates '
+                         f'for RMSD similarity ({np.count_nonzero(mask)} '
+                         f'left, {time_to_string(time.perf_counter() - t_start)})')
+
+            # symmetry-corrected pass lands with the torsion module
+
+        if verbose and len(self.structures) == before:
+            self.log(f'All structures passed the similarity check.{" " * 15}')
+        self.log()
+
+    # ------------------------------------------------- optimization hooks
+
+    def force_field_refining(self, conv_thr='tight',
+                             only_fixed_constraints=False,
+                             prevent_scrambling=False):
+        from tscode_tpu.optimization import force_field_refine
+        force_field_refine(self, conv_thr=conv_thr,
+                           only_fixed_constraints=only_fixed_constraints,
+                           prevent_scrambling=prevent_scrambling)
+
+    def optimization_refining(self, conv_thr='tight', maxiter=None,
+                              only_fixed_constraints=False):
+        from tscode_tpu.optimization import optimization_refine
+        optimization_refine(self, conv_thr=conv_thr, maxiter=maxiter,
+                            only_fixed_constraints=only_fixed_constraints)
+
+    # --------------------------------------------------------------- run
+
+    def run(self):
+        '''(reference embedder.py:2244-2379)'''
+        self.write_mol_info()
+
+        if self.embed is None:
+            self.log('--> No embed requested, exiting.\n')
+            self.normal_termination()
+            return
+
+        if self.embed == 'error':
+            self.log('--> Embed type not recognized, exiting.\n')
+            self.normal_termination()
+            return
+
+        if self.embed == 'data':
+            self.data_termination()
+            return
+
+        if not self.options.let and \
+                self.embed in ('cyclical', 'chelotropic') and \
+                max(mol.n_confs for mol in self.objects) > 100 and \
+                not self.options.rigid:
+            self.options.rigid = True
+            self.log('--> Large embed: RIGID keyword added for efficiency '
+                     '(override with LET)')
+
+        self.write_options()
+
+        if self.options.dryrun:
+            self.log('\n--> Dry run requested: exiting.')
+            self.normal_termination()
+            return
+
+        try:
+            self.generate_candidates()
+
+            if self.options.bypass:
+                self.write_structures('unoptimized', energies=False)
+                self.normal_termination()
+                return
+
+            self.compenetration_refining()
+            self.similarity_refining(
+                rmsd=(self.embed == 'refine'), verbose=True)
+
+            if self.options.optimization:
+                if self.options.ff_opt:
+                    if len(self.objects) > 1 and self.options.ff_calc == 'XTB':
+                        self.force_field_refining(conv_thr='loose',
+                                                  prevent_scrambling=True)
+                    self.force_field_refining(conv_thr='loose')
+                    self.force_field_refining(conv_thr='tight',
+                                              only_fixed_constraints=True)
+
+                if not (self.options.ff_opt and
+                        self.options.theory_level == getattr(
+                            self.options, 'ff_level', None)):
+                    self.optimization_refining(conv_thr='loose')
+                    self.optimization_refining(conv_thr='tight',
+                                               only_fixed_constraints=True)
+            else:
+                self.write_structures('unoptimized', energies=False)
+
+        except ZeroCandidatesError:
+            t_end_run = time.perf_counter()
+            s = ('    Sorry, the program did not find any reasonable '
+                 'embedded structure. Are you sure the input indices and '
+                 'pairings were correct? If so, try these tips:\n'
+                 '    - If no structure passes the compenetration check, '
+                 'the SHRINK keyword may help (see documentation).\n'
+                 '    - Similarly, enlarging the spacing between atom pairs '
+                 'with the DIST keyword facilitates the embed.\n'
+                 '    - If no structure passes the fitness check, try adding '
+                 'a solvent with the SOLVENT keyword.\n'
+                 '    - Impose less strict compenetration rejection criteria '
+                 'with the CLASHES keyword.\n'
+                 '    - Generate more structures with higher STEPS and '
+                 'ROTRANGE values.\n')
+            self.log(f'\n--> Program termination: No candidates found - '
+                     f'Total time '
+                     f'{time_to_string(t_end_run - self.t_start_run)}')
+            self.log(s)
+            self.logfile.close()
+            clean_directory()
+            return
+
+        if self.options.saddle:
+            from tscode_tpu.optimization import saddle_refine
+            saddle_refine(self)
+
+        if self.options.nci and self.options.optimization:
+            from tscode_tpu.nci import print_nci
+            print_nci(self)
+
+        self.log_warnings()
+        self.normal_termination()
+
+    def data_termination(self):
+        '''pka>/scan> runs show data instead of embedding
+        (reference embedder.py:2381-2393).'''
+        self.log('--> Data run (pka>/scan>) complete.\n')
+        self.normal_termination()

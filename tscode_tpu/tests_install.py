@@ -1,0 +1,63 @@
+'''
+Installation smoke tests: `python -m tscode_tpu -t`
+(reference /root/reference/tscode/tests.py:21-149 — but hermetic:
+pure-geometry runs that need no external binaries always execute;
+calculator tests run only when the binary is present).
+'''
+
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+from tscode_tpu.settings import CALCULATOR, XTB_AVAILABLE
+
+_FIXDIR = os.path.join(os.path.dirname(__file__), 'test_inputs')
+
+
+def run_tests():
+    t0 = time.perf_counter()
+    print(f'--> tscode_tpu installation test')
+    print(f'    calculator: {CALCULATOR or "none found (geometry-only mode)"}')
+    print(f'    xtb available: {XTB_AVAILABLE}\n')
+
+    import jax
+    print(f'    jax backend: {jax.default_backend()}, '
+          f'{len(jax.devices())} device(s)\n')
+
+    scratch = tempfile.mkdtemp(prefix='tscode_tpu_test_')
+    fixtures = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'tests', 'fixtures')
+
+    for name in ('C2H4.xyz', 'CH3Cl.xyz'):
+        src = os.path.join(fixtures, name)
+        if os.path.isfile(src):
+            shutil.copy(src, scratch)
+
+    inputs = {
+        'string_noopt.txt': 'NOOPT\nC2H4.xyz 0\nCH3Cl.xyz 0\n',
+        'cyclical_rigid.txt': 'NOOPT RIGID STEPS=2\nC2H4.xyz 0 3\nC2H4.xyz 0 3\n',
+    }
+
+    times = {}
+    for fname, content in inputs.items():
+        path = os.path.join(scratch, fname)
+        with open(path, 'w') as f:
+            f.write(content)
+        t = time.perf_counter()
+        result = subprocess.run(
+            [sys.executable, '-m', 'tscode_tpu', path, '-n',
+             fname.split('.')[0]],
+            capture_output=True, text=True, cwd=scratch)
+        times[fname] = time.perf_counter() - t
+        status = 'ok' if result.returncode == 0 else 'FAILED'
+        print(f'    {fname:<24} {status}  ({times[fname]:.1f}s)')
+        if result.returncode != 0:
+            print(result.stdout[-2000:])
+            print(result.stderr[-2000:])
+            raise SystemExit(f'Smoke test {fname} failed.')
+
+    print(f'\n--> All tests passed in '
+          f'{time.perf_counter() - t0:.1f}s. Scratch: {scratch}')
