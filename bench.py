@@ -1,0 +1,252 @@
+#!/usr/bin/env python
+'''
+Headline benchmark: poses/sec through the embed + clash + RMSD-prune
+pipeline on a ~100k-pose string-embed workload (BASELINE.md target:
+>= 50x the CPU reference on one chip).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "poses/sec", "vs_baseline": N}
+
+Design notes:
+ * the whole pipeline is DEVICE-RESIDENT — one embed+clash program over
+   the full grid (indices decoded on device), on-device survivor
+   compaction, and the device-resident bucketed RMSD pruner
+   (ops/rmsd_prune.prune_conformers_rmsd_device). Only per-pass scalar
+   active counts cross the host boundary, which matters both for real
+   deployments and for this environment's high-latency device link.
+ * the CPU baseline is the sequential numpy/LAPACK oracle (the
+   reference's own Numba kernels cannot run here — numba is absent —
+   so the oracle implements the identical formulas; tests/oracles.py).
+   Measured on a subsample on first run, cached in-repo.
+'''
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_CONFS = 38          # tiled noisy conformers per molecule
+N_ANGLES = 36
+NOISE = 0.15          # A of per-conformer jitter: keeps the ensemble diverse
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              '.bench_cpu_baseline.json')
+BASE_SAMPLE = 720     # poses measured for the CPU baseline
+
+
+def build_workload():
+    '''Two fixture molecules tiled to N_CONFS noisy conformers each ->
+    a 38*38*2*36 = 103,968-pose string grid.'''
+    from tscode_tpu.molecule import Molecule
+
+    fixdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          'tests', 'fixtures')
+    rng = np.random.default_rng(2026)
+
+    mols = []
+    for name, r_idx in (('C2H4.xyz', [0]), ('CH3Cl.xyz', [0])):
+        mol = Molecule(os.path.join(fixdir, name), reactive_indices=r_idx)
+        base = mol.atomcoords[0]
+        noisy = base[None] + rng.normal(size=(N_CONFS,) + base.shape) * NOISE
+        mol.atomcoords = noisy
+        mol.compute_orbitals()
+        mols.append(mol)
+    return mols
+
+
+@functools.partial(__import__('jax').jit, static_argnames=('n_angles',))
+def _embed_clash_all(coords1, coords2, centers1, vecs1, centers2, vecs2,
+                     pair_mask, angles, n_angles):
+    '''Whole-grid string embed + clash screen in ONE device program.
+    Grid indices are decoded on device from a flat arange — no index
+    transfers. Returns (poses, clash_ok), both device-resident.'''
+    import jax.numpy as jnp
+    from tscode_tpu.ops.linalg import (rot_mat_from_pointer,
+                                       rotation_matrix_from_vectors)
+
+    n1c, k1 = centers1.shape[0], centers1.shape[1]
+    n2c, k2 = centers2.shape[0], centers2.shape[1]
+    B = n1c * n2c * k1 * k2 * n_angles
+
+    r = jnp.arange(B, dtype=jnp.int32)
+    ai = r % n_angles
+    rest = r // n_angles
+    l1 = rest % k1
+    rest = rest // k1
+    l2 = rest % k2
+    rest = rest // k2
+    c1 = rest % n1c
+    c2 = rest // n1c
+
+    p1 = centers1[c1, l1]
+    p2 = centers2[c2, l2]
+    ref_vec = vecs1[c1, l1]
+    mol_vec = vecs2[c2, l2]
+
+    align = rotation_matrix_from_vectors(mol_vec, -ref_vec)
+    spin = rot_mat_from_pointer(ref_vec, angles[ai])
+    R = jnp.einsum('bij,bjk->bik', spin, align)
+    t = p1 - jnp.einsum('bij,bj->bi', R, p2)
+
+    f1 = coords1[c1]
+    f2 = jnp.einsum('bij,bnj->bni', R, coords2[c2]) + t[:, None, :]
+    poses = jnp.concatenate([f1, f2], axis=1)
+
+    a2 = jnp.sum(poses * poses, axis=-1)
+    ab = jnp.einsum('bni,bmi->bnm', poses, poses)
+    d2 = jnp.maximum(a2[:, :, None] + a2[:, None, :] - 2.0 * ab, 0.0)
+    clash_ok = jnp.sum((d2 < 1.5 * 1.5) & pair_mask, axis=(-2, -1)) <= 0
+    return poses, clash_ok
+
+
+def run_device_pipeline(mol1, mol2):
+    '''Embed + clash + RMSD-prune, device-resident. Returns
+    (n_poses, seconds, n_clash_ok, n_final).'''
+    import jax
+    import jax.numpy as jnp
+
+    from tscode_tpu.embeds.common import stacked_lobes
+    from tscode_tpu.ops.clash import cross_fragment_pair_mask
+    from tscode_tpu.ops.rmsd_prune import prune_conformers_rmsd_device
+
+    ids = (mol1.n_atoms, mol2.n_atoms)
+    atomnos = np.concatenate([mol1.atomnos, mol2.atomnos])
+    heavy = np.nonzero(atomnos != 1)[0]
+
+    centers1, vecs1 = stacked_lobes(mol1)
+    centers2, vecs2 = stacked_lobes(mol2)
+    angles = np.linspace(0.0, 360.0 - 360.0 / N_ANGLES, N_ANGLES)
+
+    args = (jnp.asarray(mol1.atomcoords), jnp.asarray(mol2.atomcoords),
+            jnp.asarray(centers1), jnp.asarray(vecs1),
+            jnp.asarray(centers2), jnp.asarray(vecs2),
+            jnp.asarray(cross_fragment_pair_mask(ids)),
+            jnp.asarray(angles))
+
+    verbose = os.environ.get('TSCODE_BENCH_VERBOSE') == '1'
+
+    def vlog(msg):
+        if verbose:
+            print(f'[bench] {msg} (t={time.perf_counter() - t_init:.1f}s)',
+                  file=sys.stderr)
+
+    t_init = time.perf_counter()
+    # warmup compile of the embed program
+    poses, ok = _embed_clash_all(*args, n_angles=N_ANGLES)
+    poses.block_until_ready()
+    B = poses.shape[0]
+    vlog(f'embed program compiled, B={B}')
+
+    t0 = time.perf_counter()
+    poses, ok = _embed_clash_all(*args, n_angles=N_ANGLES)
+    n_ok = int(jnp.sum(ok))                       # scalar sync
+    vlog(f'embed+clash done, {n_ok} clash-ok')
+
+    # device-side survivor compaction (generation order preserved)
+    idx = jnp.nonzero(ok, size=n_ok)[0]
+    heavy_survivors = poses[idx][:, jnp.asarray(heavy)]
+
+    keep = prune_conformers_rmsd_device(heavy_survivors, rmsd_thr=0.5)
+    n_final = int(jnp.sum(keep))                  # scalar sync
+    elapsed = time.perf_counter() - t0
+    vlog(f'prune done, {n_final} final')
+
+    return B, elapsed, n_ok, n_final
+
+
+def run_cpu_baseline(mol1, mol2, n_sample=BASE_SAMPLE):
+    '''Sequential numpy oracle on a subsample; returns (n, seconds).'''
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), 'tests'))
+    import oracles
+
+    ids = np.array([mol1.n_atoms, mol2.n_atoms])
+    atomnos = np.concatenate([mol1.atomnos, mol2.atomnos])
+    heavy = atomnos != 1
+
+    angles = np.linspace(0.0, 360.0 - 360.0 / N_ANGLES, N_ANGLES)
+    k1 = len(mol1.get_r_atoms(0)[0].center)
+    k2 = len(mol2.get_r_atoms(0)[0].center)
+
+    t0 = time.perf_counter()
+    poses = []
+    n_done = 0
+    for c1 in range(mol1.n_confs):
+        for c2 in range(mol2.n_confs):
+            for ai1 in range(k1):
+                for ai2 in range(k2):
+                    for angle in angles:
+                        if n_done >= n_sample:
+                            break
+                        ra1 = mol1.get_r_atoms(c1)[0]
+                        ra2 = mol2.get_r_atoms(c2)[0]
+                        rot = oracles.rotation_matrix_from_vectors(
+                            ra2.orb_vecs[ai2], -ra1.orb_vecs[ai1])
+                        if angle != 0:
+                            rot = oracles.rot_mat_from_pointer(
+                                ra1.orb_vecs[ai1], angle) @ rot
+                        pos = ra1.center[ai1] - rot @ ra2.center[ai2]
+                        pose = np.concatenate([
+                            mol1.atomcoords[c1],
+                            (rot @ mol2.atomcoords[c2].T).T + pos])
+                        if oracles.compenetration_check(pose, ids=ids):
+                            poses.append(pose)
+                        n_done += 1
+    # sequential all-pairs prune with the reference accept rule
+    hs = np.array([p[heavy] for p in poses])
+    mask = np.ones(len(hs), dtype=bool)
+    for i in range(len(hs)):
+        if not mask[i]:
+            continue
+        for j in range(i + 1, len(hs)):
+            if mask[j]:
+                r, md = oracles.rmsd_and_max(hs[i].copy(), hs[j].copy())
+                if r < 0.5 and md < 1.0:
+                    mask[i] = False
+                    break
+    elapsed = time.perf_counter() - t0
+    return n_done, elapsed
+
+
+def main():
+    from tscode_tpu.backend import ensure_backend
+    backend = ensure_backend(quiet=True)
+
+    mols = build_workload()
+
+    total, elapsed, n_ok, n_final = run_device_pipeline(*mols)
+    device_rate = total / elapsed
+
+    key = f'string-{N_CONFS}x{N_CONFS}x{N_ANGLES}-n{NOISE}-s{BASE_SAMPLE}'
+    baseline_rate = None
+    if os.path.isfile(BASELINE_CACHE):
+        try:
+            cached = json.load(open(BASELINE_CACHE))
+            if cached.get('key') == key:
+                baseline_rate = cached['rate']
+        except Exception:
+            pass
+    if baseline_rate is None:
+        n_base, t_base = run_cpu_baseline(*mols)
+        baseline_rate = n_base / t_base
+        with open(BASELINE_CACHE, 'w') as f:
+            json.dump({'key': key, 'rate': baseline_rate,
+                       'n': n_base, 'seconds': t_base}, f)
+
+    result = {
+        'metric': (f'poses/sec through embed+clash+RMSD-prune '
+                   f'({total} poses, backend={backend}, '
+                   f'{n_ok} clash-ok, {n_final} final)'),
+        'value': round(device_rate, 1),
+        'unit': 'poses/sec',
+        'vs_baseline': round(device_rate / baseline_rate, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

@@ -198,6 +198,183 @@ def test_cyclical_embed_vs_oracle():
     np.testing.assert_array_equal(got_ids, want_ids)
 
 
+# ------------------------------------------------------------- trimolecular
+
+def _trimol_oracle(mols, systematic_angles, clash_thresh=1.5):
+    '''Sequential replication of the reference's rigid trimolecular
+    cyclical embed (embeds.py:453-732) incl. _get_directions and
+    _adjust_directions (:244-451).'''
+    from tscode_tpu.embeds.cyclical import _get_directions
+    offsets = (0, mols[0].n_atoms, mols[0].n_atoms + mols[1].n_atoms)
+    ids = np.array([m.n_atoms for m in mols])
+
+    def adjust(directions, constrained, triangle_vectors, pivots, conf_ids,
+               norms):
+        p_vecs = [end - start for start, end in triangle_vectors]
+        p_means = [(end + start) / 2 for start, end in triangle_vectors]
+
+        verts = np.zeros((3, 2))
+        verts[1] = [norms[0], 0]
+        a, b, c = norms[0] ** 2, norms[1] ** 2, norms[2] ** 2
+        x = (a - b + c) / (2 * a ** 0.5)
+        verts[2] = [x, (c - x ** 2) ** 0.5]
+        v0, v1, v2 = [np.concatenate([v, [0.]]) for v in verts]
+
+        rots, poss = [], []
+        for i in range(3):
+            start, end = triangle_vectors[i]
+            rc = mols[i].atomcoords[conf_ids[i]][mols[i].reactive_indices]
+            md = pivots[i].meanpoint - rc.mean(axis=0)
+            if np.all(md == 0.):
+                md = pivots[i].meanpoint
+            Ra = oracles.align_vec_pair(
+                np.array([end - start, directions[i]]),
+                np.array([pivots[i].pivot, md]))
+            rots.append(Ra)
+            poss.append((start + end) / 2 - Ra @ pivots[i].meanpoint)
+
+        r = np.zeros((3, 3), dtype=int)
+        for pair in constrained:
+            sides = []
+            for cum in pair:
+                m = 2 if cum >= offsets[2] else (1 if cum >= offsets[1] else 0)
+                sides.append((m, cum - offsets[m]))
+            (m1, i1), (m2, i2) = sides
+            r[m1, m2] = i1
+            r[m2, m1] = i2
+
+        a01 = rots[0] @ mols[0].atomcoords[0][r[0, 1]] + poss[0]
+        a02 = rots[0] @ mols[0].atomcoords[0][r[0, 2]] + poss[0]
+        a10 = rots[1] @ mols[1].atomcoords[0][r[1, 0]] + poss[1]
+        a12 = rots[1] @ mols[1].atomcoords[0][r[1, 2]] + poss[1]
+        a20 = rots[2] @ mols[2].atomcoords[0][r[2, 0]] + poss[2]
+        a21 = rots[2] @ mols[2].atomcoords[0][r[2, 1]] + poss[2]
+
+        def vec_angle(u, w):
+            cosv = np.clip(u @ w / np.linalg.norm(u) / np.linalg.norm(w),
+                           -1, 1)
+            return np.degrees(np.arccos(cosv))
+
+        steps, arange_ = 6, 30
+        grid = cartesian_product(*[np.arange(steps + 1)] * 3) \
+            * (2 * arange_ / steps) - arange_
+        best = None
+        for angles in grid:
+            r0 = oracles.rot_mat_from_pointer(p_vecs[0], angles[0])
+            na01, na02 = r0 @ a01, r0 @ a02
+            d0 = p_means[0] - (na01 + na02) / 2
+            r1_ = oracles.rot_mat_from_pointer(p_vecs[1], angles[1])
+            na10, na12 = r1_ @ a10, r1_ @ a12
+            d1 = p_means[1] - (na10 + na12) / 2
+            r2_ = oracles.rot_mat_from_pointer(p_vecs[2], angles[2])
+            na20, na21 = r2_ @ a20, r2_ @ a21
+            d2 = p_means[2] - (na20 + na21) / 2
+            cost = (vec_angle(v0 - na02, na20 - v0)
+                    + vec_angle(v1 - na01, na10 - v1)
+                    + vec_angle(v2 - na21, na12 - v2))
+            if best is None or cost < best[0]:
+                best = (cost, np.array([d0, d1, d2]))
+        return best[1]
+
+    conf_idx = cartesian_product(*[np.arange(m.n_confs) for m in mols])
+    poses, all_ids = [], []
+    for conf_ids in conf_idx:
+        piv_idx = cartesian_product(*[np.arange(len(m.pivots[conf_ids[i]]))
+                                      for i, m in enumerate(mols)])
+        for pi in piv_idx:
+            pivots = [mols[m].pivots[conf_ids[m]][pi[m]] for m in range(3)]
+            norms = np.array([np.linalg.norm(p.pivot) for p in pivots])
+            if not all(norms[i] < norms[i - 1] + norms[i - 2]
+                       for i in (0, 1, 2)):
+                continue
+            polygon_vectors = polygonize(norms)
+            directions0 = _get_directions(norms)
+
+            for v, vecs in enumerate(polygon_vectors):
+                swaps = [(0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1),
+                         (1, 0, 0), (1, 1, 0), (1, 0, 1), (1, 1, 1)]
+                cums = []
+                for m, p in enumerate(pivots):
+                    pair = [p.start_atom.index + offsets[m],
+                            p.end_atom.index + offsets[m]]
+                    if swaps[v][m]:
+                        pair = list(reversed(pair))
+                    cums.append(pair)
+                arr_ids = [sorted([cums[0][1], cums[1][0]]),
+                           sorted([cums[1][1], cums[2][0]]),
+                           sorted([cums[2][1], cums[0][0]])]
+
+                directions = adjust(directions0, arr_ids, vecs, pivots,
+                                    conf_ids, norms)
+
+                angular_poses = []
+                for angles in systematic_angles:
+                    rots, positions = [], []
+                    for i in range(3):
+                        start, end = vecs[i]
+                        rc = mols[i].atomcoords[conf_ids[i]][mols[i].reactive_indices]
+                        apm = rc.mean(axis=0)
+                        md = pivots[i].meanpoint - apm
+                        if np.all(md == 0.):
+                            md = pivots[i].meanpoint
+                        ra = oracles.align_vec_pair(
+                            np.array([end - start, directions[i]]),
+                            np.array([pivots[i].pivot, md]))
+                        axis = ra @ (rc[0] - rc[1]) if len(rc) == 2 \
+                            else ra @ pivots[i].pivot
+                        rs = oracles.rot_mat_from_pointer(axis, angles[i])
+                        cor = ra @ apm
+                        rots.append(rs @ ra)
+                        positions.append(cor - rs @ cor
+                                         + ((start + end) / 2
+                                            - ra @ pivots[i].meanpoint))
+
+                    pose = np.concatenate([
+                        (rots[m] @ mols[m].atomcoords[conf_ids[m]].T).T
+                        + positions[m] for m in range(3)])
+
+                    if oracles.compenetration_check(pose, ids=ids,
+                                                    thresh=clash_thresh):
+                        similar = False
+                        for ap in angular_poses:
+                            r_, md_ = oracles.rmsd_and_max(pose.copy(),
+                                                           ap.copy())
+                            if r_ < 1.0 and md_ < 2.0:
+                                similar = True
+                                break
+                        if not similar:
+                            poses.append(pose)
+                            angular_poses.append(pose)
+                            all_ids.append(arr_ids)
+    return np.array(poses), np.array(all_ids)
+
+
+def test_cyclical_trimol_vs_oracle():
+    from tscode_tpu.embeds.cyclical import cyclical_embed_trimol_rigid
+    g = np.random.default_rng(17)
+    mols = []
+    for _ in range(3):
+        m = Molecule(fix('C2H4.xyz'), reactive_indices=[0, 3])
+        # perturb: three identical symmetric molecules produce EXACT cost
+        # ties in the direction-adjustment grid, making the winner
+        # implementation-defined; generic geometry restores determinism
+        m.atomcoords = m.atomcoords + g.normal(size=m.atomcoords.shape) * 0.02
+        m.compute_orbitals()
+        m.scale_orbs(2.5)          # enlarge the triangle so poses fit
+        set_pivots(m, suprafacial=True)
+        mols.append(m)
+    assert len(mols[0].pivots[0]) == 2
+
+    angles = _angle_grid(1, 45, n_mols=3)      # 8 angle triples
+    got, got_ids = cyclical_embed_trimol_rigid(
+        mols, angles, log=lambda *a, **k: None)
+    want, want_ids = _trimol_oracle(mols, angles)
+
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    np.testing.assert_array_equal(got_ids, want_ids)
+
+
 def test_cyclical_suprafacial_filter():
     mol = Molecule(fix('C2H4.xyz'), reactive_indices=[0, 3])
     mol.compute_orbitals()

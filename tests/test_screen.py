@@ -210,6 +210,63 @@ def test_rmsd_prune_multipass():
     np.testing.assert_array_equal(got, want)
 
 
+def test_rmsd_prune_many_pass_batched():
+    # n large enough to trigger several k passes and the batched
+    # small-chunk device path (k up to 14 chunks of ~21)
+    structures, atomnos = _clustered_ensemble(300, seed=11)
+    _, got = rmsd_prune.prune_conformers_rmsd(structures, atomnos, rmsd_thr=0.5)
+    want = _oracle_prune_rmsd(structures, atomnos, rmsd_thr=0.5)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_rmsd_prune_device_resident_matches_host():
+    import jax.numpy as jnp
+    for n, seed in ((60, 9), (300, 11)):
+        structures, atomnos = _clustered_ensemble(n, seed=seed)
+        _, want = rmsd_prune.prune_conformers_rmsd(structures, atomnos,
+                                                   rmsd_thr=0.5)
+        heavy = atomnos != 1
+        got = np.asarray(rmsd_prune.prune_conformers_rmsd_device(
+            jnp.asarray(structures[:, heavy]), rmsd_thr=0.5))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_rmsd_prune_device_resident_init_mask():
+    import jax.numpy as jnp
+    structures, atomnos = _clustered_ensemble(40, seed=3)
+    heavy = atomnos != 1
+    init = np.ones(40, dtype=bool)
+    init[5:15] = False
+    got = np.asarray(rmsd_prune.prune_conformers_rmsd_device(
+        jnp.asarray(structures[:, heavy]), rmsd_thr=0.5, init_mask=init))
+    # dead-on-entry structures stay dead
+    assert not got[5:15].any()
+    # live part matches the host pruner applied with the same liveness:
+    # oracle with pass-start mask honoring init
+    hs = structures[:, heavy]
+    mask = init.copy()
+    for k in rmsd_prune.K_SCHEDULE:
+        active = int(np.count_nonzero(mask))
+        if not (k == 1 or 20 * k < active):
+            continue
+        chunksize = int(40 // k)
+        new = mask.copy()
+        for chunk in range(int(k)):
+            first = chunk * chunksize
+            last = 40 if chunk == k - 1 else chunksize * (chunk + 1)
+            for i in range(first, last):
+                if not mask[i]:
+                    continue
+                for j in range(i + 1, last):
+                    if mask[j]:
+                        r, md = oracles.rmsd_and_max(hs[i].copy(), hs[j].copy())
+                        if r < 0.5 and md < 1.0:
+                            new[i] = False
+                            break
+        mask = new
+    np.testing.assert_array_equal(got, mask)
+
+
 def test_rmsd_similarity_sequential():
     structures, _ = _clustered_ensemble(10)
     ref = structures[0]

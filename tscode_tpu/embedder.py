@@ -736,17 +736,8 @@ class RunEmbedding(Embedder):
             self.constrained_indices = constrained
 
         elif self.embed in ('cyclical', 'chelotropic'):
-            if len(self.objects) == 2 and self.options.rigid:
-                structures, constrained = cyclical_embed_bimol_rigid(
-                    self.objects[0], self.objects[1], self.systematic_angles,
-                    clash_thresh=self.options.clash_thresh,
-                    pairing_ok=self.pairing_ok_fn(), log=self.log)
-                self.structures = structures
-                self.constrained_indices = constrained
-            else:
-                raise NotImplementedError(
-                    'non-rigid / trimolecular cyclical embeds are not wired '
-                    'up yet — use RIGID for bimolecular runs')
+            from tscode_tpu.embeds.cyclical import cyclical_embed
+            self.structures = cyclical_embed(self)
 
         elif self.embed == 'monomolecular':
             raise NotImplementedError(

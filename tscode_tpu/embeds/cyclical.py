@@ -253,10 +253,368 @@ def cyclical_embed_bimol_rigid(mol1, mol2, systematic_angles,
     return np.concatenate(poses_out), np.array(cons_out)
 
 
+def _get_directions(norms):
+    '''Facing directions for 2 or 3 molecules: toward the polygon center,
+    via the triangle circumcenter with obtuse-angle sign fixes
+    (reference embeds.py:244-312).'''
+    norms = np.array(norms, dtype=float)
+    if len(norms) == 2:
+        return np.array([[0., 1., 0.], [0., -1., 0.]])
+
+    vertices = np.zeros((3, 2))
+    vertices[1] = np.array([norms[0], 0])
+    a, b, c = norms[0] ** 2, norms[1] ** 2, norms[2] ** 2
+    x = (a - b + c) / (2 * a ** 0.5)
+    y = (c - x ** 2) ** 0.5
+    vertices[2] = np.array([x, y])
+
+    a = vertices[1, 0]
+    b = vertices[2, 0]
+    c = vertices[2, 1]
+    cc = np.array([a / 2, (b ** 2 + c ** 2 - a * b) / (2 * c)])
+
+    v0, v1, v2 = vertices
+    dirs = [cc - (v0 + v1) / 2, cc - (v1 + v2) / 2, cc - (v2 + v0) / 2]
+
+    if any(np.all(d == 0) for d in dirs):
+        # right triangle: perturb to avoid a zero direction
+        norms = norms.copy()
+        norms[0] += 1e-5
+        return _get_directions(norms)
+
+    def _ang(u, w):
+        cosv = np.clip(u @ w / np.linalg.norm(u) / np.linalg.norm(w), -1, 1)
+        return np.degrees(np.arccos(cosv))
+
+    obtuse = [_ang(v1 - v0, v2 - v0) > 90,
+              _ang(v0 - v1, v2 - v1) > 90,
+              _ang(v0 - v2, v1 - v2) > 90]
+    # circumcenter falls outside the triangle when an angle is obtuse
+    if obtuse[2]:
+        dirs[0] = -dirs[0]
+    if obtuse[0]:
+        dirs[1] = -dirs[1]
+    if obtuse[1]:
+        dirs[2] = -dirs[2]
+
+    out = np.zeros((3, 3))
+    for i, d in enumerate(dirs):
+        d3 = np.concatenate([d, [0.]])
+        out[i] = d3 / np.linalg.norm(d3)
+    return out
+
+
+_ADJ_STEPS = 6
+_ADJ_RANGE = 30
+
+
+@jax.jit
+def _adjust_directions_batch(p_axes, p_means, a_pts, verts, angle_grid):
+    '''
+    Batched trimolecular pre-alignment correction
+    (reference _adjust_directions, embeds.py:314-451): for each block,
+    scan a 7^3 per-molecule rotation grid about the triangle sides and
+    pick the angle triple minimizing the orbital misalignment cost; the
+    returned "directions" are the side-midpoint-to-reactive-atom-mean
+    displacement vectors of the winner.
+    p_axes (B, 3, 3): side vectors p0/p1/p2
+    p_means (B, 3, 3): side midpoints
+    a_pts (B, 6, 3): embedded reactive-atom positions a01,a02,a10,a12,a20,a21
+    verts (B, 3, 3): triangle vertices v0,v1,v2
+    angle_grid (A, 3): the 343 angle triples
+    Returns (B, 3, 3) directions.
+    '''
+    A = angle_grid.shape[0]
+
+    # rotation matrices per (block, angle, mol): rotate about p_axes[m]
+    R = rot_mat_from_pointer(p_axes[:, None, :, :], angle_grid[None, :, :])
+
+    a01, a02 = a_pts[:, 0], a_pts[:, 1]
+    a10, a12 = a_pts[:, 2], a_pts[:, 3]
+    a20, a21 = a_pts[:, 4], a_pts[:, 5]
+
+    def rot(m, pt):
+        return jnp.einsum('baij,bj->bai', R[:, :, m], pt)
+
+    new_a01, new_a02 = rot(0, a01), rot(0, a02)
+    new_a10, new_a12 = rot(1, a10), rot(1, a12)
+    new_a20, new_a21 = rot(2, a20), rot(2, a21)
+
+    d0 = p_means[:, None, 0] - (new_a01 + new_a02) / 2
+    d1 = p_means[:, None, 1] - (new_a10 + new_a12) / 2
+    d2 = p_means[:, None, 2] - (new_a20 + new_a21) / 2
+
+    def ang(u, w):
+        cosv = jnp.sum(u * w, axis=-1) / jnp.maximum(
+            jnp.linalg.norm(u, axis=-1) * jnp.linalg.norm(w, axis=-1), 1e-30)
+        return jnp.degrees(jnp.arccos(jnp.clip(cosv, -1.0, 1.0)))
+
+    v0 = verts[:, None, 0]
+    v1 = verts[:, None, 1]
+    v2 = verts[:, None, 2]
+    cost = (ang(v0 - new_a02, new_a20 - v0)
+            + ang(v1 - new_a01, new_a10 - v1)
+            + ang(v2 - new_a21, new_a12 - v2))            # (B, A)
+
+    best = jnp.argmin(cost, axis=1)                        # (B,)
+    take = lambda d: jnp.take_along_axis(
+        d, best[:, None, None], axis=1)[:, 0]
+    return jnp.stack([take(d0), take(d1), take(d2)], axis=1)
+
+
+def _cyclical_ids_trimol(pivots, orientation, offsets):
+    '''Constrained couples for a 3-molecule arrangement
+    (reference embeds.py:885-898), sorted per couple.'''
+    swaps = [(0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1),
+             (1, 0, 0), (1, 1, 0), (1, 0, 1), (1, 1, 1)]
+    cums = []
+    for m, p in enumerate(pivots):
+        ids = [p.start_atom.index + offsets[m], p.end_atom.index + offsets[m]]
+        if swaps[orientation][m]:
+            ids = list(reversed(ids))
+        cums.append(ids)
+    couples = [[cums[0][1], cums[1][0]],
+               [cums[1][1], cums[2][0]],
+               [cums[2][1], cums[0][0]]]
+    return [sorted(c) for c in couples]
+
+
+def cyclical_embed_trimol_rigid(mols, systematic_angles, clash_thresh=1.5,
+                                pairing_ok=None, log=print, block_chunk=8):
+    '''
+    Rigid trimolecular cyclical embed: triangle construction from pivot
+    norms, 8 oriented triangles, device-batched direction adjustment,
+    then the same batched alignment/angle expansion as the bimolecular
+    path (reference embeds.py:453-732, rigid branches).
+    '''
+    offsets = (0, mols[0].n_atoms, mols[0].n_atoms + mols[1].n_atoms)
+    ids = tuple(m.n_atoms for m in mols)
+    angles = np.asarray(systematic_angles, dtype=float)
+    A = len(angles)
+
+    # ---------------- host: enumerate blocks --------------------------
+    blocks = []
+    # numpy meshgrid 'xy' ordering for THREE arrays: the 3rd index varies
+    # fastest, the 1st next, the 2nd slowest — this is the reference's
+    # cartesian_product iteration order (utils.py:180-181), which the
+    # order-dependent dedups make observable
+    conf_triples = [(i1, i2, i3)
+                    for i2 in range(mols[1].n_confs)
+                    for i1 in range(mols[0].n_confs)
+                    for i3 in range(mols[2].n_confs)]
+    for conf_ids in conf_triples:
+        piv_lists = [m.pivots[conf_ids[i]] for i, m in enumerate(mols)]
+        piv_triples = [(q1, q2, q3)
+                       for q2 in range(len(piv_lists[1]))
+                       for q1 in range(len(piv_lists[0]))
+                       for q3 in range(len(piv_lists[2]))]
+        for qi in piv_triples:
+            pivots = [piv_lists[m][qi[m]] for m in range(3)]
+            norms = np.array([np.linalg.norm(p.pivot) for p in pivots])
+            if not all(norms[i] < norms[i - 1] + norms[i - 2]
+                       for i in (0, 1, 2)):
+                continue    # impossible triangle (bending needs a calculator)
+            polygon = polygonize(norms)             # (8, 3, 2, 3)
+            directions0 = _get_directions(norms)
+            for v in range(8):
+                arr_ids = _cyclical_ids_trimol(pivots, v, offsets)
+                if pairing_ok is not None and not pairing_ok(arr_ids):
+                    continue
+                blocks.append((conf_ids, pivots, norms, v, polygon[v],
+                               directions0, arr_ids))
+
+    if not blocks:
+        raise ZeroCandidatesError(
+            '--> Cyclical embed did not find any suitable disposition of '
+            'molecules (no valid pivot triangles).')
+
+    log(f'--> Performing cyclical embed '
+        f'({len(blocks) * A} candidates, {len(blocks)} blocks)')
+
+    Bb = len(blocks)
+
+    # ------------- host: adjust-directions inputs per block -----------
+    # initial alignment (reference _adjust_directions:359-371) uses
+    # conformer 0 coordinates for the reactive-atom positions (:404-411)
+    adj_axes = np.zeros((Bb, 3, 3))
+    adj_means = np.zeros((Bb, 3, 3))
+    adj_apts = np.zeros((Bb, 6, 3))
+    adj_verts = np.zeros((Bb, 3, 3))
+
+    # main sweep arrays
+    starts = np.zeros((Bb, 3, 3))
+    ends = np.zeros((Bb, 3, 3))
+    pvs = np.zeros((Bb, 3, 3))
+    mds = np.zeros((Bb, 3, 3))
+    apms = np.zeros((Bb, 3, 3))
+    mps = np.zeros((Bb, 3, 3))
+    rc_axes = np.zeros((Bb, 3, 3))
+    conf_arr = np.zeros((Bb, 3), dtype=np.int32)
+    ids_arr = np.zeros((Bb, 3, 2), dtype=np.int64)
+
+    for b, (conf_ids, pivots, norms, v, polygon, directions0,
+            arr_ids) in enumerate(blocks):
+        conf_arr[b] = conf_ids
+        ids_arr[b] = arr_ids
+
+        # triangle vertices (2D -> 3D, z=0) like _adjust_directions:331-357
+        verts2 = np.zeros((3, 2))
+        verts2[1] = [norms[0], 0]
+        a, bb_, c = norms[0] ** 2, norms[1] ** 2, norms[2] ** 2
+        x = (a - bb_ + c) / (2 * a ** 0.5)
+        verts2[2] = [x, (c - x ** 2) ** 0.5]
+        adj_verts[b, :, :2] = verts2
+
+        # initial per-mol alignment to compute embedded reactive atoms
+        pair_map = {}
+        for ci, pair in enumerate(arr_ids):
+            pair_map[ci] = pair
+        # r[m, partner] = local reactive index of mol m facing partner
+        r = np.zeros((3, 3), dtype=int)
+        for pair in arr_ids:
+            sides = []
+            for cum in pair:
+                m = 2 if cum >= offsets[2] else (1 if cum >= offsets[1] else 0)
+                sides.append((m, cum - offsets[m]))
+            (m1, i1), (m2, i2) = sides
+            r[m1, m2] = i1
+            r[m2, m1] = i2
+
+        rots, poss = [], []
+        for i in range(3):
+            start, end = polygon[i]
+            rc = mols[i].atomcoords[conf_ids[i]][mols[i].reactive_indices]
+            apm = rc.mean(axis=0)
+            md = pivots[i].meanpoint - apm
+            if np.all(md == 0.):
+                md = pivots[i].meanpoint
+            Ra = np.asarray(align_vec_pair(
+                np.array([end - start, directions0[i]]),
+                np.array([pivots[i].pivot, md])))
+            rots.append(Ra)
+            poss.append((start + end) / 2 - Ra @ pivots[i].meanpoint)
+
+            adj_axes[b, i] = end - start
+            adj_means[b, i] = (start + end) / 2
+
+            starts[b, i] = start
+            ends[b, i] = end
+            pvs[b, i] = pivots[i].pivot
+            mps[b, i] = pivots[i].meanpoint
+            apms[b, i] = apm
+            mds[b, i] = md
+            rc_axes[b, i] = (rc[0] - rc[1]) if len(rc) == 2 \
+                else pivots[i].pivot
+
+        # embedded reactive-atom positions, conformer 0 (reference quirk)
+        adj_apts[b, 0] = rots[0] @ mols[0].atomcoords[0][r[0, 1]] + poss[0]
+        adj_apts[b, 1] = rots[0] @ mols[0].atomcoords[0][r[0, 2]] + poss[0]
+        adj_apts[b, 2] = rots[1] @ mols[1].atomcoords[0][r[1, 0]] + poss[1]
+        adj_apts[b, 3] = rots[1] @ mols[1].atomcoords[0][r[1, 2]] + poss[1]
+        adj_apts[b, 4] = rots[2] @ mols[2].atomcoords[0][r[2, 0]] + poss[2]
+        adj_apts[b, 5] = rots[2] @ mols[2].atomcoords[0][r[2, 1]] + poss[2]
+
+    # ------------- device: batched direction adjustment ---------------
+    step_angle = 2 * _ADJ_RANGE / _ADJ_STEPS
+    grid = np.stack(np.meshgrid(*[np.arange(_ADJ_STEPS + 1)] * 3),
+                    -1).reshape(-1, 3) * step_angle - _ADJ_RANGE
+    directions = np.asarray(_adjust_directions_batch(
+        jnp.asarray(adj_axes), jnp.asarray(adj_means),
+        jnp.asarray(adj_apts), jnp.asarray(adj_verts), jnp.asarray(grid)))
+
+    # ------------- device: main sweep ---------------------------------
+    coords = [jnp.asarray(m.atomcoords) for m in mols]
+    pair_mask = jnp.asarray(cross_fragment_pair_mask(ids))
+    angle_grid = jnp.asarray(angles)
+
+    poses_out, cons_out = [], []
+    for lo in range(0, Bb, block_chunk):
+        hi = min(lo + block_chunk, Bb)
+        pad = block_chunk - (hi - lo)
+
+        def slc(x):
+            return jnp.asarray(np.concatenate(
+                [x[lo:hi]] + ([x[hi - 1:hi]] * pad if pad else []), axis=0)
+                if pad else x[lo:hi])
+
+        R_align, axis, cor, pos0 = _block_geometry(
+            slc(starts), slc(ends), slc(directions), slc(pvs), slc(mds),
+            slc(apms), slc(mps), slc(rc_axes))
+        poses, clash_ok, rmsd, maxdev = _block_poses_multi(
+            coords[0], coords[1], coords[2],
+            slc(conf_arr[:, 0]), slc(conf_arr[:, 1]), slc(conf_arr[:, 2]),
+            R_align, axis, cor, pos0, angle_grid, pair_mask,
+            float(clash_thresh))
+
+        poses = np.asarray(poses)[:hi - lo]
+        clash_ok = np.asarray(clash_ok)[:hi - lo]
+        similar = np.asarray((rmsd < 1.0) & (maxdev < 2.0))[:hi - lo]
+
+        for b in range(hi - lo):
+            kept = []
+            for t in range(A):
+                if not clash_ok[b, t]:
+                    continue
+                if any(similar[b, t, t0] for t0 in kept):
+                    continue
+                kept.append(t)
+            if kept:
+                poses_out.append(poses[b, kept])
+                cons_out.extend([ids_arr[lo + b]] * len(kept))
+
+    if not poses_out:
+        raise ZeroCandidatesError(
+            '--> Cyclical embed did not find any suitable disposition of '
+            'molecules.\n    This is probably because one molecule has two '
+            'reactive centers at a great distance,\n    preventing the '
+            'other two molecules from forming a closed, cyclical structure.')
+
+    return np.concatenate(poses_out), np.array(cons_out)
+
+
+@jax.jit
+def _block_poses_multi(coords1, coords2, coords3, c1, c2, c3,
+                       R_align, axis, cor, pos0, angle_grid, pair_mask,
+                       clash_thresh):
+    '''Three-molecule analog of _block_poses.'''
+    A = angle_grid.shape[0]
+    R_step = rot_mat_from_pointer(axis[:, None, :, :],
+                                  angle_grid[None, :, :])
+    R = jnp.einsum('bamij,bmjk->bamik', R_step, R_align)
+    t = (cor[:, None] - jnp.einsum('bamij,bmj->bami', R_step, cor)
+         + pos0[:, None])
+
+    Bb = R.shape[0]
+    Rf = R.reshape(Bb * A, 3, 3, 3)
+    tf = t.reshape(Bb * A, 3, 3)
+
+    frags = []
+    for m, (coords, cm) in enumerate(((coords1, c1), (coords2, c2),
+                                      (coords3, c3))):
+        cf = jnp.repeat(cm, A)
+        frags.append(jnp.einsum('bij,bnj->bni', Rf[:, m], coords[cf])
+                     + tf[:, m][:, None])
+    poses = jnp.concatenate(frags, axis=1)
+
+    a2 = jnp.sum(poses * poses, axis=-1)
+    ab = jnp.einsum('bni,bmi->bnm', poses, poses)
+    d2 = jnp.maximum(a2[:, :, None] + a2[:, None, :] - 2 * ab, 0.0)
+    clash_ok = jnp.sum((d2 < clash_thresh * clash_thresh) & pair_mask,
+                       axis=(-2, -1)) <= 0
+
+    pb = poses.reshape(Bb, A, -1, 3)
+    n_atoms = pb.shape[2]
+    rmsd = jax.vmap(lambda P: _rmsd_matrix_lambda_only(P, P, n_atoms))(pb)
+    flat_i = pb[:, :, None].repeat(A, axis=2).reshape(Bb * A * A, n_atoms, 3)
+    flat_j = pb[:, None, :].repeat(A, axis=1).reshape(Bb * A * A, n_atoms, 3)
+    maxdev = _maxdev_pairs(flat_i, flat_j).reshape(Bb, A, A)
+
+    return pb, clash_ok.reshape(Bb, A), rmsd, maxdev
+
+
 def cyclical_embed(embedder):
-    '''Dispatcher matching the reference entry point: rigid bimolecular
-    fast path for now (reference embeds.py:240-242); trimolecular and
-    non-rigid paths land with the bending subsystem.'''
+    '''Dispatcher matching the reference entry point
+    (reference embeds.py:234-242, 453-732 rigid branches).'''
     mols = embedder.objects
     if len(mols) == 2 and embedder.options.rigid:
         poses, cons = cyclical_embed_bimol_rigid(
@@ -265,5 +623,13 @@ def cyclical_embed(embedder):
             pairing_ok=embedder.pairing_ok_fn(), log=embedder.log)
         embedder.constrained_indices = cons
         return poses
+    if len(mols) == 3 and embedder.options.rigid:
+        poses, cons = cyclical_embed_trimol_rigid(
+            mols, embedder.systematic_angles,
+            clash_thresh=embedder.options.clash_thresh,
+            pairing_ok=embedder.pairing_ok_fn(), log=embedder.log)
+        embedder.constrained_indices = cons
+        return poses
     raise NotImplementedError(
-        'trimolecular / non-rigid cyclical embeds are not wired up yet')
+        'non-rigid cyclical embeds require the bending subsystem '
+        '(external calculator) — add the RIGID keyword')

@@ -80,6 +80,149 @@ def _pad_to(x, n, axis=0):
     return np.pad(x, widths)
 
 
+_COL_BLOCK = 2048
+
+
+@functools.partial(jax.jit, static_argnames=('col_block',))
+def _fused_kill_rows(P_tile, Q_all, i0, m_real, rmsd_thr, col_block=_COL_BLOCK):
+    '''
+    Kill bits for one row tile against ALL columns, both gates fused on
+    device: row i (global index i0+t) dies when any column j > i with
+    j < m_real satisfies rmsd < thr AND maxdev < 2*thr. The column axis
+    is scanned in blocks so the (T, C, N, 3) rotation intermediate stays
+    VMEM-sized; nothing but a (T,) bool ever leaves the device.
+    P_tile (T, N, 3); Q_all (M_pad, N, 3) with M_pad % col_block == 0.
+    '''
+    T, N = P_tile.shape[0], P_tile.shape[1]
+    n_blocks = Q_all.shape[0] // col_block
+    n_dt = jnp.asarray(N, P_tile.dtype)
+
+    GA = jnp.sum(P_tile * P_tile, axis=(-2, -1))            # (T,)
+    i_global = i0 + jnp.arange(T)
+
+    def body(kill, b):
+        Q = jax.lax.dynamic_slice_in_dim(Q_all, b * col_block, col_block)
+        S = jnp.einsum('tni,cnk->tcik', P_tile, Q)
+        GB = jnp.sum(Q * Q, axis=(-2, -1))                  # (C,)
+        lam = _qcp_lambda_max(S, GA[:, None], GB[None, :])
+        msd = (GA[:, None] + GB[None, :] - 2.0 * lam) / n_dt
+        rmsd = jnp.sqrt(jnp.maximum(msd, 0.0))
+
+        K = _horn_key_matrix(S)
+        q_wxyz = _quaternion_from_key(K, lam)
+        q_xyzw = jnp.concatenate([q_wxyz[..., 1:], q_wxyz[..., :1]], axis=-1)
+        R = quaternion_to_rotation_matrix(q_xyzw)           # (T, C, 3, 3)
+        rotated = jnp.einsum('tcij,tnj->tcni', R, P_tile)
+        diff = rotated - Q[None, :, :, :]
+        maxdev = jnp.sqrt(jnp.max(jnp.sum(diff * diff, axis=-1), axis=-1))
+
+        j_global = b * col_block + jnp.arange(col_block)
+        valid = (j_global[None, :] > i_global[:, None]) & \
+            (j_global[None, :] < m_real)
+        hit = (rmsd < rmsd_thr) & (maxdev < 2.0 * rmsd_thr) & valid
+        return kill | jnp.any(hit, axis=1), None
+
+    kill0 = jnp.zeros(T, dtype=bool)
+    kill, _ = jax.lax.scan(body, kill0, jnp.arange(n_blocks))
+    return kill
+
+
+@jax.jit
+def _fused_kill_blocks(P_blocks, m_real, rmsd_thr):
+    '''
+    Batched within-block kill bits for MANY small chunks at once (the
+    large-k passes of the bucket schedule, where per-chunk work is tiny
+    and per-call dispatch would dominate). P_blocks (B, L, N, 3) zero-
+    padded chunks; m_real (B,) live rows per chunk. Row i of block b dies
+    when some j > i (j < m_real[b]) passes both similarity gates.
+    Returns (B, L) bool.
+    '''
+    L, N = P_blocks.shape[1], P_blocks.shape[2]
+    n_dt = jnp.asarray(N, P_blocks.dtype)
+
+    S = jnp.einsum('bpni,bqnk->bpqik', P_blocks, P_blocks)
+    G = jnp.sum(P_blocks * P_blocks, axis=(-2, -1))          # (B, L)
+    lam = _qcp_lambda_max(S, G[:, :, None], G[:, None, :])
+    msd = (G[:, :, None] + G[:, None, :] - 2.0 * lam) / n_dt
+    rmsd = jnp.sqrt(jnp.maximum(msd, 0.0))
+
+    K = _horn_key_matrix(S)
+    q_wxyz = _quaternion_from_key(K, lam)
+    q_xyzw = jnp.concatenate([q_wxyz[..., 1:], q_wxyz[..., :1]], axis=-1)
+    R = quaternion_to_rotation_matrix(q_xyzw)                # (B, L, L, 3, 3)
+    rotated = jnp.einsum('bpqij,bpnj->bpqni', R, P_blocks)
+    diff = rotated - P_blocks[:, None, :, :, :]
+    maxdev = jnp.sqrt(jnp.max(jnp.sum(diff * diff, axis=-1), axis=-1))
+
+    idx = jnp.arange(L)
+    valid = (idx[None, None, :] > idx[None, :, None]) & \
+        (idx[None, None, :] < m_real[:, None, None])
+    hit = (rmsd < rmsd_thr) & (maxdev < 2.0 * rmsd_thr) & valid
+    return jnp.any(hit, axis=2)
+
+
+_SMALL_CHUNK = 256
+
+
+def _kill_bits_batched_pass(heavy, chunk_indices, rmsd_thr):
+    '''One bucket pass where every chunk is small: pad chunks to a common
+    length and evaluate them all in one (or a few) device calls.
+    chunk_indices: list of int arrays (active indices per chunk).
+    Returns a flat kill index array (into heavy).'''
+    L = max(len(idx) for idx in chunk_indices)
+    L_pad = max(8, int(2 ** np.ceil(np.log2(L))))
+    B = len(chunk_indices)
+    N = heavy.shape[1]
+
+    P = np.zeros((B, L_pad, N, 3), dtype=heavy.dtype)
+    m_real = np.zeros(B, dtype=np.int32)
+    for b, idx in enumerate(chunk_indices):
+        P[b, :len(idx)] = heavy[idx]
+        m_real[b] = len(idx)
+
+    killed = []
+    # bound the per-call footprint: B_sub * L^2 pairs * ~100 B
+    b_step = max(1, int(2e8 // max(L_pad * L_pad * 100, 1)))
+    for b0 in range(0, B, b_step):
+        bits = np.asarray(_fused_kill_blocks(
+            jnp.asarray(P[b0:b0 + b_step]),
+            jnp.asarray(m_real[b0:b0 + b_step]),
+            jnp.asarray(rmsd_thr, P.dtype)))
+        for b_rel, idx in enumerate(chunk_indices[b0:b0 + b_step]):
+            killed.extend(idx[bits[b_rel, :len(idx)]])
+    return np.array(killed, dtype=np.int64)
+
+
+def chunk_kill_bits(heavy_structures, rmsd_thr, row_tile=_ROW_TILE,
+                    col_block=_COL_BLOCK):
+    '''
+    Streaming kill decision for one active chunk: position i dies when any
+    later position j has rmsd < thr AND maxdev < 2*thr. Fully fused on
+    device in (row_tile x col_block) pair blocks — no pair matrix is ever
+    materialized on host. heavy_structures: (M, N, 3) active structures
+    in chunk order. Returns (M,) bool kill mask.
+    '''
+    m = heavy_structures.shape[0]
+    if m <= 1:
+        return np.zeros(m, dtype=bool)
+
+    cb = min(col_block, max(int(np.ceil(m / 128)) * 128, 128))
+    m_pad_c = int(np.ceil(m / cb)) * cb
+    m_pad_r = int(np.ceil(m / row_tile)) * row_tile
+    dev_cols = jnp.asarray(_pad_to(heavy_structures, m_pad_c))
+    dev_rows = jnp.asarray(_pad_to(heavy_structures, m_pad_r))
+
+    kill = np.zeros(m, dtype=bool)
+    for r0 in range(0, m_pad_r, row_tile):
+        bits = np.asarray(_fused_kill_rows(
+            dev_rows[r0:r0 + row_tile], dev_cols,
+            jnp.asarray(r0, jnp.int32), jnp.asarray(m, jnp.int32),
+            jnp.asarray(rmsd_thr, dev_rows.dtype), col_block=cb))
+        hi = min(r0 + row_tile, m)
+        kill[r0:hi] = bits[:hi - r0]
+    return kill
+
+
 def rmsd_similarity_matrix(structures, rmsd_thr, row_tile=_ROW_TILE):
     '''
     (M, M) bool similarity: rmsd < thr AND maxdev < 2*thr, computed in
@@ -143,20 +286,261 @@ def prune_conformers_rmsd(structures, atomnos, rmsd_thr=0.5):
         chunksize = int(n // k)
         new_mask = out_mask.copy()
 
+        chunk_indices = []
         for chunk in range(int(k)):
             first = chunk * chunksize
             last = n if chunk == k - 1 else chunksize * (chunk + 1)
             idx = np.nonzero(out_mask[first:last])[0] + first
-            if len(idx) <= 1:
-                continue
+            if len(idx) > 1:
+                chunk_indices.append(idx)
 
-            sim = rmsd_similarity_matrix(heavy_structures[idx], rmsd_thr)
-            kill = np.any(np.triu(sim, k=1), axis=1)
-            new_mask[idx[kill]] = False
+        if not chunk_indices:
+            continue
+
+        max_len = max(len(idx) for idx in chunk_indices)
+        if max_len <= _SMALL_CHUNK and len(chunk_indices) > 1:
+            # many small chunks -> one batched device pass
+            killed = _kill_bits_batched_pass(
+                heavy_structures, chunk_indices, rmsd_thr)
+            new_mask[killed] = False
+        else:
+            for idx in chunk_indices:
+                kill = chunk_kill_bits(heavy_structures[idx], rmsd_thr)
+                new_mask[idx[kill]] = False
 
         out_mask = new_mask
 
     return structures[out_mask], out_mask
+
+
+# ------------------------------------------------------ device-resident
+
+@functools.partial(jax.jit, static_argnames=('span', 'row_tile',
+                                             'col_block'))
+def _masked_kill_stream(hs, mask, first, span, rmsd_thr,
+                        row_tile=_ROW_TILE, col_block=_COL_BLOCK):
+    '''
+    Kill bits for ONE chunk [first, first+span) with a liveness mask,
+    fully on device: row i (active) dies when an active j > i in the
+    chunk passes both gates. Returns the updated global mask. `span` is
+    static (shape-defining); `first` is traced, so all same-size chunks
+    of a pass share one executable and the mask never leaves the device.
+    '''
+    n_tiles = -(-span // row_tile)
+    span_pad = n_tiles * row_tile
+    n_cblocks = -(-span // col_block)
+    span_pad_c = n_cblocks * col_block
+
+    N = hs.shape[1]
+    n_dt = jnp.asarray(N, hs.dtype)
+
+    # padded chunk views (pad with zeros; padded rows masked out)
+    def pad_to(x, size):
+        chunk = jax.lax.dynamic_slice_in_dim(x, first, span)
+        return jnp.pad(chunk, [(0, size - span)] + [(0, 0)] * (x.ndim - 1))
+
+    hs_r = pad_to(hs, span_pad)
+    hs_c = pad_to(hs, span_pad_c)
+    m_chunk = jax.lax.dynamic_slice_in_dim(mask, first, span)
+    m_r = jnp.pad(m_chunk, (0, span_pad - span))
+    m_c = jnp.pad(m_chunk, (0, span_pad_c - span))
+
+    def row_body(r, kill_acc):
+        r0 = r * row_tile
+        P = jax.lax.dynamic_slice_in_dim(hs_r, r0, row_tile)
+        GA = jnp.sum(P * P, axis=(-2, -1))
+        i_loc = r0 + jnp.arange(row_tile)
+
+        def col_body(c, kill_rows):
+            c0 = c * col_block
+            Q = jax.lax.dynamic_slice_in_dim(hs_c, c0, col_block)
+            S = jnp.einsum('tni,cnk->tcik', P, Q)
+            GB = jnp.sum(Q * Q, axis=(-2, -1))
+            lam = _qcp_lambda_max(S, GA[:, None], GB[None, :])
+            msd = (GA[:, None] + GB[None, :] - 2.0 * lam) / n_dt
+            rmsd = jnp.sqrt(jnp.maximum(msd, 0.0))
+
+            K = _horn_key_matrix(S)
+            q_wxyz = _quaternion_from_key(K, lam)
+            q_xyzw = jnp.concatenate([q_wxyz[..., 1:], q_wxyz[..., :1]],
+                                     axis=-1)
+            R = quaternion_to_rotation_matrix(q_xyzw)
+            rotated = jnp.einsum('tcij,tnj->tcni', R, P)
+            diff = rotated - Q[None]
+            maxdev = jnp.sqrt(jnp.max(jnp.sum(diff * diff, axis=-1), axis=-1))
+
+            j_loc = c0 + jnp.arange(col_block)
+            m_j = jax.lax.dynamic_slice_in_dim(m_c, c0, col_block)
+            valid = (j_loc[None, :] > i_loc[:, None]) & \
+                (j_loc[None, :] < span) & m_j[None, :]
+            hit = (rmsd < rmsd_thr) & (maxdev < 2.0 * rmsd_thr) & valid
+            return kill_rows | jnp.any(hit, axis=1)
+
+        kill_rows = jax.lax.fori_loop(
+            0, n_cblocks, col_body, jnp.zeros(row_tile, dtype=bool))
+        return jax.lax.dynamic_update_slice_in_dim(kill_acc, kill_rows, r0, 0)
+
+    kill = jax.lax.fori_loop(0, n_tiles, row_body,
+                             jnp.zeros(span_pad, dtype=bool))
+    kill = kill[:span] & m_r[:span]
+    return jax.lax.dynamic_update_slice_in_dim(
+        mask, m_chunk & ~kill, first, 0)
+
+
+@jax.jit
+def _masked_kill_blocks(P_blocks, M_blocks, rmsd_thr):
+    '''Batched within-block masked kill: like _fused_kill_blocks but with
+    an explicit per-row liveness mask (device-resident pruning path).'''
+    L, N = P_blocks.shape[1], P_blocks.shape[2]
+    n_dt = jnp.asarray(N, P_blocks.dtype)
+
+    S = jnp.einsum('bpni,bqnk->bpqik', P_blocks, P_blocks)
+    G = jnp.sum(P_blocks * P_blocks, axis=(-2, -1))
+    lam = _qcp_lambda_max(S, G[:, :, None], G[:, None, :])
+    msd = (G[:, :, None] + G[:, None, :] - 2.0 * lam) / n_dt
+    rmsd = jnp.sqrt(jnp.maximum(msd, 0.0))
+
+    K = _horn_key_matrix(S)
+    q_wxyz = _quaternion_from_key(K, lam)
+    q_xyzw = jnp.concatenate([q_wxyz[..., 1:], q_wxyz[..., :1]], axis=-1)
+    R = quaternion_to_rotation_matrix(q_xyzw)
+    rotated = jnp.einsum('bpqij,bpnj->bpqni', R, P_blocks)
+    diff = rotated - P_blocks[:, None]
+    maxdev = jnp.sqrt(jnp.max(jnp.sum(diff * diff, axis=-1), axis=-1))
+
+    idx = jnp.arange(L)
+    valid = (idx[None, None, :] > idx[None, :, None]) & M_blocks[:, None, :]
+    hit = (rmsd < rmsd_thr) & (maxdev < 2.0 * rmsd_thr) & valid
+    return jnp.any(hit, axis=2) & M_blocks
+
+
+@functools.partial(jax.jit, static_argnames=('row_tile', 'col_block'))
+def _gathered_kill_stream(sub, n_act, rmsd_thr,
+                          row_tile=_ROW_TILE, col_block=_COL_BLOCK):
+    '''
+    Kill bits for a COMPACTED chunk (rows already gathered to the active
+    structures in order): row i dies when some j in (i, n_act) passes
+    both gates. sub: (S, N, 3) with S % row_tile == S % col_block == 0
+    (padding rows are garbage, masked by n_act). Returns (S,) bool.
+    '''
+    S, N = sub.shape[0], sub.shape[1]
+    n_dt = jnp.asarray(N, sub.dtype)
+    n_tiles = S // row_tile
+    n_cblocks = S // col_block
+
+    def row_body(r, kill_acc):
+        r0 = r * row_tile
+        P = jax.lax.dynamic_slice_in_dim(sub, r0, row_tile)
+        GA = jnp.sum(P * P, axis=(-2, -1))
+        i_loc = r0 + jnp.arange(row_tile)
+
+        def col_body(c, kill_rows):
+            c0 = c * col_block
+            Q = jax.lax.dynamic_slice_in_dim(sub, c0, col_block)
+            Sm = jnp.einsum('tni,cnk->tcik', P, Q)
+            GB = jnp.sum(Q * Q, axis=(-2, -1))
+            lam = _qcp_lambda_max(Sm, GA[:, None], GB[None, :])
+            msd = (GA[:, None] + GB[None, :] - 2.0 * lam) / n_dt
+            rmsd = jnp.sqrt(jnp.maximum(msd, 0.0))
+
+            K = _horn_key_matrix(Sm)
+            q_wxyz = _quaternion_from_key(K, lam)
+            q_xyzw = jnp.concatenate([q_wxyz[..., 1:], q_wxyz[..., :1]],
+                                     axis=-1)
+            R = quaternion_to_rotation_matrix(q_xyzw)
+            rotated = jnp.einsum('tcij,tnj->tcni', R, P)
+            diff = rotated - Q[None]
+            maxdev = jnp.sqrt(jnp.max(jnp.sum(diff * diff, axis=-1), axis=-1))
+
+            j_loc = c0 + jnp.arange(col_block)
+            valid = (j_loc[None, :] > i_loc[:, None]) & \
+                (j_loc[None, :] < n_act)
+            hit = (rmsd < rmsd_thr) & (maxdev < 2.0 * rmsd_thr) & valid
+            return kill_rows | jnp.any(hit, axis=1)
+
+        kill_rows = jax.lax.fori_loop(
+            0, n_cblocks, col_body, jnp.zeros(row_tile, dtype=bool))
+        return jax.lax.dynamic_update_slice_in_dim(kill_acc, kill_rows, r0, 0)
+
+    return jax.lax.fori_loop(0, n_tiles, row_body,
+                             jnp.zeros(S, dtype=bool))
+
+
+def _compact_chunk_pass(hs, mask, first, last, thr, n):
+    '''One big chunk evaluated after on-device active compaction: the
+    quadratic work scales with the ACTIVE count, not the chunk span.
+    Performs one scalar sync (the active count).'''
+    span = last - first
+    m_chunk = jax.lax.dynamic_slice_in_dim(mask, first, span)
+    cnt = int(jnp.sum(m_chunk))                   # scalar sync
+    if cnt <= 1:
+        return mask
+    # pad the gather to a power-of-two bucket (bounded compile count)
+    S = max(_ROW_TILE, int(2 ** np.ceil(np.log2(cnt))))
+    cb = min(_COL_BLOCK, S)
+    idx = first + jnp.nonzero(m_chunk, size=S, fill_value=span)[0]
+    sub = hs[jnp.clip(idx, 0, n - 1)]
+    kill = _gathered_kill_stream(sub, jnp.asarray(cnt, jnp.int32), thr,
+                                 col_block=cb)
+    # scatter kills back; padded entries point past n and are dropped
+    return mask.at[jnp.where(kill, idx, n)].set(False, mode='drop')
+
+
+def prune_conformers_rmsd_device(heavy_structures, rmsd_thr=0.5,
+                                 init_mask=None, max_block=512):
+    '''
+    Device-resident variant of prune_conformers_rmsd: identical bucketed
+    keep/kill semantics, but the liveness mask lives on device for the
+    whole schedule — only one scalar (the active count) crosses the host
+    boundary per pass. For hosts linked to the accelerator by a slow
+    tunnel this is the difference between seconds and hours.
+
+    heavy_structures: (n, N, 3) jnp array (already heavy-atom-sliced).
+    Returns the final keep mask as a jnp (n,) bool array.
+    '''
+    hs = jnp.asarray(heavy_structures)
+    n = hs.shape[0]
+    mask = jnp.ones(n, dtype=bool) if init_mask is None \
+        else jnp.asarray(init_mask)
+    if n <= 1:
+        return mask
+
+    thr = jnp.asarray(rmsd_thr, hs.dtype)
+
+    for k in K_SCHEDULE:
+        active = int(jnp.sum(mask))               # one scalar per pass
+        if not (k == 1 or 20 * k < active):
+            continue
+        k = int(k)
+        chunksize = n // k
+
+        if chunksize <= max_block and k > 1:
+            # regular chunks 0..k-2 in a few batched calls (group size
+            # bounded so the (g, L, L, N, 3) rotation intermediate stays
+            # well under HBM)
+            reg = hs[:(k - 1) * chunksize].reshape(k - 1, chunksize,
+                                                   *hs.shape[1:])
+            m_reg = mask[:(k - 1) * chunksize].reshape(k - 1, chunksize)
+            n_at = hs.shape[1]
+            group = max(1, int(4e8 // max(chunksize * chunksize * n_at * 12,
+                                          1)))
+            kills = []
+            for g0 in range(0, k - 1, group):
+                kills.append(_masked_kill_blocks(
+                    reg[g0:g0 + group], m_reg[g0:g0 + group], thr))
+            kill = jnp.concatenate(kills).reshape(-1)
+            mask = mask.at[:(k - 1) * chunksize].set(
+                mask[:(k - 1) * chunksize] & ~kill)
+            # oversized last chunk [ (k-1)*chunksize, n ): compact + stream
+            mask = _compact_chunk_pass(hs, mask, (k - 1) * chunksize, n,
+                                       thr, n)
+        else:
+            for chunk in range(k):
+                first = chunk * chunksize
+                last = n if chunk == k - 1 else chunksize * (chunk + 1)
+                mask = _compact_chunk_pass(hs, mask, first, last, thr, n)
+
+    return mask
 
 
 def rmsd_similarity_sequential(ref_pose, poses, rmsd_thr):

@@ -43,6 +43,20 @@ def saddle_refine(embedder):
     raise _no_calc_error('Saddle-point refinement')
 
 
+def optimize_batch(embedder, structures, atomnos, calc=None, method=None,
+                   constrained_indices=None, logfunction=print):
+    '''Optimize every structure of a batch (csearch ff_opt hook,
+    reference torsion_module.py:787-807). Requires a calculator.'''
+    if calc is None and (embedder is None or
+                         embedder.options.ff_calc is None):
+        raise _no_calc_error('Batch force-field optimization')
+    from tscode_tpu.calculators.dispatch import optimize_batch_pipeline
+    return optimize_batch_pipeline(embedder, structures, atomnos,
+                                   calc=calc, method=method,
+                                   constrained_indices=constrained_indices,
+                                   logfunction=logfunction)
+
+
 def optimize_ensemble(embedder, mol):
     if embedder.options.calculator is None:
         raise _no_calc_error('Ensemble optimization (opt>)')
