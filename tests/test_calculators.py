@@ -1,0 +1,173 @@
+'''Calculator adapter tests — hermetic: input writers + output parsers
+against canned files (the reference's parsing functions are pure,
+SURVEY.md section 4).'''
+
+import os
+
+import numpy as np
+import pytest
+
+from tscode_tpu.calculators.common import EH_TO_KCAL, energy_grepper
+from tscode_tpu.calculators.dispatch import dynamic_energy_thr
+from tscode_tpu.calculators.gaussian import read_gaussian_out, write_gaussian_input
+from tscode_tpu.calculators.mopac import read_mop_out, write_mopac_input
+from tscode_tpu.calculators.orca import read_orca_property, write_orca_input
+from tscode_tpu.calculators.xtb import _write_xtb_input, _xtb_flags, read_from_xtbtraj
+
+
+# ------------------------------------------------------------------- xtb
+
+def test_read_from_xtbtraj(tmp_path):
+    traj = tmp_path / 'traj.xyz'
+    traj.write_text(
+        '3\n'
+        ' energy: -5.070431 gnorm: 0.01 xtb: 6.5.1\n'
+        'O 0.0 0.0 0.1\nH 0.7 0.0 -0.4\nH -0.7 0.0 -0.4\n'
+        '3\n'
+        ' energy: -5.070544 gnorm: 0.002 xtb: 6.5.1\n'
+        'O 0.0 0.0 0.12\nH 0.71 0.0 -0.41\nH -0.71 0.0 -0.41\n')
+    coords, energy = read_from_xtbtraj(str(traj))
+    assert coords.shape == (3, 3)
+    np.testing.assert_allclose(coords[1], [0.71, 0.0, -0.41])
+    np.testing.assert_allclose(energy, -5.070544 * EH_TO_KCAL)
+
+
+def test_energy_grepper(tmp_path):
+    out = tmp_path / 'x.out'
+    out.write_text('bla\n          | TOTAL ENERGY     -5.070544 Eh |\nbla\n')
+    assert energy_grepper(str(out), 'TOTAL ENERGY', 3) == pytest.approx(-5.070544)
+
+
+def test_xtb_input_writer(tmp_path):
+    path = tmp_path / 'job.inp'
+    _write_xtb_input(str(path), [(0, 5), (2, 7)], [2.2, None], None, None,
+                     'GFN2-xTB', 500, 'traj.xyz', 'out.xyz', 1, None)
+    text = path.read_text()
+    assert 'distance: 1, 6, 2.2' in text           # 1-based indexing
+    assert 'distance: 3, 8, auto' in text
+    assert 'force constant=1' in text
+    assert '$gfn\n   method=2' in text
+    assert text.rstrip().endswith('$end')
+
+
+def test_xtb_flags():
+    flags = _xtb_flags('GFN-FF', True, 'loose', -1, 4, None)
+    assert '--gfnff' in flags
+    assert flags[flags.index('--chrg') + 1] == '-1'
+    # GFN-FF gets implicit ch2cl2 when no solvent requested
+    assert flags[flags.index('--alpb') + 1] == 'ch2cl2'
+    flags2 = _xtb_flags('GFN2-xTB', True, 'tight', 0, 2, 'methanol')
+    assert '--gbsa' in flags2
+
+
+# ------------------------------------------------------------------ orca
+
+def test_orca_roundtrip(tmp_path):
+    inp = tmp_path / 'j.inp'
+    coords = np.array([[0., 0., 0.], [1.1, 0., 0.]])
+    write_orca_input(str(inp), coords, np.array([6, 8]), method='PM3',
+                     constrained_indices=[(0, 1)], charge=0, procs=4,
+                     maxiter=10)
+    text = inp.read_text()
+    assert text.startswith('! PM3 Opt')
+    assert '{B 0 1 C}' in text
+    assert '%pal nprocs 4 end' in text
+    assert 'MaxIter 10' in text
+    assert '*xyz 0 1' in text
+
+    prop = tmp_path / 'j_property.txt'
+    prop.write_text('stuff\n   SCF Energy:     -114.4380433\n')
+    assert read_orca_property(str(prop)) == pytest.approx(-114.4380433)
+
+
+# ----------------------------------------------------------------- mopac
+
+_MOPAC_OUT = '''
+ some header
+ SCF FIELD WAS ACHIEVED
+
+          FINAL HEAT OF FORMATION =        -57.79972 KCAL/MOL =    -241.83403 KJ/MOL
+
+          CARTESIAN COORDINATES
+
+     1         O          0.00000000    0.00000000    0.11779500
+     2         H          0.75545000    0.00000000   -0.47118000
+     3         H         -0.75545000    0.00000000   -0.47118000
+
+'''
+
+
+def test_read_mop_out(tmp_path):
+    out = tmp_path / 'j.out'
+    out.write_text(_MOPAC_OUT)
+    coords, energy, ok = read_mop_out(str(out))
+    assert ok
+    assert energy == pytest.approx(-57.79972)
+    assert coords.shape == (3, 3)
+    np.testing.assert_allclose(coords[1], [0.75545, 0.0, -0.47118])
+
+
+def test_mopac_input_writer_and_order(tmp_path):
+    rng = np.random.default_rng(1)
+    coords = rng.normal(size=(6, 3)) * 2
+    atomnos = np.array([6, 1, 1, 8, 1, 7])
+    path = tmp_path / 'j.mop'
+    order = write_mopac_input(str(path), coords, atomnos, method='PM7',
+                              constrained_indices=np.array([[0, 3]]))
+    text = path.read_text()
+    assert text.startswith('PM7\n')
+    # constrained pair goes last, in internal coordinates (flag 0 on dist)
+    assert sorted(order) == list(range(6))
+    assert order[-2:] == [3, 0]
+    lines = [l for l in text.splitlines() if l.startswith(' ')]
+    assert len(lines) == 6
+    assert ' 0 ' in lines[-1]          # frozen distance flag
+
+
+# -------------------------------------------------------------- gaussian
+
+_GAUSSIAN_OUT = '''
+ some header
+                         Standard orientation:
+ ---------------------------------------------------------------------
+ Center     Atomic      Atomic             Coordinates (Angstroms)
+ Number     Number       Type             X           Y           Z
+ ---------------------------------------------------------------------
+      1          8           0        0.000000    0.000000    0.117795
+      2          1           0        0.755450    0.000000   -0.471180
+      3          1           0       -0.755450    0.000000   -0.471180
+ ---------------------------------------------------------------------
+ SCF Done:  E(RPM6) = -0.0819499  A.U. after  9 cycles
+'''
+
+
+def test_read_gaussian_out(tmp_path):
+    out = tmp_path / 'j.log'
+    out.write_text(_GAUSSIAN_OUT)
+    coords, energy, ok = read_gaussian_out(str(out))
+    assert ok
+    assert coords.shape == (3, 3)
+    np.testing.assert_allclose(coords[0], [0, 0, 0.117795])
+    assert energy == pytest.approx(-0.0819499 * 627.5096080305927)
+
+
+def test_gaussian_input_writer(tmp_path):
+    path = tmp_path / 'j.com'
+    coords = np.array([[0., 0., 0.], [1.1, 0., 0.]])
+    write_gaussian_input(str(path), coords, np.array([6, 8]),
+                         method='PM6', constrained_indices=[(0, 1)])
+    text = path.read_text()
+    assert 'opt=modredundant' in text
+    assert 'B 1 2 F' in text            # 1-based
+
+
+# ---------------------------------------------------------------- energy
+
+def test_dynamic_energy_thr():
+    rel = np.array([0.0, 1, 2, 30, 31, 32, 33, 34, 35, 36])
+    # default threshold keeps 3/10 -> enough (>= 10%)
+    assert dynamic_energy_thr(rel, 10) == 10
+    rel2 = np.concatenate([[0.0], np.full(99, 50.0)])
+    # only 1/100 under 10 -> widen until >= 10% survive
+    thr = dynamic_energy_thr(rel2, 10)
+    assert thr > 50
