@@ -37,5 +37,14 @@ def ensure_backend(prefer=None, quiet=False):
     if backend == 'cpu' and not jax.config.jax_enable_x64:
         jax.config.update('jax_enable_x64', True)
 
+    # persistent compilation cache: compiles can be expensive (remote
+    # compile over a device tunnel); cache them across processes
+    if not jax.config.jax_compilation_cache_dir:
+        cache_dir = os.environ.get(
+            'TSCODE_TPU_CACHE',
+            os.path.join(os.path.expanduser('~'), '.tscode_tpu_jax_cache'))
+        jax.config.update('jax_compilation_cache_dir', cache_dir)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+
     _initialized = True
     return backend

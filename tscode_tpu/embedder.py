@@ -865,7 +865,21 @@ class RunEmbedding(Embedder):
                          f'for RMSD similarity ({np.count_nonzero(mask)} '
                          f'left, {time_to_string(time.perf_counter() - t_start)})')
 
-            # symmetry-corrected pass lands with the torsion module
+            # symmetry-corrected pass (<=500 structures, dummy rotors)
+            if len(self.structures) <= 500 and hasattr(self, 'embed_graph'):
+                from tscode_tpu.rot_rmsd import prune_conformers_rmsd_rot_corr
+                before2 = len(self.structures)
+                t_start = time.perf_counter()
+                self.structures, mask = prune_conformers_rmsd_rot_corr(
+                    self.structures, self.atomnos, self.embed_graph,
+                    max_rmsd=self.options.rmsd, verbose=verbose,
+                    logfunction=self.log if verbose else None)
+                self.apply_mask(attr, mask)
+                if before2 > len(self.structures):
+                    self.log(f'Discarded {np.count_nonzero(~mask)} '
+                             f'candidates for symmetry-corrected RMSD '
+                             f'similarity ({np.count_nonzero(mask)} left, '
+                             f'{time_to_string(time.perf_counter() - t_start)})')
 
         if verbose and len(self.structures) == before:
             self.log(f'All structures passed the similarity check.{" " * 15}')

@@ -189,12 +189,17 @@ def _horn_key_matrix(S):
     return jnp.stack([row0, row1, row2, row3], axis=-2)
 
 
-def _qcp_lambda_max(S, GA, GB, newton_iters=50):
+def _qcp_lambda_max(S, GA, GB, newton_iters=None):
     '''
     Largest eigenvalue of Horn's key matrix via Theobald's QCP: Newton
     iteration on the quartic characteristic polynomial, seeded with the
     upper bound (GA + GB)/2. S: (..., 3, 3); GA, GB: (...,) squared norms.
+    Iteration count adapts to dtype: convergence is quadratic from the
+    upper-bound seed, so f32 screening needs far fewer steps than the
+    f64 parity paths.
     '''
+    if newton_iters is None:
+        newton_iters = 30 if S.dtype == jnp.float64 else 12
     Sxx, Sxy, Sxz = S[..., 0, 0], S[..., 0, 1], S[..., 0, 2]
     Syx, Syy, Syz = S[..., 1, 0], S[..., 1, 1], S[..., 1, 2]
     Szx, Szy, Szz = S[..., 2, 0], S[..., 2, 1], S[..., 2, 2]

@@ -428,35 +428,56 @@ def _gathered_kill_stream(sub, n_act, rmsd_thr,
     n_tiles = S // row_tile
     n_cblocks = S // col_block
 
+    # per-atom distances from the origin are rotation invariants, giving
+    # an MXU-cheap LOWER BOUND on the (uncentered) Kabsch MSD:
+    #   msd >= mean_k (|p_k| - |q_k|)^2
+    # blocks with no pair under the bound skip the QCP work entirely
+    radii = jnp.sqrt(jnp.maximum(jnp.sum(sub * sub, axis=-1), 0.0))  # (S, N)
+    r2_mean = jnp.mean(radii * radii, axis=-1)                       # (S,)
+
     def row_body(r, kill_acc):
         r0 = r * row_tile
         P = jax.lax.dynamic_slice_in_dim(sub, r0, row_tile)
+        rP = jax.lax.dynamic_slice_in_dim(radii, r0, row_tile)
+        rP2 = jax.lax.dynamic_slice_in_dim(r2_mean, r0, row_tile)
         GA = jnp.sum(P * P, axis=(-2, -1))
         i_loc = r0 + jnp.arange(row_tile)
 
         def col_body(c, kill_rows):
             c0 = c * col_block
-            Q = jax.lax.dynamic_slice_in_dim(sub, c0, col_block)
-            Sm = jnp.einsum('tni,cnk->tcik', P, Q)
-            GB = jnp.sum(Q * Q, axis=(-2, -1))
-            lam = _qcp_lambda_max(Sm, GA[:, None], GB[None, :])
-            msd = (GA[:, None] + GB[None, :] - 2.0 * lam) / n_dt
-            rmsd = jnp.sqrt(jnp.maximum(msd, 0.0))
-
-            K = _horn_key_matrix(Sm)
-            q_wxyz = _quaternion_from_key(K, lam)
-            q_xyzw = jnp.concatenate([q_wxyz[..., 1:], q_wxyz[..., :1]],
-                                     axis=-1)
-            R = quaternion_to_rotation_matrix(q_xyzw)
-            rotated = jnp.einsum('tcij,tnj->tcni', R, P)
-            diff = rotated - Q[None]
-            maxdev = jnp.sqrt(jnp.max(jnp.sum(diff * diff, axis=-1), axis=-1))
-
             j_loc = c0 + jnp.arange(col_block)
             valid = (j_loc[None, :] > i_loc[:, None]) & \
                 (j_loc[None, :] < n_act)
-            hit = (rmsd < rmsd_thr) & (maxdev < 2.0 * rmsd_thr) & valid
-            return kill_rows | jnp.any(hit, axis=1)
+
+            rQ = jax.lax.dynamic_slice_in_dim(radii, c0, col_block)
+            rQ2 = jax.lax.dynamic_slice_in_dim(r2_mean, c0, col_block)
+            lb = rP2[:, None] + rQ2[None, :] \
+                - (2.0 / N) * jnp.einsum('tn,cn->tc', rP, rQ)
+            cand = (lb < rmsd_thr * rmsd_thr) & valid
+
+            def heavy(kill_rows):
+                Q = jax.lax.dynamic_slice_in_dim(sub, c0, col_block)
+                Sm = jnp.einsum('tni,cnk->tcik', P, Q)
+                GB = jnp.sum(Q * Q, axis=(-2, -1))
+                lam = _qcp_lambda_max(Sm, GA[:, None], GB[None, :])
+                msd = (GA[:, None] + GB[None, :] - 2.0 * lam) / n_dt
+                rmsd = jnp.sqrt(jnp.maximum(msd, 0.0))
+
+                K = _horn_key_matrix(Sm)
+                q_wxyz = _quaternion_from_key(K, lam)
+                q_xyzw = jnp.concatenate(
+                    [q_wxyz[..., 1:], q_wxyz[..., :1]], axis=-1)
+                R = quaternion_to_rotation_matrix(q_xyzw)
+                rotated = jnp.einsum('tcij,tnj->tcni', R, P)
+                diff = rotated - Q[None]
+                maxdev = jnp.sqrt(jnp.max(jnp.sum(diff * diff, axis=-1),
+                                          axis=-1))
+
+                hit = (rmsd < rmsd_thr) & (maxdev < 2.0 * rmsd_thr) & cand
+                return kill_rows | jnp.any(hit, axis=1)
+
+            return jax.lax.cond(jnp.any(cand), heavy,
+                                lambda k: k, kill_rows)
 
         kill_rows = jax.lax.fori_loop(
             0, n_cblocks, col_body, jnp.zeros(row_tile, dtype=bool))
