@@ -1,0 +1,111 @@
+'''
+Molecule bending: deform a conformer so two orbital lobes approach a
+target distance.
+
+The reference bends with ASE + a QM calculator in the loop and custom
+spring constraints (ase_bend, ase_manipulations.py:683-866). The
+TPU-native driver minimizes the internal harmonic FF (graph-restrained
+bonds/angles + repulsion) plus a pair spring on the reactive atoms,
+stepping the spring target until the PIVOT length (orbital lobe to
+orbital lobe) reaches the threshold; orbitals are rebuilt from the bent
+geometry between steps. When an external calculator is available it can
+replace the FF via the same energy-callable interface.
+
+Bent results are cached per (molecule, pivot indices, rounded target),
+like the reference's embedder.ase_bent_mols_dict (embedder.py:457-461).
+'''
+
+import numpy as np
+import jax.numpy as jnp
+
+from tscode_tpu.ff import build_ff_params, ff_energy, params_to_device
+from tscode_tpu.optimizers import fire_minimize_batch, spring_energy
+from tscode_tpu.pivots import set_pivots
+
+
+def _bend_energy(c, params, pairs, targets):
+    '''FF + reactive-pair spring; module-level so the jitted FIRE program
+    is compiled once and reused across bend iterations and molecules.'''
+    return ff_energy(c, params) + spring_energy(c, pairs, targets, k=20.0)
+
+
+def bend_key(mol, pivot, threshold):
+    return (float(np.sum(mol.atomcoords[0])), tuple(sorted(pivot.index)),
+            round(threshold, 3))
+
+
+def _pivot_length(mol, conf, pivot_index):
+    for p in mol.pivots[conf]:
+        if p.index == pivot_index:
+            return float(np.linalg.norm(p.pivot)), p
+    # pivot may disappear if lobe counts change; take the closest
+    return None, None
+
+
+def bend_molecule(mol, conf, pivot, threshold, max_iter=40,
+                  fix_angles=False, cache=None, suprafacial=False,
+                  logfunction=None, title='bend'):
+    '''
+    Bend `mol`'s conformer `conf` until the pivot between the two
+    reactive-atom orbitals is <= threshold (A). Returns a NEW Molecule
+    (same ensemble, bent conformer replaced, orbitals+pivots rebuilt).
+    '''
+    if cache is not None:
+        key = bend_key(mol, pivot, threshold)
+        if key in cache:
+            return cache[key]
+
+    from tscode_tpu.molecule import Molecule
+    new_mol = Molecule.__new__(Molecule)
+    new_mol.__dict__.update(mol.__dict__)
+    new_mol.atomcoords = mol.atomcoords.copy()
+
+    i1, i2 = (int(i) for i in mol.reactive_indices[:2])
+    params = params_to_device(build_ff_params(
+        mol.atomcoords[conf], mol.atomnos, mol.graph))
+    pairs = jnp.asarray(np.array([[i1, i2]]))
+
+    coords = mol.atomcoords[conf].copy()
+    pivot_index = pivot.index
+    current_len = float(np.linalg.norm(pivot.pivot))
+
+    # orbital geometry offset: pivot length vs reactive-atom distance
+    atom_dist = float(np.linalg.norm(coords[i1] - coords[i2]))
+    offset = atom_dist - current_len
+
+    for it in range(max_iter):
+        if current_len <= threshold:
+            break
+        # step the atom-pair target toward the pivot goal
+        target_piv = max(threshold, current_len - 0.3)
+        target_atoms = target_piv + offset
+
+        relaxed, _, _ = fire_minimize_batch(
+            jnp.asarray(coords)[None], _bend_energy, n_steps=300, fmax=0.05,
+            energy_args=(params, pairs,
+                         jnp.asarray(np.array([target_atoms]))))
+        coords = np.asarray(relaxed[0])
+
+        # rebuild orbitals + pivots from the bent geometry
+        new_mol.atomcoords = new_mol.atomcoords.copy()
+        new_mol.atomcoords[conf] = coords
+        new_mol.reactive_atoms = {}
+        new_mol.compute_orbitals()
+        set_pivots(new_mol, suprafacial=suprafacial)
+
+        current_len, p = _pivot_length(new_mol, conf, pivot_index)
+        if current_len is None:
+            if logfunction:
+                logfunction(f'{title}: pivot {pivot_index} vanished during '
+                            f'bending; keeping last geometry')
+            break
+        atom_dist = float(np.linalg.norm(coords[i1] - coords[i2]))
+        offset = atom_dist - current_len
+
+    if not new_mol.reactive_atoms:
+        new_mol.compute_orbitals()
+        set_pivots(new_mol, suprafacial=suprafacial)
+
+    if cache is not None:
+        cache[key] = new_mol
+    return new_mol

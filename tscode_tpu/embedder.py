@@ -400,6 +400,9 @@ class Embedder:
                 self.options.fix_angles_in_deformation = True
             else:
                 self.embed = 'error'
+                # the reference returns right away here (embedder.py:672-675)
+                # and run() reports the unrecognized embed cleanly
+                return
 
         elif len(self.objects) in (2, 3):
             cyclical = all(len(mol.reactive_indices) == 2
@@ -740,9 +743,8 @@ class RunEmbedding(Embedder):
             self.structures = cyclical_embed(self)
 
         elif self.embed == 'monomolecular':
-            raise NotImplementedError(
-                'monomolecular embed requires the bending subsystem '
-                '(not wired up yet)')
+            from tscode_tpu.embeds.monomolecular import monomolecular_embed
+            monomolecular_embed(self)
 
         elif self.embed == 'multiembed':
             from tscode_tpu.multiembed import multiembed_dispatcher

@@ -1,0 +1,144 @@
+'''
+Nudged elastic band (NEB) with climbing image — device-resident chain.
+
+The reference relaxes MEPs through ASE's DyNEB with an external
+calculator per image (ase_manipulations.py:382-526, mep_relaxer.py).
+Here the WHOLE CHAIN is one device tensor (I, N, 3): tangents, spring
+forces, perpendicular projections and the climbing-image inversion are
+fused array ops, and the band relaxes under batched FIRE. The potential
+is any differentiable energy function — the internal harmonic FF, a toy
+surface for validation, or (host-callback) an external QM gradient.
+'''
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def interpolate_chain(start, end, n_images):
+    '''Linear interpolation including endpoints: (N, 3) x2 -> (I, N, 3)
+    (reference mep_relaxer.interpolate_structures:155-200, linear mode).'''
+    t = np.linspace(0.0, 1.0, n_images)[:, None, None]
+    return (1 - t) * np.asarray(start)[None] + t * np.asarray(end)[None]
+
+
+def _tangents(chain, energies):
+    '''Improved upwind tangents (Henkelman & Jonsson 2000).'''
+    prev = chain[:-2]
+    nxt = chain[2:]
+    mid = chain[1:-1]
+
+    t_plus = nxt - mid
+    t_minus = mid - prev
+
+    e_prev = energies[:-2]
+    e_mid = energies[1:-1]
+    e_next = energies[2:]
+
+    up = (e_next > e_mid) & (e_mid > e_prev)
+    down = (e_next < e_mid) & (e_mid < e_prev)
+
+    dE_max = jnp.maximum(jnp.abs(e_next - e_mid), jnp.abs(e_prev - e_mid))
+    dE_min = jnp.minimum(jnp.abs(e_next - e_mid), jnp.abs(e_prev - e_mid))
+    higher_next = e_next > e_prev
+
+    t_mix_hi = t_plus * dE_max[:, None, None] + t_minus * dE_min[:, None, None]
+    t_mix_lo = t_plus * dE_min[:, None, None] + t_minus * dE_max[:, None, None]
+
+    tang = jnp.where(up[:, None, None], t_plus,
+                     jnp.where(down[:, None, None], t_minus,
+                               jnp.where(higher_next[:, None, None],
+                                         t_mix_hi, t_mix_lo)))
+    norm = jnp.sqrt(jnp.sum(tang * tang, axis=(-2, -1)))[:, None, None]
+    return tang / jnp.maximum(norm, 1e-12)
+
+
+def neb_forces(chain, energy_fn, k_spring=1.0, climbing=False):
+    '''
+    NEB force on every image: true force perpendicular to the tangent +
+    spring force along it; the highest image climbs when requested.
+    chain (I, N, 3) -> forces (I, N, 3) with zeroed endpoints.
+    '''
+    energies = energy_fn(chain)
+    grad = jax.grad(lambda c: jnp.sum(energy_fn(c)))(chain)
+    true_force = -grad
+
+    tang = _tangents(chain, energies)                       # (I-2, N, 3)
+    f_mid = true_force[1:-1]
+
+    f_par = jnp.sum(f_mid * tang, axis=(-2, -1))[:, None, None] * tang
+    f_perp = f_mid - f_par
+
+    d_next = jnp.sqrt(jnp.sum((chain[2:] - chain[1:-1]) ** 2,
+                              axis=(-2, -1)))
+    d_prev = jnp.sqrt(jnp.sum((chain[1:-1] - chain[:-2]) ** 2,
+                              axis=(-2, -1)))
+    f_spring = (k_spring * (d_next - d_prev))[:, None, None] * tang
+
+    neb_f = f_perp + f_spring
+
+    if climbing:
+        # highest interior image: full force with inverted parallel part
+        i_max = jnp.argmax(energies[1:-1])
+        climb_f = f_mid - 2.0 * f_par
+        neb_f = neb_f.at[i_max].set(climb_f[i_max])
+
+    out = jnp.zeros_like(chain)
+    return out.at[1:-1].set(neb_f)
+
+
+@partial(jax.jit, static_argnames=('energy_fn', 'n_steps', 'climbing'))
+def _neb_relax(chain, energy_fn, n_steps, k_spring, dt0, fmax, climbing):
+    '''FIRE relaxation of the whole band (endpoints frozen).'''
+    def body(state, _):
+        c, v, dt, alpha, n_pos = state
+        f = neb_forces(c, energy_fn, k_spring=k_spring, climbing=climbing)
+
+        power = jnp.sum(f * v)
+        f_norm = jnp.sqrt(jnp.sum(f * f))
+        v_norm = jnp.sqrt(jnp.sum(v * v))
+        v_mixed = (1 - alpha) * v + alpha * f * v_norm / jnp.maximum(f_norm, 1e-12)
+
+        uphill = power <= 0.0
+        v_new = jnp.where(uphill, 0.0, v_mixed)
+        n_pos_new = jnp.where(uphill, 0, n_pos + 1)
+        grow = n_pos_new > 5
+        dt_new = jnp.where(uphill, dt * 0.5,
+                           jnp.where(grow, jnp.minimum(dt * 1.1, dt0 * 10),
+                                     dt))
+        alpha_new = jnp.where(uphill, 0.1,
+                              jnp.where(grow, alpha * 0.99, alpha))
+
+        v_stepped = v_new + dt_new * f
+        step = dt_new * v_stepped
+        max_disp = jnp.max(jnp.linalg.norm(step, axis=-1))
+        step = step * jnp.minimum(1.0, 0.2 / jnp.maximum(max_disp, 1e-12))
+        return (c + step, v_stepped, dt_new, alpha_new, n_pos_new), None
+
+    init = (chain, jnp.zeros_like(chain), jnp.asarray(dt0),
+            jnp.asarray(0.1), jnp.asarray(0, dtype=jnp.int32))
+    (chain, *_), _ = jax.lax.scan(body, init, None, length=n_steps)
+    return chain
+
+
+def run_neb(start, end, energy_fn, n_images=7, k_spring=1.0,
+            n_steps=800, climb_after=400, dt0=0.02, fmax=0.05,
+            chain=None):
+    '''
+    Climbing-image NEB between two endpoint geometries.
+    Returns (chain (I, N, 3), energies (I,), ts_index).
+    '''
+    if chain is None:
+        chain = interpolate_chain(start, end, n_images)
+    chain = jnp.asarray(chain)
+
+    chain = _neb_relax(chain, energy_fn, climb_after, k_spring, dt0,
+                       fmax, False)
+    chain = _neb_relax(chain, energy_fn, n_steps - climb_after, k_spring,
+                       dt0, fmax, True)
+
+    energies = np.asarray(energy_fn(chain))
+    ts_index = int(1 + np.argmax(energies[1:-1]))
+    return np.asarray(chain), energies, ts_index

@@ -519,6 +519,10 @@ def prune_conformers_rmsd_device(heavy_structures, rmsd_thr=0.5,
     heavy_structures: (n, N, 3) jnp array (already heavy-atom-sliced).
     Returns the final keep mask as a jnp (n,) bool array.
     '''
+    import os
+    import time as _time
+    trace = os.environ.get('TSCODE_PRUNE_TRACE') == '1'
+
     hs = jnp.asarray(heavy_structures)
     n = hs.shape[0]
     mask = jnp.ones(n, dtype=bool) if init_mask is None \
@@ -529,6 +533,7 @@ def prune_conformers_rmsd_device(heavy_structures, rmsd_thr=0.5,
     thr = jnp.asarray(rmsd_thr, hs.dtype)
 
     for k in K_SCHEDULE:
+        t_pass = _time.perf_counter()
         active = int(jnp.sum(mask))               # one scalar per pass
         if not (k == 1 or 20 * k < active):
             continue
@@ -560,6 +565,12 @@ def prune_conformers_rmsd_device(heavy_structures, rmsd_thr=0.5,
                 first = chunk * chunksize
                 last = n if chunk == k - 1 else chunksize * (chunk + 1)
                 mask = _compact_chunk_pass(hs, mask, first, last, thr, n)
+
+        if trace:
+            import sys
+            print(f'[prune] k={k} active_in={active} '
+                  f'({_time.perf_counter() - t_pass:.2f}s)',
+                  file=sys.stderr)
 
     return mask
 
