@@ -41,9 +41,10 @@ def _refine_operator(embedder, mol, name):
 
 
 def _scan_operator(embedder, mol, name):
-    # routed through embed='data' in Embedder._setup; the scan itself runs
-    # in the data_termination path
-    return mol
+    # the scan runs here, during operator application; _setup then routes
+    # the run to the 'data' termination (reference embedder.py:628-634)
+    from tscode_tpu.scans import scan_operator
+    return scan_operator(embedder, mol)
 
 
 def _require_calc(embedder, what):

@@ -315,87 +315,44 @@ def prune_conformers_rmsd(structures, atomnos, rmsd_thr=0.5):
 
 # ------------------------------------------------------ device-resident
 
-@functools.partial(jax.jit, static_argnames=('span', 'row_tile',
-                                             'col_block'))
-def _masked_kill_stream(hs, mask, first, span, rmsd_thr,
-                        row_tile=_ROW_TILE, col_block=_COL_BLOCK):
-    '''
-    Kill bits for ONE chunk [first, first+span) with a liveness mask,
-    fully on device: row i (active) dies when an active j > i in the
-    chunk passes both gates. Returns the updated global mask. `span` is
-    static (shape-defining); `first` is traced, so all same-size chunks
-    of a pass share one executable and the mask never leaves the device.
-    '''
-    n_tiles = -(-span // row_tile)
-    span_pad = n_tiles * row_tile
-    n_cblocks = -(-span // col_block)
-    span_pad_c = n_cblocks * col_block
-
-    N = hs.shape[1]
-    n_dt = jnp.asarray(N, hs.dtype)
-
-    # padded chunk views (pad with zeros; padded rows masked out)
-    def pad_to(x, size):
-        chunk = jax.lax.dynamic_slice_in_dim(x, first, span)
-        return jnp.pad(chunk, [(0, size - span)] + [(0, 0)] * (x.ndim - 1))
-
-    hs_r = pad_to(hs, span_pad)
-    hs_c = pad_to(hs, span_pad_c)
-    m_chunk = jax.lax.dynamic_slice_in_dim(mask, first, span)
-    m_r = jnp.pad(m_chunk, (0, span_pad - span))
-    m_c = jnp.pad(m_chunk, (0, span_pad_c - span))
-
-    def row_body(r, kill_acc):
-        r0 = r * row_tile
-        P = jax.lax.dynamic_slice_in_dim(hs_r, r0, row_tile)
-        GA = jnp.sum(P * P, axis=(-2, -1))
-        i_loc = r0 + jnp.arange(row_tile)
-
-        def col_body(c, kill_rows):
-            c0 = c * col_block
-            Q = jax.lax.dynamic_slice_in_dim(hs_c, c0, col_block)
-            S = jnp.einsum('tni,cnk->tcik', P, Q)
-            GB = jnp.sum(Q * Q, axis=(-2, -1))
-            lam = _qcp_lambda_max(S, GA[:, None], GB[None, :])
-            msd = (GA[:, None] + GB[None, :] - 2.0 * lam) / n_dt
-            rmsd = jnp.sqrt(jnp.maximum(msd, 0.0))
-
-            K = _horn_key_matrix(S)
-            q_wxyz = _quaternion_from_key(K, lam)
-            q_xyzw = jnp.concatenate([q_wxyz[..., 1:], q_wxyz[..., :1]],
-                                     axis=-1)
-            R = quaternion_to_rotation_matrix(q_xyzw)
-            rotated = jnp.einsum('tcij,tnj->tcni', R, P)
-            diff = rotated - Q[None]
-            maxdev = jnp.sqrt(jnp.max(jnp.sum(diff * diff, axis=-1), axis=-1))
-
-            j_loc = c0 + jnp.arange(col_block)
-            m_j = jax.lax.dynamic_slice_in_dim(m_c, c0, col_block)
-            valid = (j_loc[None, :] > i_loc[:, None]) & \
-                (j_loc[None, :] < span) & m_j[None, :]
-            hit = (rmsd < rmsd_thr) & (maxdev < 2.0 * rmsd_thr) & valid
-            return kill_rows | jnp.any(hit, axis=1)
-
-        kill_rows = jax.lax.fori_loop(
-            0, n_cblocks, col_body, jnp.zeros(row_tile, dtype=bool))
-        return jax.lax.dynamic_update_slice_in_dim(kill_acc, kill_rows, r0, 0)
-
-    kill = jax.lax.fori_loop(0, n_tiles, row_body,
-                             jnp.zeros(span_pad, dtype=bool))
-    kill = kill[:span] & m_r[:span]
-    return jax.lax.dynamic_update_slice_in_dim(
-        mask, m_chunk & ~kill, first, 0)
+# ------------------------------------------------------ device-resident
+#
+# The structures tensor stays on device for the whole schedule; the
+# liveness mask lives on HOST (tiny, cheap to move) and every pass runs
+# as one or two batched device calls over GATHERED active chunks, padded
+# to power-of-two buckets so executables are reused across passes and
+# runs. This keeps both the quadratic work (scales with ACTIVE counts,
+# not chunk spans) and the call/compile count minimal.
 
 
 @jax.jit
-def _masked_kill_blocks(P_blocks, M_blocks, rmsd_thr):
-    '''Batched within-block masked kill: like _fused_kill_blocks but with
-    an explicit per-row liveness mask (device-resident pruning path).'''
-    L, N = P_blocks.shape[1], P_blocks.shape[2]
-    n_dt = jnp.asarray(N, P_blocks.dtype)
+def _gathered_kill_blocks(hs, idx, m_real, rmsd_thr):
+    '''
+    Batched within-block kill over gathered active rows.
+    hs (n, N, 3) device-resident pool; idx (B, L) int32 row indices
+    (padded entries >= n, clipped for the gather and masked out);
+    m_real (B,) live rows per block. Row p of block b dies when some
+    q in (p, m_real[b]) passes rmsd < thr AND maxdev < 2*thr.
+    Returns (B, L) bool.
+    '''
+    n = hs.shape[0]
+    P = hs[jnp.clip(idx, 0, n - 1)]                   # (B, L, N, 3)
+    B, L, N = P.shape[0], P.shape[1], P.shape[2]
+    n_dt = jnp.asarray(N, P.dtype)
 
-    S = jnp.einsum('bpni,bqnk->bpqik', P_blocks, P_blocks)
-    G = jnp.sum(P_blocks * P_blocks, axis=(-2, -1))
+    # rotation-invariant lower bound screen (see _gathered_kill_stream)
+    radii = jnp.sqrt(jnp.maximum(jnp.sum(P * P, axis=-1), 0.0))  # (B, L, N)
+    r2m = jnp.mean(radii * radii, axis=-1)                       # (B, L)
+    lb = r2m[:, :, None] + r2m[:, None, :] \
+        - (2.0 / N) * jnp.einsum('bpn,bqn->bpq', radii, radii)
+
+    pos = jnp.arange(L)
+    valid = (pos[None, None, :] > pos[None, :, None]) & \
+        (pos[None, None, :] < m_real[:, None, None])
+    cand = (lb < rmsd_thr * rmsd_thr) & valid
+
+    S = jnp.einsum('bpni,bqnk->bpqik', P, P)
+    G = jnp.sum(P * P, axis=(-2, -1))
     lam = _qcp_lambda_max(S, G[:, :, None], G[:, None, :])
     msd = (G[:, :, None] + G[:, None, :] - 2.0 * lam) / n_dt
     rmsd = jnp.sqrt(jnp.maximum(msd, 0.0))
@@ -404,36 +361,33 @@ def _masked_kill_blocks(P_blocks, M_blocks, rmsd_thr):
     q_wxyz = _quaternion_from_key(K, lam)
     q_xyzw = jnp.concatenate([q_wxyz[..., 1:], q_wxyz[..., :1]], axis=-1)
     R = quaternion_to_rotation_matrix(q_xyzw)
-    rotated = jnp.einsum('bpqij,bpnj->bpqni', R, P_blocks)
-    diff = rotated - P_blocks[:, None]
+    rotated = jnp.einsum('bpqij,bpnj->bpqni', R, P)
+    diff = rotated - P[:, None]
     maxdev = jnp.sqrt(jnp.max(jnp.sum(diff * diff, axis=-1), axis=-1))
 
-    idx = jnp.arange(L)
-    valid = (idx[None, None, :] > idx[None, :, None]) & M_blocks[:, None, :]
-    hit = (rmsd < rmsd_thr) & (maxdev < 2.0 * rmsd_thr) & valid
-    return jnp.any(hit, axis=2) & M_blocks
+    hit = (rmsd < rmsd_thr) & (maxdev < 2.0 * rmsd_thr) & cand
+    return jnp.any(hit, axis=2)
 
 
 @functools.partial(jax.jit, static_argnames=('row_tile', 'col_block'))
 def _gathered_kill_stream(sub, n_act, rmsd_thr,
                           row_tile=_ROW_TILE, col_block=_COL_BLOCK):
     '''
-    Kill bits for a COMPACTED chunk (rows already gathered to the active
-    structures in order): row i dies when some j in (i, n_act) passes
-    both gates. sub: (S, N, 3) with S % row_tile == S % col_block == 0
-    (padding rows are garbage, masked by n_act). Returns (S,) bool.
+    Kill bits for ONE large compacted chunk (rows gathered in order):
+    row i dies when some j in (i, n_act) passes both gates. Streams the
+    column axis so intermediates stay VMEM-sized; a rotation-invariant
+    per-atom-radius lower bound on the (uncentered) Kabsch MSD
+    (msd >= mean_k (|p_k| - |q_k|)^2) lets blocks with no candidate
+    pair skip the QCP work entirely. sub (S, N, 3), S divisible by both
+    tiles. Returns (S,) bool.
     '''
     S, N = sub.shape[0], sub.shape[1]
     n_dt = jnp.asarray(N, sub.dtype)
     n_tiles = S // row_tile
     n_cblocks = S // col_block
 
-    # per-atom distances from the origin are rotation invariants, giving
-    # an MXU-cheap LOWER BOUND on the (uncentered) Kabsch MSD:
-    #   msd >= mean_k (|p_k| - |q_k|)^2
-    # blocks with no pair under the bound skip the QCP work entirely
-    radii = jnp.sqrt(jnp.maximum(jnp.sum(sub * sub, axis=-1), 0.0))  # (S, N)
-    r2_mean = jnp.mean(radii * radii, axis=-1)                       # (S,)
+    radii = jnp.sqrt(jnp.maximum(jnp.sum(sub * sub, axis=-1), 0.0))
+    r2_mean = jnp.mean(radii * radii, axis=-1)
 
     def row_body(r, kill_acc):
         r0 = r * row_tile
@@ -472,12 +426,11 @@ def _gathered_kill_stream(sub, n_act, rmsd_thr,
                 diff = rotated - Q[None]
                 maxdev = jnp.sqrt(jnp.max(jnp.sum(diff * diff, axis=-1),
                                           axis=-1))
-
                 hit = (rmsd < rmsd_thr) & (maxdev < 2.0 * rmsd_thr) & cand
                 return kill_rows | jnp.any(hit, axis=1)
 
-            return jax.lax.cond(jnp.any(cand), heavy,
-                                lambda k: k, kill_rows)
+            return jax.lax.cond(jnp.any(cand), heavy, lambda kk: kk,
+                                kill_rows)
 
         kill_rows = jax.lax.fori_loop(
             0, n_cblocks, col_body, jnp.zeros(row_tile, dtype=bool))
@@ -487,37 +440,19 @@ def _gathered_kill_stream(sub, n_act, rmsd_thr,
                              jnp.zeros(S, dtype=bool))
 
 
-def _compact_chunk_pass(hs, mask, first, last, thr, n):
-    '''One big chunk evaluated after on-device active compaction: the
-    quadratic work scales with the ACTIVE count, not the chunk span.
-    Performs one scalar sync (the active count).'''
-    span = last - first
-    m_chunk = jax.lax.dynamic_slice_in_dim(mask, first, span)
-    cnt = int(jnp.sum(m_chunk))                   # scalar sync
-    if cnt <= 1:
-        return mask
-    # pad the gather to a power-of-two bucket (bounded compile count)
-    S = max(_ROW_TILE, int(2 ** np.ceil(np.log2(cnt))))
-    cb = min(_COL_BLOCK, S)
-    idx = first + jnp.nonzero(m_chunk, size=S, fill_value=span)[0]
-    sub = hs[jnp.clip(idx, 0, n - 1)]
-    kill = _gathered_kill_stream(sub, jnp.asarray(cnt, jnp.int32), thr,
-                                 col_block=cb)
-    # scatter kills back; padded entries point past n and are dropped
-    return mask.at[jnp.where(kill, idx, n)].set(False, mode='drop')
+def _pow2(x, floor=8):
+    return max(floor, int(2 ** np.ceil(np.log2(max(x, 1)))))
 
 
 def prune_conformers_rmsd_device(heavy_structures, rmsd_thr=0.5,
-                                 init_mask=None, max_block=512):
+                                 init_mask=None, small_chunk=256):
     '''
     Device-resident variant of prune_conformers_rmsd: identical bucketed
-    keep/kill semantics, but the liveness mask lives on device for the
-    whole schedule — only one scalar (the active count) crosses the host
-    boundary per pass. For hosts linked to the accelerator by a slow
-    tunnel this is the difference between seconds and hours.
-
-    heavy_structures: (n, N, 3) jnp array (already heavy-atom-sliced).
-    Returns the final keep mask as a jnp (n,) bool array.
+    keep/kill semantics. The structure pool is shipped to the device
+    once; per pass, active chunks are gathered into power-of-two-padded
+    blocks and evaluated in O(1) batched device calls (small chunks) or
+    one streaming call per oversized chunk, with only the small kill-bit
+    arrays crossing back. Returns the final (n,) bool keep mask (numpy).
     '''
     import os
     import time as _time
@@ -525,8 +460,8 @@ def prune_conformers_rmsd_device(heavy_structures, rmsd_thr=0.5,
 
     hs = jnp.asarray(heavy_structures)
     n = hs.shape[0]
-    mask = jnp.ones(n, dtype=bool) if init_mask is None \
-        else jnp.asarray(init_mask)
+    mask = np.ones(n, dtype=bool) if init_mask is None \
+        else np.array(init_mask, dtype=bool)
     if n <= 1:
         return mask
 
@@ -534,38 +469,57 @@ def prune_conformers_rmsd_device(heavy_structures, rmsd_thr=0.5,
 
     for k in K_SCHEDULE:
         t_pass = _time.perf_counter()
-        active = int(jnp.sum(mask))               # one scalar per pass
+        active = int(mask.sum())
         if not (k == 1 or 20 * k < active):
             continue
         k = int(k)
         chunksize = n // k
 
-        if chunksize <= max_block and k > 1:
-            # regular chunks 0..k-2 in a few batched calls (group size
-            # bounded so the (g, L, L, N, 3) rotation intermediate stays
-            # well under HBM)
-            reg = hs[:(k - 1) * chunksize].reshape(k - 1, chunksize,
-                                                   *hs.shape[1:])
-            m_reg = mask[:(k - 1) * chunksize].reshape(k - 1, chunksize)
-            n_at = hs.shape[1]
-            group = max(1, int(4e8 // max(chunksize * chunksize * n_at * 12,
-                                          1)))
-            kills = []
-            for g0 in range(0, k - 1, group):
-                kills.append(_masked_kill_blocks(
-                    reg[g0:g0 + group], m_reg[g0:g0 + group], thr))
-            kill = jnp.concatenate(kills).reshape(-1)
-            mask = mask.at[:(k - 1) * chunksize].set(
-                mask[:(k - 1) * chunksize] & ~kill)
-            # oversized last chunk [ (k-1)*chunksize, n ): compact + stream
-            mask = _compact_chunk_pass(hs, mask, (k - 1) * chunksize, n,
-                                       thr, n)
-        else:
-            for chunk in range(k):
-                first = chunk * chunksize
-                last = n if chunk == k - 1 else chunksize * (chunk + 1)
-                mask = _compact_chunk_pass(hs, mask, first, last, thr, n)
+        chunks = []
+        for chunk in range(k):
+            first = chunk * chunksize
+            last = n if chunk == k - 1 else chunksize * (chunk + 1)
+            idx = np.nonzero(mask[first:last])[0] + first
+            if len(idx) > 1:
+                chunks.append(idx)
+        if not chunks:
+            continue
 
+        new_mask = mask.copy()
+        small = [c for c in chunks if len(c) <= small_chunk]
+        large = [c for c in chunks if len(c) > small_chunk]
+
+        if small:
+            L_pad = _pow2(max(len(c) for c in small))
+            B = len(small)
+            idx_arr = np.full((B, L_pad), n, dtype=np.int32)
+            m_real = np.zeros(B, dtype=np.int32)
+            for b, c in enumerate(small):
+                idx_arr[b, :len(c)] = c
+                m_real[b] = len(c)
+
+            N_at = hs.shape[1]
+            group = max(1, int(4e8 // max(L_pad * L_pad * N_at * 12, 1)))
+            for g0 in range(0, B, group):
+                g1 = min(g0 + group, B)
+                bits = np.asarray(_gathered_kill_blocks(
+                    hs, jnp.asarray(idx_arr[g0:g1]),
+                    jnp.asarray(m_real[g0:g1]), thr))
+                for b_rel in range(g1 - g0):
+                    c = small[g0 + b_rel]
+                    new_mask[c[bits[b_rel, :len(c)]]] = False
+
+        for c in large:
+            Sp = _pow2(len(c), floor=_ROW_TILE)
+            cb = min(_COL_BLOCK, Sp)
+            idx = np.full(Sp, n, dtype=np.int32)
+            idx[:len(c)] = c
+            sub = hs[jnp.clip(jnp.asarray(idx), 0, n - 1)]
+            bits = np.asarray(_gathered_kill_stream(
+                sub, jnp.asarray(len(c), jnp.int32), thr, col_block=cb))
+            new_mask[c[bits[:len(c)]]] = False
+
+        mask = new_mask
         if trace:
             import sys
             print(f'[prune] k={k} active_in={active} '
