@@ -149,13 +149,17 @@ def run_device_pipeline(mol1, mol2):
     B = poses.shape[0]
     vlog(f'embed program compiled, B={B}')
 
-    # warmup the prune kernels on a small prefix of the real survivors
-    # (populates the persistent compile cache for the shape buckets)
-    warm_ok = np.asarray(ok[:4096])
-    warm_idx = jnp.asarray(np.nonzero(warm_ok)[0])
-    if len(warm_idx) > 1:
-        warm = poses[warm_idx][:, jnp.asarray(heavy)]
-        _ = prune_conformers_rmsd_device(warm, rmsd_thr=0.5)
+    # pre-compile every pruning executable; the blocked kernel gathers
+    # from the survivor pool, so warm with the (pow2-padded) pool size
+    n_ok_warm = int(jnp.sum(ok))
+    pool_pad = int(2 ** np.ceil(np.log2(max(n_ok_warm, 2))))
+    from tscode_tpu.ops.rmsd_prune import warmup_prune_kernels
+    warmup_prune_kernels(len(heavy), dtype=poses.dtype,
+                         stream_sizes=(1024, 4096), n_pool=pool_pad)
+    # warm the survivor compaction + gather programs too
+    idx_w = jnp.nonzero(ok, size=pool_pad, fill_value=B)[0]
+    _ = poses[jnp.clip(idx_w, 0, B - 1)][:, jnp.asarray(heavy)] \
+        .block_until_ready()
     vlog('prune kernels warm')
 
     t0 = time.perf_counter()
@@ -163,12 +167,15 @@ def run_device_pipeline(mol1, mol2):
     n_ok = int(jnp.sum(ok))                       # scalar sync
     vlog(f'embed+clash done, {n_ok} clash-ok')
 
-    # device-side survivor compaction (generation order preserved)
-    idx = jnp.nonzero(ok, size=n_ok)[0]
-    heavy_survivors = poses[idx][:, jnp.asarray(heavy)]
+    # device-side survivor compaction (generation order preserved);
+    # pow2-padded so every program was pre-compiled above
+    S_pad = int(2 ** np.ceil(np.log2(max(n_ok, 2))))
+    idx = jnp.nonzero(ok, size=S_pad, fill_value=B)[0]
+    heavy_survivors = poses[jnp.clip(idx, 0, B - 1)][:, jnp.asarray(heavy)]
 
-    keep = prune_conformers_rmsd_device(heavy_survivors, rmsd_thr=0.5)
-    n_final = int(jnp.sum(keep))                  # scalar sync
+    keep = prune_conformers_rmsd_device(heavy_survivors, rmsd_thr=0.5,
+                                        n_real=n_ok)
+    n_final = int(np.sum(keep[:n_ok]))
     elapsed = time.perf_counter() - t0
     vlog(f'prune done, {n_final} final')
 

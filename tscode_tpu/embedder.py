@@ -358,6 +358,10 @@ class Embedder:
         embedder.py:853-907); wired to the operators module.'''
         for mol_index, op_list in self.options.operators_dict.items():
             for op in op_list:
+                if self.options.dryrun:
+                    self.log(f'--> Dry run requested: skipping operator '
+                             f'"{op}>"')
+                    continue
                 from tscode_tpu.operators import operate
                 self.objects[mol_index] = operate(op, self,
                                                   self.objects[mol_index])
@@ -367,8 +371,11 @@ class Embedder:
     def _setup(self, p=True):
         '''Embed-type decision + angle grids + pivots
         (reference embedder.py:623-779).'''
-        if any('pka>' in op for op in self.options.operators) or \
-           any('scan>' in op for op in self.options.operators):
+        if any(tag in op for op in self.options.operators
+               for tag in ('pka>', 'scan>', 'neb>', 'saddle>',
+                           'mep_relax>', 'automep>')):
+            # these operators already ran in _apply_operators and the run
+            # terminates with their data (reference operators.py:81-150)
             self.embed = 'data'
             return
 

@@ -106,16 +106,20 @@ def _neb_relax(chain, energy_fn, n_steps, k_spring, dt0, fmax, climbing):
         n_pos_new = jnp.where(uphill, 0, n_pos + 1)
         grow = n_pos_new > 5
         dt_new = jnp.where(uphill, dt * 0.5,
-                           jnp.where(grow, jnp.minimum(dt * 1.1, dt0 * 10),
+                           jnp.where(grow, jnp.minimum(dt * 1.1, dt0 * 4),
                                      dt))
         alpha_new = jnp.where(uphill, 0.1,
                               jnp.where(grow, alpha * 0.99, alpha))
 
         v_stepped = v_new + dt_new * f
         step = dt_new * v_stepped
+        # conservative displacement cap: stiff bonded potentials make
+        # the band integrator prone to runaway otherwise
         max_disp = jnp.max(jnp.linalg.norm(step, axis=-1))
-        step = step * jnp.minimum(1.0, 0.2 / jnp.maximum(max_disp, 1e-12))
-        return (c + step, v_stepped, dt_new, alpha_new, n_pos_new), None
+        scale = jnp.minimum(1.0, 0.05 / jnp.maximum(max_disp, 1e-12))
+        step = step * scale
+        v_capped = v_stepped * scale
+        return (c + step, v_capped, dt_new, alpha_new, n_pos_new), None
 
     init = (chain, jnp.zeros_like(chain), jnp.asarray(dt0),
             jnp.asarray(0.1), jnp.asarray(0, dtype=jnp.int32))
@@ -124,7 +128,7 @@ def _neb_relax(chain, energy_fn, n_steps, k_spring, dt0, fmax, climbing):
 
 
 def run_neb(start, end, energy_fn, n_images=7, k_spring=1.0,
-            n_steps=800, climb_after=400, dt0=0.02, fmax=0.05,
+            n_steps=800, climb_after=400, dt0=0.01, fmax=0.05,
             chain=None):
     '''
     Climbing-image NEB between two endpoint geometries.
@@ -136,8 +140,14 @@ def run_neb(start, end, energy_fn, n_images=7, k_spring=1.0,
 
     chain = _neb_relax(chain, energy_fn, climb_after, k_spring, dt0,
                        fmax, False)
+
+    # only climb when the band actually has an interior barrier — on a
+    # monotonic profile the climbing image would just run up the nearest
+    # repulsive wall
+    energies = np.asarray(energy_fn(chain))
+    has_barrier = energies[1:-1].max() > max(energies[0], energies[-1]) + 1e-6
     chain = _neb_relax(chain, energy_fn, n_steps - climb_after, k_spring,
-                       dt0, fmax, True)
+                       dt0, fmax, bool(has_barrier))
 
     energies = np.asarray(energy_fn(chain))
     ts_index = int(1 + np.argmax(energies[1:-1]))

@@ -21,12 +21,12 @@ def operate(op, embedder, mol):
         'rsearch': _rsearch_operator,
         'mtd_search': _mtd_operator,
         'mtd': _mtd_operator,
-        'neb': _not_implemented,
-        'saddle': _not_implemented,
+        'neb': _neb_operator,
+        'saddle': _saddle_operator,
         'scan': _scan_operator,
         'automep': _not_implemented,
-        'mep_relax': _not_implemented,
-        'pka': _not_implemented,
+        'mep_relax': _mep_relax_operator,
+        'pka': _pka_operator,
     }
 
     handler = handlers.get(name)
@@ -79,6 +79,98 @@ def _mtd_operator(embedder, mol, name):
     _require_calc(embedder, 'mtd_search>')
     from tscode_tpu.calculators.xtb import crest_mtd_search_operator
     return crest_mtd_search_operator(embedder, mol)
+
+
+def _make_ff_energy(mol):
+    '''Batched FF energy closure for one topology (neb/saddle drivers).'''
+    from tscode_tpu.ff import build_ff_params, ff_energy, params_to_device
+    params = params_to_device(build_ff_params(
+        mol.atomcoords[0], mol.atomnos, mol.graph))
+
+    def energy(c):
+        return ff_energy(c, params)
+    return energy
+
+
+def _neb_operator(embedder, mol, name):
+    '''neb>: climbing-image NEB from 2 (ends), 3 (ends + TS guess) or an
+    odd-N chain of input structures (reference operators.py:281-395;
+    internal-FF surface when no calculator is present).'''
+    from tscode_tpu.io_xyz import write_xyz
+    from tscode_tpu.neb import interpolate_chain, run_neb
+
+    n = mol.n_confs
+    if n < 2:
+        raise InputError('neb> needs at least two structures '
+                         '(reagent and product).')
+
+    images = getattr(embedder.options, 'images', None) or \
+        (embedder.options.neb.images if embedder.options.neb else 7)
+
+    energy = _make_ff_energy(mol)
+    # center + Kabsch-align every image to the first so interpolation
+    # does not sweep through rigid-rotation garbage
+    from tscode_tpu.molecule import align_structures
+    aligned = align_structures(mol.atomcoords)
+    if n == 2:
+        chain = None
+        start, end = aligned[0], aligned[-1]
+    else:
+        # user-provided chain becomes the starting band
+        chain = aligned
+        start, end = aligned[0], aligned[-1]
+        images = n
+
+    embedder.log(f'--> {mol.rootname}: CI-NEB with {images} images '
+                 f'(internal FF surface'
+                 f'{"" if embedder.options.calculator is None else ", calculator refinement pending"})')
+    chain, energies, ts = run_neb(start, end, energy, n_images=images,
+                                  chain=chain)
+
+    with open(f'{mol.rootname}_MEP.xyz', 'w') as f:
+        for i, (s, e) in enumerate(zip(chain, energies)):
+            write_xyz(s, mol.atomnos, f,
+                      title=f'MEP image {i + 1}/{len(chain)} - Rel. E = '
+                            f'{round(e - energies[0], 2)} kcal/mol')
+    with open(f'{mol.rootname}_NEB_TS.xyz', 'w') as f:
+        write_xyz(chain[ts], mol.atomnos, f,
+                  title=f'NEB TS guess - Rel. E = '
+                        f'{round(energies[ts] - energies[0], 2)} kcal/mol')
+    embedder.log(f'    TS guess at image {ts + 1}, barrier '
+                 f'{round(energies[ts] - energies[0], 2)} kcal/mol; wrote '
+                 f'{mol.rootname}_MEP.xyz and {mol.rootname}_NEB_TS.xyz')
+    return mol
+
+
+def _mep_relax_operator(embedder, mol, name):
+    '''mep_relax>: relax a user-provided image chain
+    (reference operators.py:107-150, mep_relaxer.py).'''
+    return _neb_operator(embedder, mol, name)
+
+
+def _saddle_operator(embedder, mol, name):
+    '''saddle>: first-order saddle refinement of a single structure
+    (reference operators.py:397-431; dimer method on the internal FF).'''
+    from tscode_tpu.io_xyz import write_xyz
+    from tscode_tpu.saddle import saddle_refine_structure
+
+    embedder.log(f'--> {mol.rootname}: dimer saddle refinement '
+                 f'(internal FF surface)')
+    coords, energy, done = saddle_refine_structure(
+        mol.atomcoords[0], mol.atomnos, mol.graph)
+    with open(f'{mol.rootname}_saddle.xyz', 'w') as f:
+        write_xyz(coords, mol.atomnos, f,
+                  title=f'Saddle structure - E = {round(energy, 2)} '
+                        f'kcal/mol - converged: {done}')
+    embedder.log(f'    wrote {mol.rootname}_saddle.xyz '
+                 f'(converged: {done})')
+    return mol
+
+
+def _pka_operator(embedder, mol, name):
+    from tscode_tpu.pka import pka_routine
+    pka_routine(mol.name, embedder)
+    return mol
 
 
 def _not_implemented(embedder, mol, name):

@@ -444,8 +444,31 @@ def _pow2(x, floor=8):
     return max(floor, int(2 ** np.ceil(np.log2(max(x, 1)))))
 
 
+# (block length, blocks per call): fixed buckets keep the number of
+# distinct executables tiny (see prune_conformers_rmsd_device)
+_BLOCK_BUCKETS = ((64, 512), (256, 32))
+
+
+def warmup_prune_kernels(n_atoms, dtype=np.float32, stream_sizes=(1024,),
+                         n_pool=4):
+    '''Pre-compile the pruning executables for a given (pool size, atom
+    count): the blocked kernel gathers from the full pool, so its
+    executable is keyed on the pool shape too. Cheap: runs on zeros.'''
+    hs = jnp.zeros((n_pool, n_atoms, 3), dtype=dtype)
+    thr = jnp.asarray(0.5, hs.dtype)
+    for L_pad, group in _BLOCK_BUCKETS:
+        idx = jnp.zeros((group, L_pad), dtype=jnp.int32)
+        m_real = jnp.zeros(group, dtype=jnp.int32)
+        _gathered_kill_blocks(hs, idx, m_real, thr).block_until_ready()
+    for S in stream_sizes:
+        sub = jnp.zeros((S, n_atoms, 3), dtype=dtype)
+        _gathered_kill_stream(sub, jnp.asarray(2, jnp.int32), thr,
+                              col_block=min(_COL_BLOCK, S)).block_until_ready()
+
+
 def prune_conformers_rmsd_device(heavy_structures, rmsd_thr=0.5,
-                                 init_mask=None, small_chunk=256):
+                                 init_mask=None, small_chunk=256,
+                                 n_real=None):
     '''
     Device-resident variant of prune_conformers_rmsd: identical bucketed
     keep/kill semantics. The structure pool is shipped to the device
@@ -459,9 +482,13 @@ def prune_conformers_rmsd_device(heavy_structures, rmsd_thr=0.5,
     trace = os.environ.get('TSCODE_PRUNE_TRACE') == '1'
 
     hs = jnp.asarray(heavy_structures)
-    n = hs.shape[0]
-    mask = np.ones(n, dtype=bool) if init_mask is None \
+    # the pool may be padded past the real ensemble (pow2 batching);
+    # schedule boundaries follow the REAL length so semantics match an
+    # unpadded run, and padded rows start dead
+    n = int(n_real) if n_real is not None else hs.shape[0]
+    mask = np.ones(hs.shape[0], dtype=bool) if init_mask is None \
         else np.array(init_mask, dtype=bool)
+    mask[n:] = False
     if n <= 1:
         return mask
 
@@ -489,24 +516,30 @@ def prune_conformers_rmsd_device(heavy_structures, rmsd_thr=0.5,
         small = [c for c in chunks if len(c) <= small_chunk]
         large = [c for c in chunks if len(c) > small_chunk]
 
-        if small:
-            L_pad = _pow2(max(len(c) for c in small))
-            B = len(small)
+        # FIXED shape buckets (L, group) so executables are reused
+        # across passes, systems of the same size, and runs
+        prev_L = 0
+        for L_pad, group in _BLOCK_BUCKETS:
+            batch = [c for c in small if prev_L < len(c) <= L_pad]
+            prev_L = L_pad
+            if not batch:
+                continue
+            B = int(np.ceil(len(batch) / group)) * group
             idx_arr = np.full((B, L_pad), n, dtype=np.int32)
             m_real = np.zeros(B, dtype=np.int32)
-            for b, c in enumerate(small):
+            for b, c in enumerate(batch):
                 idx_arr[b, :len(c)] = c
                 m_real[b] = len(c)
 
-            N_at = hs.shape[1]
-            group = max(1, int(4e8 // max(L_pad * L_pad * N_at * 12, 1)))
             for g0 in range(0, B, group):
-                g1 = min(g0 + group, B)
                 bits = np.asarray(_gathered_kill_blocks(
-                    hs, jnp.asarray(idx_arr[g0:g1]),
-                    jnp.asarray(m_real[g0:g1]), thr))
-                for b_rel in range(g1 - g0):
-                    c = small[g0 + b_rel]
+                    hs, jnp.asarray(idx_arr[g0:g0 + group]),
+                    jnp.asarray(m_real[g0:g0 + group]), thr))
+                for b_rel in range(group):
+                    b_abs = g0 + b_rel
+                    if b_abs >= len(batch):
+                        break
+                    c = batch[b_abs]
                     new_mask[c[bits[b_rel, :len(c)]]] = False
 
         for c in large:
