@@ -502,13 +502,10 @@ def prune_conformers_rmsd_device(heavy_structures, rmsd_thr=0.5,
         k = int(k)
         chunksize = n // k
 
-        chunks = []
-        for chunk in range(k):
-            first = chunk * chunksize
-            last = n if chunk == k - 1 else chunksize * (chunk + 1)
-            idx = np.nonzero(mask[first:last])[0] + first
-            if len(idx) > 1:
-                chunks.append(idx)
+        act = np.flatnonzero(mask)
+        bounds = np.arange(1, k) * chunksize
+        chunks = [c for c in np.split(act, np.searchsorted(act, bounds))
+                  if len(c) > 1]
         if not chunks:
             continue
 
