@@ -1,0 +1,75 @@
+'''
+Pallas TPU kernel: batched compenetration (clash) screening.
+
+Layout note (the TPU-native choice): the POSE axis is the lane
+dimension. Input arrives as (N_atoms, 3, B) so each atom coordinate is a
+(3, BP) vector tile; the kernel unrolls the cross-fragment atom pairs
+(static — the pair mask is compile-time) and accumulates clash counts
+for BP poses at once, entirely in registers/VMEM. This sidesteps the
+(B, N, 3) layout's 3-wide lane padding, whose garbage lanes would
+otherwise pollute reductions.
+
+Equivalent to ops/clash.compenetration_mask (the XLA-fused jnp path).
+'''
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_POSE_BLOCK = 2048
+
+
+def _make_clash_kernel(pairs, thresh2, max_clashes):
+    '''Kernel closure over the STATIC cross-fragment pair list.'''
+
+    def kernel(coords_ref, out_ref):
+        # coords_ref: (N, 3, BP) VMEM; out_ref: (1, BP) int32
+        counts = jnp.zeros((1, coords_ref.shape[2]), dtype=jnp.float32)
+        for i, j in pairs:
+            diff = coords_ref[i] - coords_ref[j]          # (3, BP)
+            d2 = jnp.sum(diff * diff, axis=0, keepdims=True)
+            counts = counts + jnp.where(d2 < thresh2, 1.0, 0.0)
+        out_ref[:] = (counts <= max_clashes).astype(jnp.int32)
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('pairs', 'thresh', 'max_clashes',
+                                    'interpret'))
+def _clash_call(coords_t, pairs, thresh, max_clashes, interpret):
+    N = coords_t.shape[0]
+    B = coords_t.shape[2]
+    bp = min(_POSE_BLOCK, B)
+    kernel = _make_clash_kernel(pairs, float(thresh) ** 2,
+                                float(max_clashes))
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, B), jnp.int32),
+        grid=(B // bp,),
+        in_specs=[pl.BlockSpec((N, 3, bp), lambda i: (0, 0, i),
+                               memory_space=pltpu.ANY if interpret
+                               else pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, bp), lambda i: (0, i),
+                               memory_space=pltpu.ANY if interpret
+                               else pltpu.VMEM),
+        interpret=interpret,
+    )(coords_t)
+    return out[0].astype(bool)
+
+
+def compenetration_mask_pallas(poses, pair_mask, thresh=1.5,
+                               max_clashes=0, interpret=False):
+    '''
+    Pallas clash screen: poses (B, N, 3), pair_mask (N, N) bool ->
+    (B,) bool accept. B must be a multiple of 2048 (or B itself when
+    smaller); pad the batch with anything and discard the padded results.
+    '''
+    pairs = tuple((int(i), int(j))
+                  for i, j in zip(*np.nonzero(np.asarray(pair_mask))))
+    coords_t = jnp.transpose(poses.astype(jnp.float32), (1, 2, 0))
+    return _clash_call(coords_t, pairs, thresh, max_clashes, interpret)
