@@ -235,6 +235,57 @@ def xtb_get_free_energy(coords, atomnos, method='GFN2-xTB', solvent=None,
         return g * EH_TO_KCAL if g is not None else None
 
 
+def parse_xtb_scoord(filename):
+    '''Parse an xtb scoord.N file (Bohr) into Angstrom coordinates.'''
+    BOHR = 0.529177210903
+    coords = []
+    with open(filename) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) == 4 and parts[3].isalpha():
+                coords.append([float(p) * BOHR for p in parts[:3]])
+    return np.array(coords)
+
+
+def xtb_metadyn_augmentation(coords, atomnos, constrained_indices=None,
+                             new_structures=5, title=0, **kwargs):
+    '''GFN-FF metadynamics sampling around a structure, constraints held
+    (reference _xtb.py:528-584). Returns (n, N, 3) structures
+    (the input plus new_structures-1 snapshots).'''
+    with scratch_dir(f'mtd{title}') as cwd:
+        with open(os.path.join(cwd, 'temp.xyz'), 'w') as f:
+            write_xyz(coords, atomnos, f, title='temp')
+
+        s = ('$md\n'
+             f'   time={new_structures}\n'
+             '   step=1\n'
+             '   temp=300\n'
+             '$end\n'
+             '$metadyn\n'
+             f'   save={new_structures}\n'
+             '$end')
+        if constrained_indices is not None and len(constrained_indices):
+            s += '\n$constrain\n'
+            for a, b in constrained_indices:
+                d = round(float(np.linalg.norm(coords[a] - coords[b])), 5)
+                s += f'   distance: {a + 1}, {b + 1}, {d}\n'
+        with open(os.path.join(cwd, 'temp.inp'), 'w') as f:
+            f.write(s)
+
+        with open(os.path.join(cwd, 'mtd.log'), 'w') as f:
+            subprocess.check_call(
+                ['xtb', '--md', '--input', 'temp.inp', 'temp.xyz',
+                 '--gfnff'],
+                stdout=f, stderr=subprocess.STDOUT, cwd=cwd)
+
+        structures = [coords]
+        for n in range(1, new_structures):
+            name = os.path.join(cwd, f'scoord.{n}')
+            if os.path.isfile(name):
+                structures.append(parse_xtb_scoord(name))
+    return np.array(structures)
+
+
 def crest_mtd_search(coords, atomnos, constrained_indices=None,
                      method='GFN2-xTB//GFN-FF', solvent=None, charge=0,
                      kcal=10, ncimode=False, title='temp', procs=4,

@@ -775,6 +775,9 @@ class RunEmbedding(Embedder):
 
         self.write_structures('embedded', energies=False)
 
+        if self.options.debug:
+            self.dump_status('generate_candidates')
+
     def compenetration_refining(self):
         '''(reference embedder.py:1230-1266)'''
         if self.embed not in ('string', 'cyclical', 'monomolecular'):
@@ -894,6 +897,192 @@ class RunEmbedding(Embedder):
             self.log(f'All structures passed the similarity check.{" " * 15}')
         self.log()
 
+    # ------------------------------------------------------- debug dumps
+
+    def dump_status(self, outname, only_fixed_constraints=False):
+        '''Stage-by-stage debug artifacts: energies, structures,
+        constraints, and a pickle of the run state
+        (reference embedder.py:1179-1228).'''
+        import pickle
+
+        if hasattr(self, 'energies'):
+            with open(f'{outname}_energies.dat', 'w') as f:
+                for i, energy in enumerate(self.energies):
+                    txt = (f'{round(energy - np.min(self.energies), 2)} '
+                           f'kcal/mol' if energy != 1e10 else 'SCRAMBLED')
+                    f.write(f'Candidate {i:5} : {txt}\n')
+
+        with open(f'{outname}_structures.xyz', 'w') as f:
+            exit_status = getattr(self, 'exit_status',
+                                  np.zeros(len(self.structures), bool))
+            energies = (self.rel_energies() if hasattr(self, 'energies')
+                        else np.zeros(len(self.structures)))
+            for i, (structure, status, energy) in enumerate(zip(
+                    align_structures(self.structures), exit_status,
+                    energies)):
+                kind = 'REFINED - ' if status else 'NOT REFINED - '
+                write_xyz(structure, self.atomnos, f,
+                          title=f'Structure {i + 1} - {kind}Rel. E. = '
+                                f'{round(energy, 3)} kcal/mol')
+
+        with open(f'{outname}_constraints.dat', 'w') as f:
+            for i, constraints in enumerate(self.constrained_indices):
+                if only_fixed_constraints:
+                    constraints = np.array(
+                        [v for k, v in self.pairings_table.items()
+                         if k.isupper()])
+                elif len(self.internal_constraints) > 0:
+                    constraints = np.concatenate(
+                        [constraints, self.internal_constraints])
+                d_str = [self.get_pairing_dists_from_constrained_indices(c)
+                         for c in constraints]
+                f.write(f'Candidate {i:5} : '
+                        f'{np.asarray(constraints).tolist()} -> {d_str}\n')
+
+        state = {
+            'structures': self.structures,
+            'constrained_indices': self.constrained_indices,
+            'graphs': self.graphs,
+            'options': self.options,
+            'atomnos': self.atomnos,
+        }
+        if hasattr(self, 'energies'):
+            state['energies'] = self.energies
+        with open(f'{outname}_runembedding.pickle', 'wb') as f:
+            pickle.dump(state, f)
+
+    # ---------------------------------------------- augmentation stages
+
+    def metadynamics_augmentation(self):
+        '''XTB MTD sampling around every candidate
+        (reference embedder.py:1858-1891).'''
+        from tscode_tpu.calculators.xtb import xtb_metadyn_augmentation
+
+        self.log('--> Performing XTB Metadynamic augmentation of TS '
+                 'candidates')
+        before = len(self.structures)
+        t_start = time.perf_counter()
+
+        for s, (structure, constraints) in enumerate(zip(
+                np.copy(self.structures),
+                np.copy(self.constrained_indices))):
+            new_structures = xtb_metadyn_augmentation(
+                structure, self.atomnos, constrained_indices=constraints,
+                new_structures=5, title=s)
+            self.structures = np.concatenate(
+                (self.structures, new_structures))
+            self.energies = np.concatenate(
+                (self.energies, [0 for _ in new_structures]))
+            self.constrained_indices = np.concatenate(
+                (self.constrained_indices,
+                 [constraints for _ in new_structures]))
+
+        self.exit_status = np.ones(len(self.structures), dtype=bool)
+        self.log(f'Metadynamics augmentation completed - found '
+                 f'{len(self.structures) - before} new conformers '
+                 f'({time_to_string(time.perf_counter() - t_start)})\n')
+
+    def csearch_augmentation(self, text='', max_structs=1000):
+        '''HB-preserving random torsional augmentation of every candidate
+        (reference embedder.py:1893-1948).'''
+        from tscode_tpu.errors import SegmentedGraphError
+        from tscode_tpu.torsions import csearch
+
+        self.log(f'--> Performing conformational augmentation of TS '
+                 f'candidates {text}')
+        before = len(self.structures)
+        t_start = time.perf_counter()
+        n_out = 100 if len(self.structures) * 100 < max_structs else \
+            round(max_structs / len(self.structures))
+        n_out = max(1, n_out)
+
+        for s, (structure, constraints) in enumerate(zip(
+                np.copy(self.structures),
+                np.copy(self.constrained_indices))):
+            try:
+                new_structures = csearch(
+                    structure, self.atomnos,
+                    constrained_indices=constraints, keep_hb=True, mode=2,
+                    n_out=n_out, title=f'Candidate_{s + 1}',
+                    logfunction=lambda *_a, **_k: None)
+            except SegmentedGraphError:
+                new_structures = []
+
+            if len(new_structures) != 0:
+                self.structures = np.concatenate(
+                    (self.structures, new_structures))
+                self.energies = np.concatenate(
+                    (self.energies, [1e10 for _ in new_structures]))
+                self.constrained_indices = np.concatenate(
+                    (self.constrained_indices,
+                     [constraints for _ in new_structures]))
+
+        self.exit_status = np.ones(len(self.structures), dtype=bool)
+        self.similarity_refining(rmsd=False)
+        self.log(f'Conformational augmentation completed - generated '
+                 f'{len(self.structures) - before} new conformers '
+                 f'({time_to_string(time.perf_counter() - t_start)})\n')
+
+    def csearch_augmentation_routine(self):
+        '''Up to 3 augmentation+FF rounds, stopping after 2 without a new
+        minimum (reference embedder.py:1950-1983).'''
+        if not self.options.csearch_aug:
+            return
+        null_runs = 0
+        for i in range(3):
+            min_e = np.min(self.energies)
+            self.csearch_augmentation(text=f'(step {i + 1}/3)',
+                                      max_structs=self.options.max_confs)
+            self.force_field_refining()
+            if np.min(self.energies) < min_e:
+                delta = min_e - np.min(self.energies)
+                self.log(f'--> Lower minima found: {round(delta, 2)} '
+                         f'kcal/mol below previous best\n')
+            else:
+                self.log('--> No new minima found.\n')
+                null_runs += 1
+            if null_runs == 2:
+                break
+
+    def saddle_refining(self):
+        '''First-order saddle refinement of every candidate via the dimer
+        method on the internal FF (reference embedder.py:1985-2051 uses
+        Sella + the QM calculator).'''
+        from tscode_tpu.ff import (build_ff_params, ff_energy,
+                                   merge_ff_params, params_to_device)
+        from tscode_tpu.saddle import dimer_saddle
+        import jax
+
+        self.log('--> Saddle refinement (dimer method, internal FF)')
+        offsets = np.cumsum([0] + [len(g.nodes) for g in self.graphs])[:-1]
+        params_list = []
+        pos = 0
+        for g in self.graphs:
+            n_at = len(g.nodes)
+            params_list.append(build_ff_params(
+                self.structures[0][pos:pos + n_at],
+                self.atomnos[pos:pos + n_at], g))
+            pos += n_at
+        params = params_to_device(merge_ff_params(params_list, offsets))
+
+        def energy(c):
+            return ff_energy(c[None], params)[0]
+
+        new_structures = []
+        statuses = []
+        for i, structure in enumerate(self.structures):
+            c, e, ok = dimer_saddle(jnp.asarray(structure), energy)
+            new_structures.append(np.asarray(c))
+            statuses.append(bool(ok))
+            self.energies[i] = float(e)
+
+        self.structures = np.array(new_structures)
+        self.exit_status = np.array(statuses)
+        self.log(f'Saddle-refined {int(np.sum(self.exit_status))}/'
+                 f'{len(self.structures)} candidates\n')
+        self.similarity_refining()
+        self.write_structures('saddle', energies=True)
+
     # ------------------------------------------------- optimization hooks
 
     def force_field_refining(self, conv_thr='tight',
@@ -998,9 +1187,15 @@ class RunEmbedding(Embedder):
             clean_directory()
             return
 
+        if self.options.metadynamics:
+            self.metadynamics_augmentation()
+            self.optimization_refining()
+            self.similarity_refining()
+
+        self.csearch_augmentation_routine()
+
         if self.options.saddle:
-            from tscode_tpu.optimization import saddle_refine
-            saddle_refine(self)
+            self.saddle_refining()
 
         if self.options.nci and self.options.optimization:
             from tscode_tpu.nci import print_nci
