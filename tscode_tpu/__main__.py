@@ -26,7 +26,20 @@ def main(argv=None):
                         help='cores per external QM job')
     parser.add_argument('--threads', type=int, default=None,
                         help='concurrent external QM jobs')
+    parser.add_argument('-r', '--restart', default=None,
+                        help='resume from a tscode_resume_*.pkl state file')
+    parser.add_argument('-b', '--benchmark', action='store_true',
+                        help='run the proc/thread tuning benchmark on the '
+                             'input file')
+    parser.add_argument('-s', '--setup', action='store_true',
+                        help='guided calculator setup (writes overrides '
+                             'to ~/.tscode_tpu_settings.json)')
     args = parser.parse_args(argv)
+
+    if args.setup:
+        from tscode_tpu.modify_settings import run_setup
+        run_setup()
+        return 0
 
     if args.test:
         from tscode_tpu.tests_install import run_tests
@@ -43,12 +56,17 @@ def main(argv=None):
         parser.print_help()
         return 2
 
+    if args.benchmark:
+        from tscode_tpu.concurrent_test import run_concurrent_test
+        run_concurrent_test(filename)
+        return 0
+
     from tscode_tpu.embedder import Embedder
 
     def _run():
         embedder = Embedder(filename, stamp=args.name,
                             procs=args.procs, threads=args.threads)
-        embedder.run()
+        embedder.run(resume_from=args.restart)
 
     if args.profile:
         import cProfile

@@ -690,11 +690,11 @@ class Embedder:
                              f'kcal/mol  :  {rmsd_value}')
         self.logfile.close()
 
-    def run(self):
+    def run(self, resume_from=None):
         '''Run the pipeline on a copy of this embedder's state.'''
         try:
             run = RunEmbedding(self)
-            run.run()
+            run.run(resume_from=resume_from)
             return run
         except Exception as e:
             logging.exception(e)
@@ -1099,10 +1099,69 @@ class RunEmbedding(Embedder):
         optimization_refine(self, conv_thr=conv_thr, maxiter=maxiter,
                             only_fixed_constraints=only_fixed_constraints)
 
+    # ------------------------------------------------------------ resume
+
+    RESUME_STAGES = ('generated', 'pruned', 'ff_pre', 'ff_loose',
+                     'ff_tight', 'opt_loose', 'opt_tight')
+
+    def save_resume(self, stage):
+        '''Persist the run state so an interrupted run can continue
+        (the reference only ever wrote forward checkpoints; its
+        -r/--restart flag was never implemented, __main__.py:104-111).'''
+        import pickle
+        state = {
+            'stage': stage,
+            'structures': self.structures,
+            'energies': getattr(self, 'energies', None),
+            'constrained_indices': self.constrained_indices,
+            'exit_status': getattr(self, 'exit_status', None),
+            'atomnos': self.atomnos,
+            'embed': self.embed,
+            'kw_line': self.kw_line,
+        }
+        with open(f'tscode_resume_{self.stamp}.pkl', 'wb') as f:
+            pickle.dump(state, f)
+
+    def load_resume(self, path):
+        '''Restore array state; returns the completed stage name.'''
+        import pickle
+        with open(path, 'rb') as f:
+            state = pickle.load(f)
+        if state['embed'] != self.embed:
+            raise InputError(
+                f'Resume file embed type {state["embed"]!r} does not '
+                f'match this input ({self.embed!r}).')
+        self.structures = state['structures']
+        self.constrained_indices = state['constrained_indices']
+        self.atomnos = state['atomnos']
+        if state['energies'] is not None:
+            self.energies = state['energies']
+        if state['exit_status'] is not None:
+            self.exit_status = state['exit_status']
+        # embed graph must be rebuilt (not picklable with attributes)
+        additional_bonds = self.constrained_indices[0] if \
+            len(self.constrained_indices) else []
+        if len(self.internal_constraints) > 0 and len(additional_bonds):
+            additional_bonds = np.concatenate(
+                (self.internal_constraints, additional_bonds))
+        self.embed_graph = get_sum_graph(self.graphs, additional_bonds)
+        self.log(f'--> Resumed {len(self.structures)} structures from '
+                 f'{path} (completed stage: {state["stage"]})')
+        return state['stage']
+
+    def _stage_done(self, stage):
+        if self.resume_stage is None:
+            return False
+        return self.RESUME_STAGES.index(stage) <= \
+            self.RESUME_STAGES.index(self.resume_stage)
+
     # --------------------------------------------------------------- run
 
-    def run(self):
+    def run(self, resume_from=None):
         '''(reference embedder.py:2244-2379)'''
+        self.resume_stage = None
+        if resume_from is not None:
+            self.resume_stage = self.load_resume(resume_from)
         self.write_mol_info()
 
         if self.embed is None:
@@ -1135,32 +1194,47 @@ class RunEmbedding(Embedder):
             return
 
         try:
-            self.generate_candidates()
+            if not self._stage_done('generated'):
+                self.generate_candidates()
+                self.save_resume('generated')
 
             if self.options.bypass:
                 self.write_structures('unoptimized', energies=False)
                 self.normal_termination()
                 return
 
-            self.compenetration_refining()
-            self.similarity_refining(
-                rmsd=(self.embed == 'refine'), verbose=True)
+            if not self._stage_done('pruned'):
+                self.compenetration_refining()
+                self.similarity_refining(
+                    rmsd=(self.embed == 'refine'), verbose=True)
+                self.save_resume('pruned')
 
             if self.options.optimization:
                 if self.options.ff_opt:
-                    if len(self.objects) > 1 and self.options.ff_calc == 'XTB':
+                    if len(self.objects) > 1 and \
+                            self.options.ff_calc == 'XTB' and \
+                            not self._stage_done('ff_pre'):
                         self.force_field_refining(conv_thr='loose',
                                                   prevent_scrambling=True)
-                    self.force_field_refining(conv_thr='loose')
-                    self.force_field_refining(conv_thr='tight',
-                                              only_fixed_constraints=True)
+                        self.save_resume('ff_pre')
+                    if not self._stage_done('ff_loose'):
+                        self.force_field_refining(conv_thr='loose')
+                        self.save_resume('ff_loose')
+                    if not self._stage_done('ff_tight'):
+                        self.force_field_refining(
+                            conv_thr='tight', only_fixed_constraints=True)
+                        self.save_resume('ff_tight')
 
                 if not (self.options.ff_opt and
                         self.options.theory_level == getattr(
                             self.options, 'ff_level', None)):
-                    self.optimization_refining(conv_thr='loose')
-                    self.optimization_refining(conv_thr='tight',
-                                               only_fixed_constraints=True)
+                    if not self._stage_done('opt_loose'):
+                        self.optimization_refining(conv_thr='loose')
+                        self.save_resume('opt_loose')
+                    if not self._stage_done('opt_tight'):
+                        self.optimization_refining(
+                            conv_thr='tight', only_fixed_constraints=True)
+                        self.save_resume('opt_tight')
             else:
                 self.write_structures('unoptimized', energies=False)
 

@@ -53,3 +53,15 @@ COMMANDS = {
 PROCS = int(os.environ.get('TSCODE_TPU_PROCS', 0)) or None
 THREADS = int(os.environ.get('TSCODE_TPU_THREADS', 0)) or None
 MEM_GB = float(os.environ.get('TSCODE_TPU_MEM_GB', 4))
+
+# layer persistent user overrides from `python -m tscode_tpu -s`
+try:
+    from tscode_tpu.modify_settings import load_overrides as _load_overrides
+    _ov = _load_overrides()
+    CALCULATOR = _ov.get('CALCULATOR', CALCULATOR)
+    FF_OPT_BOOL = _ov.get('FF_OPT_BOOL', FF_OPT_BOOL) and FF_CALC is not None
+    PROCS = _ov.get('PROCS', PROCS)
+    THREADS = _ov.get('THREADS', THREADS)
+    MEM_GB = _ov.get('MEM_GB', MEM_GB)
+except ImportError:          # pragma: no cover - circular-import guard
+    pass
