@@ -612,24 +612,311 @@ def _block_poses_multi(coords1, coords2, coords3, c1, c2, c3,
     return pb, clash_ok.reshape(Bb, A), rmsd, maxdev
 
 
-def cyclical_embed(embedder):
+def cyclical_embed_nonrigid(embedder, max_norm_delta=5):
+    '''
+    General (non-rigid) cyclical embed for 2-3 molecules: pivot-length
+    mismatches that prevent a digon/triangle are corrected by BENDING
+    the offending molecules (reference embeds.py:453-732). Bends mutate
+    the working molecule list persistently across pivot iterations, like
+    the reference's in-place embedder.objects updates (:545, :617).
+    Each (conformer, pivot) combination still runs its orientation x
+    angle sweep as one batched device program.
+    '''
+    from tscode_tpu.bending import bend_molecule
+
+    mols = list(embedder.objects)
+    n_mols = len(mols)
+    offsets = tuple(int(x) for x in np.concatenate(
+        [[0], np.cumsum([m.n_atoms for m in mols])[:-1]]))
+    ids = tuple(m.n_atoms for m in mols)
+    angles = np.asarray(embedder.systematic_angles, dtype=float)
+    A = len(angles)
+    pairing_ok = embedder.pairing_ok_fn()
+    clash_thresh = embedder.options.clash_thresh
+    cache = getattr(embedder, 'bent_mols_cache', None)
+    if cache is None:
+        cache = embedder.bent_mols_cache = {}
+
+    pair_mask = jnp.asarray(cross_fragment_pair_mask(ids))
+    angle_grid = jnp.asarray(angles)
+
+    # conformer combos in the reference cartesian order
+    if n_mols == 2:
+        conf_combos = [(i1, i2) for i2 in range(mols[1].n_confs)
+                       for i1 in range(mols[0].n_confs)]
+    else:
+        conf_combos = [(i1, i2, i3)
+                       for i2 in range(mols[1].n_confs)
+                       for i1 in range(mols[0].n_confs)
+                       for i3 in range(mols[2].n_confs)]
+
+    total = sum(int(np.prod([len(m.pivots[c[i]])
+                             for i, m in enumerate(mols)]))
+                for c in conf_combos)
+    embedder.log(f'--> Performing {embedder.embed} embed '
+                 f'(non-rigid, {total} pivot combinations)')
+
+    poses_out, cons_out = [], []
+
+    for conf_ids in conf_combos:
+        if n_mols == 2:
+            piv_combos = [(q1, q2)
+                          for q2 in range(len(mols[1].pivots[conf_ids[1]]))
+                          for q1 in range(len(mols[0].pivots[conf_ids[0]]))]
+        else:
+            piv_combos = [(q1, q2, q3)
+                          for q2 in range(len(mols[1].pivots[conf_ids[1]]))
+                          for q1 in range(len(mols[0].pivots[conf_ids[0]]))
+                          for q3 in range(len(mols[2].pivots[conf_ids[2]]))]
+
+        for qi in piv_combos:
+            try:
+                pivots = [mols[m].pivots[conf_ids[m]][qi[m]]
+                          for m in range(n_mols)]
+            except IndexError:
+                continue   # a bend reduced this molecule's pivot count
+            norms = np.array([np.linalg.norm(p.pivot) for p in pivots])
+
+            # classify / correct geometry
+            if n_mols == 2:
+                if abs(norms[0] - norms[1]) >= max_norm_delta:
+                    # bend both bendable molecules toward a shared length
+                    if embedder.embed == 'chelotropic':
+                        target = float(min(norms))
+                    else:
+                        # reference embeds.py:585 evaluates to 0.8 always
+                        r = 0.8
+                        target = float(min(norms) * r + max(norms) * (1 - r))
+                    for i, mol in enumerate(mols):
+                        if len(mol.reactive_indices) > 1 and not \
+                                mol.graph.has_edge(*sorted(
+                                    int(x) for x in mol.reactive_indices[:2])):
+                            mols[i] = bend_molecule(
+                                mol, conf_ids[i], pivots[i], target,
+                                cache=cache,
+                                suprafacial=embedder.options.suprafacial,
+                                logfunction=embedder.log)
+                    try:
+                        pivots = [mols[m].pivots[conf_ids[m]][qi[m]]
+                                  for m in range(n_mols)]
+                    except IndexError:
+                        continue
+                    norms = np.array([np.linalg.norm(p.pivot)
+                                      for p in pivots])
+                    if abs(norms[0] - norms[1]) >= max_norm_delta:
+                        continue
+            else:
+                if not all(norms[i] < norms[i - 1] + norms[i - 2]
+                           for i in (0, 1, 2)):
+                    deltas = [norms[i] - (norms[i - 1] + norms[i - 2])
+                              for i in range(3)]
+                    rel_delta = max(deltas[i] / norms[i] for i in range(3))
+                    if rel_delta >= 0.2:
+                        continue
+                    index = int(np.argmax(deltas))
+                    mol = mols[index]
+                    if mol.graph.has_edge(*sorted(
+                            int(x) for x in mol.reactive_indices[:2])):
+                        continue
+                    maxval = norms[index - 1] + norms[index - 2]
+                    mols[index] = bend_molecule(
+                        mol, conf_ids[index], pivots[index],
+                        0.9 * float(maxval), cache=cache,
+                        suprafacial=embedder.options.suprafacial,
+                        logfunction=embedder.log)
+                    try:
+                        pivots = [mols[m].pivots[conf_ids[m]][qi[m]]
+                                  for m in range(n_mols)]
+                    except IndexError:
+                        continue
+                    norms = np.array([np.linalg.norm(p.pivot)
+                                      for p in pivots])
+                    if not all(norms[i] < norms[i - 1] + norms[i - 2]
+                               for i in (0, 1, 2)):
+                        continue
+
+            try:
+                polygon = polygonize(norms)
+            except Exception:
+                continue
+            n_orient = polygon.shape[0]
+
+            directions0 = _get_directions(norms) if n_mols == 3 else None
+
+            # build per-orientation blocks for this (conf, pivot) combo
+            starts = []
+            ends_ = []
+            dirs_ = []
+            ids_list = []
+            kept_orients = []
+            for v in range(n_orient):
+                arr_ids = (_cyclical_ids_bimol(pivots, v, offsets)
+                           if n_mols == 2 else
+                           _cyclical_ids_trimol(pivots, v, offsets))
+                if pairing_ok is not None and not pairing_ok(arr_ids):
+                    continue
+                kept_orients.append(v)
+                ids_list.append(arr_ids)
+                starts.append([polygon[v][m][0] for m in range(n_mols)])
+                ends_.append([polygon[v][m][1] for m in range(n_mols)])
+
+            if not kept_orients:
+                continue
+
+            Bb = len(kept_orients)
+            coords = [jnp.asarray(mols[m].atomcoords) for m in range(n_mols)]
+
+            pvs = np.tile([p.pivot for p in pivots], (Bb, 1, 1))
+            mps = np.tile([p.meanpoint for p in pivots], (Bb, 1, 1))
+            apms = np.zeros((Bb, n_mols, 3))
+            mds = np.zeros((Bb, n_mols, 3))
+            rc_axes = np.zeros((Bb, n_mols, 3))
+            for m in range(n_mols):
+                rc = mols[m].atomcoords[conf_ids[m]][mols[m].reactive_indices]
+                apm = rc.mean(axis=0)
+                md = pivots[m].meanpoint - apm
+                if np.all(md == 0.):
+                    md = pivots[m].meanpoint
+                apms[:, m] = apm
+                mds[:, m] = md
+                rc_axes[:, m] = (rc[0] - rc[1]) if len(rc) == 2 \
+                    else pivots[m].pivot
+
+            starts = np.array(starts)
+            ends_ = np.array(ends_)
+
+            if n_mols == 2:
+                dirs_arr = np.broadcast_to(_DIRECTIONS, (Bb, 2, 3)).copy()
+            else:
+                # per-orientation adjusted directions (device-batched)
+                adj_axes = ends_ - starts
+                adj_means = (ends_ + starts) / 2
+                adj_verts = np.zeros((Bb, 3, 3))
+                verts2 = np.zeros((3, 2))
+                verts2[1] = [norms[0], 0]
+                a_, b_, c_ = norms ** 2
+                x_ = (a_ - b_ + c_) / (2 * a_ ** 0.5)
+                verts2[2] = [x_, (c_ - x_ ** 2) ** 0.5]
+                adj_verts[:, :, :2] = verts2
+                adj_apts = np.zeros((Bb, 6, 3))
+                for b, v in enumerate(kept_orients):
+                    adj_apts[b] = _adjust_apts(
+                        mols, conf_ids, pivots, ids_list[b],
+                        (starts[b], ends_[b]), directions0, offsets)
+                step_angle = 2 * _ADJ_RANGE / _ADJ_STEPS
+                grid = np.stack(np.meshgrid(
+                    *[np.arange(_ADJ_STEPS + 1)] * 3),
+                    -1).reshape(-1, 3) * step_angle - _ADJ_RANGE
+                dirs_arr = np.asarray(_adjust_directions_batch(
+                    jnp.asarray(adj_axes), jnp.asarray(adj_means),
+                    jnp.asarray(adj_apts), jnp.asarray(adj_verts),
+                    jnp.asarray(grid)))
+
+            R_align, axis, cor, pos0 = _block_geometry(
+                jnp.asarray(starts), jnp.asarray(ends_),
+                jnp.asarray(dirs_arr), jnp.asarray(pvs), jnp.asarray(mds),
+                jnp.asarray(apms), jnp.asarray(mps), jnp.asarray(rc_axes))
+
+            conf_cols = [jnp.full(Bb, conf_ids[m], dtype=jnp.int32)
+                         for m in range(n_mols)]
+            if n_mols == 2:
+                poses, clash_ok, rmsd, maxdev = _block_poses(
+                    coords[0], coords[1], conf_cols[0], conf_cols[1],
+                    R_align, axis, cor, pos0, angle_grid, pair_mask,
+                    float(clash_thresh))
+                poses = np.asarray(poses).reshape(Bb, A, -1, 3)
+            else:
+                poses, clash_ok, rmsd, maxdev = _block_poses_multi(
+                    coords[0], coords[1], coords[2],
+                    conf_cols[0], conf_cols[1], conf_cols[2],
+                    R_align, axis, cor, pos0, angle_grid, pair_mask,
+                    float(clash_thresh))
+                poses = np.asarray(poses)
+
+            clash_ok = np.asarray(clash_ok)
+            similar = np.asarray((rmsd < 1.0) & (maxdev < 2.0))
+
+            for b in range(Bb):
+                kept = []
+                for t in range(A):
+                    if not clash_ok[b, t]:
+                        continue
+                    if any(similar[b, t, t0] for t0 in kept):
+                        continue
+                    kept.append(t)
+                if kept:
+                    poses_out.append(poses[b, kept])
+                    cons_out.extend([np.array(ids_list[b])] * len(kept))
+
+    if not poses_out:
+        raise ZeroCandidatesError(
+            '--> Cyclical embed did not find any suitable disposition of '
+            'molecules.')
+
+    return np.concatenate(poses_out), np.array(cons_out)
+
+
+def _adjust_apts(mols, conf_ids, pivots, arr_ids, vec_pair, directions0,
+                 offsets):
+    '''Embedded reactive-atom positions a01..a21 for the direction
+    adjustment (shares the trimolecular-rigid host setup).'''
+    starts, ends = vec_pair
+    r = np.zeros((3, 3), dtype=int)
+    for pair in arr_ids:
+        sides = []
+        for cum in pair:
+            m = 2 if cum >= offsets[2] else (1 if cum >= offsets[1] else 0)
+            sides.append((m, cum - offsets[m]))
+        (m1, i1), (m2, i2) = sides
+        r[m1, m2] = i1
+        r[m2, m1] = i2
+
+    rots, poss = [], []
+    for i in range(3):
+        rc = mols[i].atomcoords[conf_ids[i]][mols[i].reactive_indices]
+        md = pivots[i].meanpoint - rc.mean(axis=0)
+        if np.all(md == 0.):
+            md = pivots[i].meanpoint
+        Ra = np.asarray(align_vec_pair(
+            np.array([ends[i] - starts[i], directions0[i]]),
+            np.array([pivots[i].pivot, md])))
+        rots.append(Ra)
+        poss.append((starts[i] + ends[i]) / 2 - Ra @ pivots[i].meanpoint)
+
+    apts = np.zeros((6, 3))
+    apts[0] = rots[0] @ mols[0].atomcoords[0][r[0, 1]] + poss[0]
+    apts[1] = rots[0] @ mols[0].atomcoords[0][r[0, 2]] + poss[0]
+    apts[2] = rots[1] @ mols[1].atomcoords[0][r[1, 0]] + poss[1]
+    apts[3] = rots[1] @ mols[1].atomcoords[0][r[1, 2]] + poss[1]
+    apts[4] = rots[2] @ mols[2].atomcoords[0][r[2, 0]] + poss[2]
+    apts[5] = rots[2] @ mols[2].atomcoords[0][r[2, 1]] + poss[2]
+    return apts
+
+
+def cyclical_embed(embedder, max_norm_delta=5):
     '''Dispatcher matching the reference entry point
-    (reference embeds.py:234-242, 453-732 rigid branches).'''
+    (reference embeds.py:234-242): rigid runs take the fast batched
+    paths; non-rigid runs bend molecules to fix impossible polygons.
+    NOTE: the reference calls the fast bimolecular path with
+    max_norm_delta=5 through this dispatcher (its own default of 10 is
+    effectively unused).'''
     mols = embedder.objects
-    if len(mols) == 2 and embedder.options.rigid:
-        poses, cons = cyclical_embed_bimol_rigid(
-            mols[0], mols[1], embedder.systematic_angles,
-            clash_thresh=embedder.options.clash_thresh,
-            pairing_ok=embedder.pairing_ok_fn(), log=embedder.log)
+    if embedder.options.rigid:
+        if len(mols) == 2:
+            poses, cons = cyclical_embed_bimol_rigid(
+                mols[0], mols[1], embedder.systematic_angles,
+                clash_thresh=embedder.options.clash_thresh,
+                max_norm_delta=max_norm_delta,
+                pairing_ok=embedder.pairing_ok_fn(), log=embedder.log)
+        else:
+            poses, cons = cyclical_embed_trimol_rigid(
+                mols, embedder.systematic_angles,
+                clash_thresh=embedder.options.clash_thresh,
+                pairing_ok=embedder.pairing_ok_fn(), log=embedder.log)
         embedder.constrained_indices = cons
         return poses
-    if len(mols) == 3 and embedder.options.rigid:
-        poses, cons = cyclical_embed_trimol_rigid(
-            mols, embedder.systematic_angles,
-            clash_thresh=embedder.options.clash_thresh,
-            pairing_ok=embedder.pairing_ok_fn(), log=embedder.log)
-        embedder.constrained_indices = cons
-        return poses
-    raise NotImplementedError(
-        'non-rigid cyclical embeds require the bending subsystem '
-        '(external calculator) — add the RIGID keyword')
+
+    poses, cons = cyclical_embed_nonrigid(embedder,
+                                          max_norm_delta=max_norm_delta)
+    embedder.constrained_indices = cons
+    return poses
