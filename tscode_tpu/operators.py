@@ -24,7 +24,7 @@ def operate(op, embedder, mol):
         'neb': _neb_operator,
         'saddle': _saddle_operator,
         'scan': _scan_operator,
-        'automep': _not_implemented,
+        'automep': _automep_operator,
         'mep_relax': _mep_relax_operator,
         'pka': _pka_operator,
     }
@@ -164,6 +164,13 @@ def _saddle_operator(embedder, mol, name):
                         f'kcal/mol - converged: {done}')
     embedder.log(f'    wrote {mol.rootname}_saddle.xyz '
                  f'(converged: {done})')
+    return mol
+
+
+def _automep_operator(embedder, mol, name):
+    from tscode_tpu.automep import automep
+    n_images = getattr(embedder.options, 'images', None) or 9
+    automep(embedder, n_images=n_images)
     return mol
 
 
