@@ -22,6 +22,31 @@ def test_pallas_clash_matches_oracle():
     np.testing.assert_array_equal(got, want)
 
 
+def test_pallas_qcp_kill_blocks_matches_xla_path():
+    from tscode_tpu.ops.pallas.qcp import qcp_kill_blocks_pallas
+    from tscode_tpu.ops.rmsd_prune import _gathered_kill_blocks
+
+    B, L, N = 4, 32, 8
+    blocks = rng.normal(size=(B, L, N, 3)).astype(np.float32) * 2
+    blocks[0, 10] = blocks[0, 3] + 1e-3        # planted duplicates
+    blocks[2, 20] = blocks[2, 5] + 1e-3
+    blocks[2, 25] = blocks[2, 5] + 2e-3
+    m_real = np.array([32, 20, 32, 5], dtype=np.int32)
+
+    got = np.asarray(qcp_kill_blocks_pallas(
+        jnp.asarray(blocks), jnp.asarray(m_real), 0.5, interpret=True))
+
+    pool = blocks.reshape(-1, N, 3)
+    idx = np.arange(B * L, dtype=np.int32).reshape(B, L)
+    want = np.asarray(_gathered_kill_blocks(
+        jnp.asarray(pool), jnp.asarray(idx), jnp.asarray(m_real),
+        jnp.asarray(0.5, jnp.float32)))
+    np.testing.assert_array_equal(got, want)
+    # p dies when a LATER q matches: kills p=3 (block 0) and p=5, p=20
+    # (block 2, both have later twins) — exactly 3
+    assert got.sum() == 3
+
+
 def test_pallas_clash_max_clashes():
     ids = (5, 5)
     poses = rng.normal(size=(32, 10, 3)).astype(np.float32) * 1.5
