@@ -528,10 +528,20 @@ def prune_conformers_rmsd_device(heavy_structures, rmsd_thr=0.5,
                 idx_arr[b, :len(c)] = c
                 m_real[b] = len(c)
 
+            use_pallas = os.environ.get('TSCODE_USE_PALLAS_QCP') == '1'
             for g0 in range(0, B, group):
-                bits = np.asarray(_gathered_kill_blocks(
-                    hs, jnp.asarray(idx_arr[g0:g0 + group]),
-                    jnp.asarray(m_real[g0:g0 + group]), thr))
+                if use_pallas:
+                    from tscode_tpu.ops.pallas.qcp import qcp_kill_blocks_pallas
+                    interp = jax.default_backend() != 'tpu'
+                    gathered = hs[jnp.clip(
+                        jnp.asarray(idx_arr[g0:g0 + group]), 0, n - 1)]
+                    bits = np.asarray(qcp_kill_blocks_pallas(
+                        gathered, jnp.asarray(m_real[g0:g0 + group]),
+                        float(rmsd_thr), interpret=interp))
+                else:
+                    bits = np.asarray(_gathered_kill_blocks(
+                        hs, jnp.asarray(idx_arr[g0:g0 + group]),
+                        jnp.asarray(m_real[g0:g0 + group]), thr))
                 for b_rel in range(group):
                     b_abs = g0 + b_rel
                     if b_abs >= len(batch):
