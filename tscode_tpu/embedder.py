@@ -1228,6 +1228,18 @@ class RunEmbedding(Embedder):
                 if not (self.options.ff_opt and
                         self.options.theory_level == getattr(
                             self.options, 'ff_level', None)):
+                    if self.options.calculator == 'ORCA' and \
+                            not self._stage_done('opt_loose'):
+                        # stepwise ensemble pruning for expensive levels
+                        # (reference embedder.py:2313-2323)
+                        self.log('--> Performing ORCA optimization '
+                                 '(3 iterations, step 1/3)\n')
+                        self.optimization_refining(maxiter=3)
+                        self.log('--> Performing ORCA optimization '
+                                 '(5 iterations, step 2/3)\n')
+                        self.optimization_refining(maxiter=5)
+                        self.log('--> Performing ORCA optimization '
+                                 '(convergence, step 3/3)\n')
                     if not self._stage_done('opt_loose'):
                         self.optimization_refining(conv_thr='loose')
                         self.save_resume('opt_loose')
