@@ -1,0 +1,116 @@
+'''End-to-end pipeline tests: full Embedder.run() on tiny inputs with
+NOOPT (pure-geometry path, no external calculators), checking that the
+output ensembles are written, finite and non-empty.
+
+These exercise the same driver loop as the reference's installation
+tests (reference tests.py:60-147) but hermetically, in pytest.'''
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from tscode_tpu.embedder import Embedder
+
+FIX = os.path.join(os.path.dirname(__file__), 'fixtures')
+
+
+def _read_frames(path):
+    '''Parse a multi-frame xyz, return list of (natoms, coords).'''
+    frames = []
+    with open(path) as f:
+        lines = f.read().splitlines()
+    i = 0
+    while i < len(lines):
+        if not lines[i].strip():
+            i += 1
+            continue
+        n = int(lines[i])
+        coords = np.array([[float(x) for x in ln.split()[1:4]]
+                           for ln in lines[i + 2:i + 2 + n]])
+        frames.append((n, coords))
+        i += 2 + n
+    return frames
+
+
+def _run(tmp_path, content, stamp, files=('C2H4.xyz', 'CH3Cl.xyz')):
+    for name in files:
+        shutil.copy(os.path.join(FIX, name), tmp_path)
+    inp = tmp_path / 'input.txt'
+    inp.write_text(content)
+    cwd = os.getcwd()
+    try:
+        emb = Embedder(str(inp), stamp=stamp)
+        run = emb.run()
+        return run, tmp_path
+    finally:
+        os.chdir(cwd)
+
+
+def test_string_embed_end_to_end(tmp_path):
+    run, d = _run(tmp_path, 'NOOPT\nC2H4.xyz 0\nCH3Cl.xyz 0\n', 'e2e_str')
+    out = d / f'tscode_unoptimized_{run.stamp}.xyz'
+    assert out.exists()
+    frames = _read_frames(out)
+    assert len(frames) == len(run.structures) > 0
+    natoms = run.objects[0].atomcoords.shape[1] + run.objects[1].atomcoords.shape[1]
+    assert all(n == natoms for n, _ in frames)
+    assert all(np.isfinite(c).all() for _, c in frames)
+
+
+def test_cyclical_rigid_end_to_end(tmp_path):
+    run, d = _run(tmp_path,
+                  'NOOPT RIGID STEPS=6\nC2H4.xyz 0a 3b\nC2H4.xyz 0b 3a\n',
+                  'e2e_cyc')
+    out = d / f'tscode_unoptimized_{run.stamp}.xyz'
+    assert out.exists()
+    frames = _read_frames(out)
+    assert len(frames) == len(run.structures) > 0
+    assert all(n == 12 for n, _ in frames)
+    # constrained pairing distances should sit near the orbital target
+    for letter in ('a', 'b'):
+        i1, i2 = run.pairings_table[letter]
+        target = run.get_pairing_dist_from_letter(letter)
+        d01 = np.linalg.norm(run.structures[0][i1] - run.structures[0][i2])
+        assert abs(d01 - target) < 1.0
+
+
+def test_monomolecular_end_to_end(tmp_path):
+    run, d = _run(tmp_path, 'NOOPT CONFS=1\nC2F2H4.xyz 3 5\n',
+                  'e2e_mono', files=('C2F2H4.xyz',))
+    out = d / f'tscode_unoptimized_{run.stamp}.xyz'
+    assert out.exists()
+    frames = _read_frames(out)
+    assert len(frames) == len(run.structures) > 0
+    assert all(np.isfinite(c).all() for _, c in frames)
+
+
+def test_refine_operator_end_to_end(tmp_path):
+    # build a small ensemble file: 3 near-duplicate + 1 distinct frame
+    rng = np.random.default_rng(0)
+    src = os.path.join(FIX, 'C2F2H4.xyz')
+    with open(src) as f:
+        lines = f.read().splitlines()
+    n = int(lines[0])
+    syms = [ln.split()[0] for ln in lines[2:2 + n]]
+    base = np.array([[float(x) for x in ln.split()[1:4]]
+                     for ln in lines[2:2 + n]])
+    ens = tmp_path / 'ens.xyz'
+    with open(ens, 'w') as f:
+        for k, c in enumerate((base, base + 1e-4, base + 2e-4,
+                               base + rng.normal(0, 1.2, base.shape))):
+            f.write(f'{n}\nframe {k}\n')
+            for s, xyz in zip(syms, c):
+                f.write(f'{s} {xyz[0]:.6f} {xyz[1]:.6f} {xyz[2]:.6f}\n')
+
+    inp = tmp_path / 'input.txt'
+    inp.write_text('NOOPT REFINE\nens.xyz\n')
+    cwd = os.getcwd()
+    try:
+        emb = Embedder(str(inp), stamp='e2e_ref')
+        run = emb.run()
+    finally:
+        os.chdir(cwd)
+    # the three near-duplicates collapse to one; the distinct one survives
+    assert len(run.structures) == 2

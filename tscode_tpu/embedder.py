@@ -783,10 +783,19 @@ class RunEmbedding(Embedder):
         if self.embed not in ('string', 'cyclical', 'monomolecular'):
             self.log('--> Checking structures for compenetrations')
             t_start = time.perf_counter()
-            pm = clash_ops.cross_fragment_pair_mask(tuple(self.ids))
+            if self.ids is not None:
+                pm = clash_ops.cross_fragment_pair_mask(tuple(self.ids))
+                thresh = self.options.clash_thresh
+            else:
+                # single structure (refine mode): the reference counts
+                # ALL off-diagonal pairs, both orderings, under 0.5 A
+                # (numba_functions.py:50-72)
+                n = self.structures.shape[1]
+                pm = ~np.eye(n, dtype=bool)
+                thresh = 0.5
             mask = np.asarray(clash_ops.compenetration_mask(
                 jnp.asarray(self.structures), jnp.asarray(pm),
-                thresh=self.options.clash_thresh,
+                thresh=thresh,
                 max_clashes=self.options.max_clashes))
             self.apply_mask(('structures', 'constrained_indices'), mask)
             t_end = time.perf_counter()

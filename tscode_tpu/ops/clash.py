@@ -76,10 +76,15 @@ def count_intra_clashes(coords, atom_mask=None, thresh=0.5):
     coords: (..., N, 3) -> (...,) int32.
     '''
     d2 = pairwise_dist2(coords, coords)
-    # the matmul-form d2 leaves ~1e-16 roundoff where the true distance is
-    # zero (diagonal / coincident atoms); 1e-12 A^2 restores the reference's
-    # exact d > 0 self-pair exclusion without excluding any real contact
-    hit = (d2 < thresh * thresh) & (d2 > 1e-12)
+    # the matmul-form d2 leaves roundoff where the true distance is zero
+    # (up to ~1e-5 A^2 in f32 on TPU), so the diagonal must be excluded
+    # structurally; the epsilon only reproduces the reference's d > 0
+    # exclusion of genuinely coincident atom pairs
+    n = coords.shape[-2]
+    off_diag = ~jnp.eye(n, dtype=bool)
+    # d > 1e-3 A: no two real atoms sit closer, and it stays above the
+    # f32 matmul roundoff floor for coincident pairs
+    hit = (d2 < thresh * thresh) & (d2 > 1e-6) & off_diag
     if atom_mask is not None:
         pm = atom_mask[..., :, None] & atom_mask[..., None, :]
         hit = hit & pm
