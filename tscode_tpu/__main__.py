@@ -34,7 +34,14 @@ def main(argv=None):
     parser.add_argument('-s', '--setup', action='store_true',
                         help='guided calculator setup (writes overrides '
                              'to ~/.tscode_tpu_settings.json)')
+    parser.add_argument('-c', '--cite', action='store_true',
+                        help='print the literature citation and exit')
     args = parser.parse_args(argv)
+
+    if args.cite:
+        from tscode_tpu.references import references
+        print(references['TSCoDe'])
+        return 0
 
     if args.setup:
         from tscode_tpu.modify_settings import run_setup

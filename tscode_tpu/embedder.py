@@ -38,10 +38,11 @@ from tscode_tpu.ops import tfd as tfd_ops
 from tscode_tpu.ops.linalg import cartesian_product, rmsd_and_max
 from tscode_tpu.options import Options, OptionSetter
 from tscode_tpu.pivots import set_pivots
+from tscode_tpu.references import references
 from tscode_tpu.pt import SYMBOLS
 from tscode_tpu.settings import CALCULATOR, DEFAULT_LEVELS
-from tscode_tpu.utils import (clean_directory, pretty_num, saturation_check,
-                              time_to_string)
+from tscode_tpu.utils import (auto_newline, clean_directory, pretty_num,
+                              saturation_check, time_to_string)
 
 import jax.numpy as jnp
 
@@ -97,6 +98,7 @@ class Embedder:
             self.check_saturation()
             self._set_options(filename)
             self._calculator_setup()
+            self._print_references()
             self._apply_operators()
             self._setup()
 
@@ -318,6 +320,27 @@ class Embedder:
         if self.options.theory_level is None and self.options.calculator:
             self.options.theory_level = DEFAULT_LEVELS.get(
                 self.options.calculator)
+
+    def _print_references(self):
+        '''Log literature references relevant to the run settings
+        (reference embedder.py:222-241).'''
+        self.log('--> If you use this software in your publication, '
+                 'please cite the TSCoDe manuscript:\n'
+                 f'    {references["TSCoDe"]}')
+
+        cite_ff = self.options.ff_calc == 'XTB'
+        cite_gfn2 = self.options.calculator == 'XTB'
+        cite_crest = any('mtd' in op for op in self.options.operators)
+
+        if any((cite_ff, cite_gfn2, cite_crest)):
+            s = ''
+            s += f'    GFN-FF : {references["GFN-FF"]}\n' if cite_ff else ''
+            s += (f'    GFN2-XTB : {references["GFN2-XTB"]}\n'
+                  if cite_gfn2 else '')
+            s += f'    CREST : {references["CREST"]}\n' if cite_crest else ''
+            self.log('\n--> Your run also makes use of other software: '
+                     f'please cite these references as well.\n{s}')
+        self.log()
 
     def _set_custom_orbs(self, orb_string):
         '''DIST(a=2.345,...): rebuild orbitals with imposed half-distances
@@ -663,9 +686,20 @@ class Embedder:
         for warning in self.warnings:
             self.log(warning)
 
+    def write_quote(self):
+        '''Log a random end-of-run quote (reference embedder.py:1045-1055).'''
+        import random
+
+        from tscode_tpu.quotes import quotes
+        entry = random.choice(quotes)
+        self.log('\n' + auto_newline(entry['quote']))
+        if entry['author']:
+            self.log(f'    - {entry["author"]}\n')
+
     def normal_termination(self):
         '''(reference embedder.py:1068-1096, minus the sys.exit)'''
         clean_directory()
+        self.write_quote()
         self.log(f'\n--> tscode_tpu normal termination: total time '
                  f'{time_to_string(time.perf_counter() - self.t_start_run, verbose=True)}.')
 

@@ -28,29 +28,27 @@ _GROUP = 8     # blocks per grid step (sublane alignment of the output)
 
 
 def _make_qcp_kernel(N, L):
-    '''Kernel closure over static (atom count, block length). Each grid
-    step evaluates _GROUP blocks (the output's second-to-last dim must be
-    sublane-aligned).'''
+    '''Kernel closure over static (atom count, block length). One block
+    per grid step; the output block spec groups _GROUP consecutive steps
+    onto one (8, L) VMEM tile (sublane alignment) which stays resident
+    while its index map is unchanged. A fori_loop over blocks inside one
+    step was tried first and spilled 136MB of vregs — one block per step
+    keeps the live tile set small.'''
 
     def kernel(P_ref, params_ref, out_ref):
-        # P_ref: (_GROUP, L, N, 3) VMEM; params_ref: full (B, 2) SMEM
-        # [thr^2, m_real]; out_ref: (_GROUP, L) int32
-        g = pl.program_id(0)
-
-        def body(b_in, _):
-            _one_block(P_ref, params_ref, out_ref, g, b_in, N, L)
-            return 0
-
-        jax.lax.fori_loop(0, _GROUP, body, 0)
+        # P_ref: (1, L, N, 3) VMEM; params_ref: full (B, 2) SMEM
+        # [thr^2, m_real]; out_ref: (_GROUP, L) int32, row b % _GROUP
+        b = pl.program_id(0)
+        _one_block(P_ref, params_ref, out_ref, b, N, L)
 
     return kernel
 
 
-def _one_block(P_ref, params_ref, out_ref, g, b_in, N, L):
-        thr2 = params_ref[g * _GROUP + b_in, 0]
-        m_real = params_ref[g * _GROUP + b_in, 1]
+def _one_block(P_ref, params_ref, out_ref, blk, N, L):
+        thr2 = params_ref[blk, 0]
+        m_real = params_ref[blk, 1]
 
-        P = [P_ref[b_in, :, :, i] for i in range(3)]    # 3 x (L, N)
+        P = [P_ref[0, :, :, i] for i in range(3)]       # 3 x (L, N)
 
         # --- correlations: S[i][k] = P_i @ P_k^T  (9 MXU matmuls) ----
         S = [[jax.lax.dot_general(
@@ -203,8 +201,9 @@ def _one_block(P_ref, params_ref, out_ref, g, b_in, N, L):
         qos = jax.lax.broadcasted_iota(jnp.int32, (L, L), 1)     # q index
         valid = (qos > pos) & (qos.astype(jnp.float32) < m_real)
         hit = jnp.where(gate_rmsd & gate_dev & valid, 1.0, 0.0)
-        out_ref[b_in, :] = (jnp.sum(hit, axis=1, keepdims=True)
-                            .reshape(L) > 0.0).astype(jnp.int32)
+        row = (jnp.sum(hit, axis=1, keepdims=True)
+               .reshape(L) > 0.0).astype(jnp.int32)
+        out_ref[blk % _GROUP, :] = row
 
 
 @functools.partial(jax.jit, static_argnames=('interpret',))
@@ -232,15 +231,18 @@ def qcp_kill_blocks_pallas(P_blocks, m_real, rmsd_thr, interpret=False):
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, L), jnp.int32),
-        grid=(B // _GROUP,),
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((_GROUP, L, N, 3), lambda g: (g, 0, 0, 0),
+            pl.BlockSpec((1, L, N, 3), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.ANY if interpret
                          else pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY if interpret
                          else pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((_GROUP, L), lambda g: (g, 0),
+        # _GROUP consecutive grid steps share one (8, L) output tile:
+        # the tile stays in VMEM until the index map changes, each step
+        # filling row b % _GROUP
+        out_specs=pl.BlockSpec((_GROUP, L), lambda b: (b // _GROUP, 0),
                                memory_space=pltpu.ANY if interpret
                                else pltpu.VMEM),
         interpret=interpret,

@@ -47,6 +47,17 @@ def flatten(array, typefunc=float):
     return out
 
 
+def loadbar(done, total, prefix='', width=50):
+    '''In-place terminal progress bar (reference utils.py:171-178).'''
+    total = max(int(total), 1)
+    frac = min(done / total, 1.0)
+    n_fill = int(width * frac)
+    bar = '#' * n_fill + '-' * (width - n_fill)
+    print(f'\r{prefix} |{bar}| {100 * frac:.1f}%', end='\r')
+    if done >= total:
+        print()
+
+
 def auto_newline(string, max_line_len=50, padding=2):
     string = str(string)
     out = [' ' * padding]
