@@ -14,6 +14,11 @@ import numpy as np
 from tscode_tpu.errors import CCReadError
 from tscode_tpu.pt import SYMBOL_TO_Z, SYMBOLS
 
+try:
+    from tscode_tpu import native as native_io
+except Exception:
+    native_io = None
+
 
 @dataclass
 class XYZData:
@@ -41,7 +46,20 @@ def read_xyz(filename):
     '''
     Read a (multi-frame) .xyz file into an XYZData ensemble.
     Raises CCReadError on malformed input or inconsistent atom counts.
+
+    Uses the native C++ parser (native/xyz_io.cpp) when it built; the
+    pure-Python path below is the fallback and the semantic reference.
     '''
+    if native_io is not None and native_io.available():
+        with open(filename, 'rb') as f:
+            data = f.read()
+        try:
+            coords, atomnos, comments = native_io.parse_ensemble(data)
+        except native_io.XYZNativeError as e:
+            raise CCReadError(f'{filename}: {e}') from e
+        return XYZData(atomcoords=coords, atomnos=atomnos,
+                       comments=comments)
+
     with open(filename) as f:
         lines = f.read().splitlines()
 
@@ -103,8 +121,17 @@ def write_xyz(coords, atomnos, output, title='temp'):
 def write_ensemble(filename, structures, atomnos, titles=None):
     '''Write a whole ensemble to `filename`.'''
     structures = np.asarray(structures)
+    if titles is None:
+        titles = [f'structure {i + 1}' for i in range(len(structures))]
+
+    if (native_io is not None and native_io.available()
+            and len(structures)):
+        blob = native_io.format_ensemble(structures, atomnos, titles)
+        with open(filename, 'wb') as f:
+            f.write(blob)
+        return filename
+
     with open(filename, 'w') as f:
-        for i, s in enumerate(structures):
-            title = titles[i] if titles is not None else f'structure {i + 1}'
+        for s, title in zip(structures, titles):
             write_xyz(s, atomnos, f, title=title)
     return filename

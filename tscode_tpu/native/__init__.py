@@ -1,0 +1,118 @@
+'''
+Native (C++) host-runtime components, loaded via ctypes.
+
+The shared library is built from source on first import with the
+system g++ and cached next to the source; any failure (no compiler,
+load error) degrades silently to the pure-Python implementations —
+callers must treat `xyz_native` as Optional.
+'''
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, 'xyz_io.cpp')
+_LIB = os.path.join(_DIR, '_xyz_io.so')
+_lock = threading.Lock()
+
+_ERRORS = {
+    -1: 'expected atom count at line {line}',
+    -2: 'truncated frame at line {line}',
+    -3: 'bad atom line {line}',
+    -4: 'unknown element symbol at line {line}',
+    -5: 'inconsistent atoms across frames',
+    -6: 'no frames found',
+}
+
+
+class XYZNativeError(ValueError):
+    def __init__(self, code, line):
+        self.code, self.line = code, line
+        msg = _ERRORS.get(code, f'native xyz error {code}')
+        super().__init__(msg.format(line=line))
+
+
+def _build_and_load():
+    with _lock:
+        if (not os.path.exists(_LIB)
+                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            subprocess.run(
+                ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
+                 _SRC, '-o', _LIB + '.tmp'],
+                check=True, capture_output=True, timeout=120)
+            os.replace(_LIB + '.tmp', _LIB)
+        lib = ctypes.CDLL(_LIB)
+
+    i64 = ctypes.c_int64
+    p_i64 = ctypes.POINTER(i64)
+    lib.xyz_scan.restype = i64
+    lib.xyz_scan.argtypes = [ctypes.c_char_p, i64, p_i64, p_i64, p_i64]
+    lib.xyz_parse.restype = i64
+    lib.xyz_parse.argtypes = [
+        ctypes.c_char_p, i64,
+        np.ctypeslib.ndpointer(np.float64, flags='C_CONTIGUOUS'),
+        np.ctypeslib.ndpointer(np.int64, flags='C_CONTIGUOUS'),
+        np.ctypeslib.ndpointer(np.int64, flags='C_CONTIGUOUS'), p_i64]
+    lib.xyz_format.restype = i64
+    lib.xyz_format.argtypes = [
+        np.ctypeslib.ndpointer(np.float64, flags='C_CONTIGUOUS'),
+        np.ctypeslib.ndpointer(np.int64, flags='C_CONTIGUOUS'),
+        i64, i64, ctypes.c_char_p, ctypes.c_char_p, i64]
+    return lib
+
+
+try:
+    _lib = _build_and_load()
+except Exception:                       # no g++ / load failure: fall back
+    _lib = None
+
+
+def available():
+    return _lib is not None
+
+
+def parse_ensemble(data):
+    '''
+    Parse a multi-frame .xyz byte buffer.
+    Returns (coords (F, N, 3) f64, atomnos (N,) i64, comments list[str]).
+    Raises XYZNativeError with the io_xyz error vocabulary on bad input.
+    '''
+    n_frames = ctypes.c_int64()
+    n_atoms = ctypes.c_int64()
+    err_line = ctypes.c_int64()
+    rc = _lib.xyz_scan(data, len(data), ctypes.byref(n_frames),
+                       ctypes.byref(n_atoms), ctypes.byref(err_line))
+    if rc != 0:
+        raise XYZNativeError(rc, err_line.value)
+
+    F, N = n_frames.value, n_atoms.value
+    coords = np.empty((F, N, 3), dtype=np.float64)
+    atomnos = np.empty(N, dtype=np.int64)
+    spans = np.empty(2 * F, dtype=np.int64)
+    rc = _lib.xyz_parse(data, len(data), coords, atomnos, spans,
+                        ctypes.byref(err_line))
+    if rc != 0:
+        raise XYZNativeError(rc, err_line.value)
+
+    comments = [data[spans[2 * i]:spans[2 * i] + spans[2 * i + 1]]
+                .decode(errors='replace') for i in range(F)]
+    return coords, atomnos, comments
+
+
+def format_ensemble(coords, atomnos, titles):
+    '''Format an (F, N, 3) ensemble into .xyz text (bytes).'''
+    coords = np.ascontiguousarray(coords, dtype=np.float64)
+    atomnos = np.ascontiguousarray(atomnos, dtype=np.int64)
+    F, N = coords.shape[0], coords.shape[1]
+    assert atomnos.shape[0] == N and len(titles) == F
+    blob = b'\x00'.join(t.encode() for t in titles) + b'\x00'
+    cap = F * (N * 80 + 32) + len(blob)
+    out = ctypes.create_string_buffer(cap)
+    w = _lib.xyz_format(coords, atomnos, F, N, blob, out, cap)
+    if w < 0:
+        raise XYZNativeError(-7, 0)
+    return out.raw[:w]
