@@ -86,6 +86,38 @@ def test_monomolecular_end_to_end(tmp_path):
     assert all(np.isfinite(c).all() for _, c in frames)
 
 
+def test_chelotropic_end_to_end(tmp_path):
+    # modeled on the reference's chelotropic.txt fixture (minus SADDLE,
+    # which needs a QM calculator): 2 + 1 reactive atoms
+    run, d = _run(tmp_path,
+                  'NOOPT RIGID STEPS=3 DIST(A=2.5,B=2.5)\n'
+                  'C2H4.xyz 0A 3B\nHCOOOH.xyz 4AB\n',
+                  'e2e_chel', files=('C2H4.xyz', 'HCOOOH.xyz'))
+    assert run.embed == 'chelotropic'
+    out = d / f'tscode_unoptimized_{run.stamp}.xyz'
+    assert out.exists()
+    frames = _read_frames(out)
+    assert len(frames) == len(run.structures) > 0
+    assert all(np.isfinite(c).all() for _, c in frames)
+
+
+def test_trimolecular_end_to_end(tmp_path):
+    # modeled on the reference's trimolecular.txt fixture (BYPASS dumps
+    # every embedded pose; x/y NCI pairings, C internal constraint)
+    run, d = _run(tmp_path,
+                  'BYPASS DIST(A=2.5,x=2,y=2.5,C=1) SHRINK ROTRANGE=10 '
+                  'STEPS=1\nCH3Cl.xyz 0A 4y\nHCOOH.xyz 1A 4x 0C 2C\n'
+                  'HCOOH.xyz 1x 4y\n',
+                  'e2e_tri', files=('CH3Cl.xyz', 'HCOOH.xyz'))
+    assert run.embed == 'cyclical'
+    out = d / f'tscode_embedded_{run.stamp}.xyz'
+    assert out.exists()
+    frames = _read_frames(out)
+    assert len(frames) == len(run.structures) > 0
+    n_tot = sum(m.atomcoords.shape[1] for m in run.objects)
+    assert all(n == n_tot for n, _ in frames)
+
+
 def test_refine_operator_end_to_end(tmp_path):
     # build a small ensemble file: 3 near-duplicate + 1 distinct frame
     rng = np.random.default_rng(0)

@@ -31,7 +31,7 @@ def run_tests():
     fixtures = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), 'tests', 'fixtures')
 
-    for name in ('C2H4.xyz', 'CH3Cl.xyz'):
+    for name in ('C2H4.xyz', 'CH3Cl.xyz', 'HCOOH.xyz', 'HCOOOH.xyz'):
         src = os.path.join(fixtures, name)
         if os.path.isfile(src):
             shutil.copy(src, scratch)
@@ -39,6 +39,11 @@ def run_tests():
     inputs = {
         'string_noopt.txt': 'NOOPT\nC2H4.xyz 0\nCH3Cl.xyz 0\n',
         'cyclical_rigid.txt': 'NOOPT RIGID STEPS=2\nC2H4.xyz 0 3\nC2H4.xyz 0 3\n',
+        'chelotropic.txt': 'NOOPT RIGID STEPS=2 DIST(A=2.5,B=2.5)\n'
+                           'C2H4.xyz 0A 3B\nHCOOOH.xyz 4AB\n',
+        'trimolecular.txt': 'BYPASS DIST(A=2.5,x=2,y=2.5,C=1) SHRINK '
+                            'ROTRANGE=10 STEPS=1\nCH3Cl.xyz 0A 4y\n'
+                            'HCOOH.xyz 1A 4x 0C 2C\nHCOOH.xyz 1x 4y\n',
     }
 
     times = {}
