@@ -12,6 +12,15 @@ Nothing leaves VMEM but the (L,) kill bits.
 Semantics identical to ops/rmsd_prune._gathered_kill_blocks: structure p
 dies when some q in (p, m_real) has rmsd < thr AND maxdev < 2*thr
 (uncentered Kabsch, reference rmsd_pruning.py:6-41 accept rule).
+
+STATUS: EXPERIMENTAL, opt-in via TSCODE_USE_PALLAS_QCP=1. Semantics are
+verified in interpreter mode (tests/test_pallas.py); on real TPU the
+Mosaic compile of this body has not completed within an hour on the
+tunneled deployment (a fori_loop-over-blocks variant failed outright
+with 136MB of vreg spills). The XLA path in ops/rmsd_prune remains the
+production pruner. Next slimming steps if revisited: fori_loop over the
+atom axis of the maxdev gate, or split the rare maxdev confirm into a
+second pass.
 '''
 
 import functools
