@@ -155,7 +155,8 @@ def run_device_pipeline(mol1, mol2):
     pool_pad = int(2 ** np.ceil(np.log2(max(n_ok_warm, 2))))
     from tscode_tpu.ops.rmsd_prune import warmup_prune_kernels
     warmup_prune_kernels(len(heavy), dtype=poses.dtype,
-                         stream_sizes=(1024, 4096), n_pool=pool_pad)
+                         stream_sizes=(1024, 4096), n_pool=pool_pad,
+                         n_real=n_ok_warm)
     # warm the survivor compaction + gather programs too
     idx_w = jnp.nonzero(ok, size=pool_pad, fill_value=B)[0]
     _ = poses[jnp.clip(idx_w, 0, B - 1)][:, jnp.asarray(heavy)] \

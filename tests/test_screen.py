@@ -231,6 +231,19 @@ def test_rmsd_prune_device_resident_matches_host():
         np.testing.assert_array_equal(got, want)
 
 
+def test_rmsd_prune_device_resident_large_fused():
+    # n large enough that several fused in-place passes run (k=50: span
+    # 30; k=20: span 75 -> pad 128), including non-trivial tail chunks
+    import jax.numpy as jnp
+    structures, atomnos = _clustered_ensemble(1500, seed=21)
+    _, want = rmsd_prune.prune_conformers_rmsd(structures, atomnos,
+                                               rmsd_thr=0.5)
+    heavy = atomnos != 1
+    got = np.asarray(rmsd_prune.prune_conformers_rmsd_device(
+        jnp.asarray(structures[:, heavy]), rmsd_thr=0.5))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_rmsd_prune_device_resident_init_mask():
     import jax.numpy as jnp
     structures, atomnos = _clustered_ensemble(40, seed=3)

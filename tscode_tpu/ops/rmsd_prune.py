@@ -325,19 +325,14 @@ def prune_conformers_rmsd(structures, atomnos, rmsd_thr=0.5):
 # not chunk spans) and the call/compile count minimal.
 
 
-@jax.jit
-def _gathered_kill_blocks(hs, idx, m_real, rmsd_thr):
+def _pair_kill_core(P, valid, rmsd_thr):
     '''
-    Batched within-block kill over gathered active rows.
-    hs (n, N, 3) device-resident pool; idx (B, L) int32 row indices
-    (padded entries >= n, clipped for the gather and masked out);
-    m_real (B,) live rows per block. Row p of block b dies when some
-    q in (p, m_real[b]) passes rmsd < thr AND maxdev < 2*thr.
-    Returns (B, L) bool.
+    Shared two-gate QCP pair evaluation: P (B, L, N, 3) blocks,
+    valid (B, L, L) bool pair eligibility. Row p of block b dies when
+    some valid (p, q) pair passes rmsd < thr AND maxdev < 2*thr.
+    Returns (B, L) bool kill bits.
     '''
-    n = hs.shape[0]
-    P = hs[jnp.clip(idx, 0, n - 1)]                   # (B, L, N, 3)
-    B, L, N = P.shape[0], P.shape[1], P.shape[2]
+    N = P.shape[2]
     n_dt = jnp.asarray(N, P.dtype)
 
     # rotation-invariant lower bound screen (see _gathered_kill_stream)
@@ -345,10 +340,6 @@ def _gathered_kill_blocks(hs, idx, m_real, rmsd_thr):
     r2m = jnp.mean(radii * radii, axis=-1)                       # (B, L)
     lb = r2m[:, :, None] + r2m[:, None, :] \
         - (2.0 / N) * jnp.einsum('bpn,bqn->bpq', radii, radii)
-
-    pos = jnp.arange(L)
-    valid = (pos[None, None, :] > pos[None, :, None]) & \
-        (pos[None, None, :] < m_real[:, None, None])
     cand = (lb < rmsd_thr * rmsd_thr) & valid
 
     S = jnp.einsum('bpni,bqnk->bpqik', P, P)
@@ -367,6 +358,75 @@ def _gathered_kill_blocks(hs, idx, m_real, rmsd_thr):
 
     hit = (rmsd < rmsd_thr) & (maxdev < 2.0 * rmsd_thr) & cand
     return jnp.any(hit, axis=2)
+
+
+@jax.jit
+def _gathered_kill_blocks(hs, idx, m_real, rmsd_thr):
+    '''
+    Batched within-block kill over gathered active rows.
+    hs (n, N, 3) device-resident pool; idx (B, L) int32 row indices
+    (padded entries >= n, clipped for the gather and masked out);
+    m_real (B,) live rows per block. Row p of block b dies when some
+    q in (p, m_real[b]) passes rmsd < thr AND maxdev < 2*thr.
+    Returns (B, L) bool.
+    '''
+    n = hs.shape[0]
+    P = hs[jnp.clip(idx, 0, n - 1)]                   # (B, L, N, 3)
+    L = P.shape[1]
+    pos = jnp.arange(L)
+    valid = (pos[None, None, :] > pos[None, :, None]) & \
+        (pos[None, None, :] < m_real[:, None, None])
+    return _pair_kill_core(P, valid, rmsd_thr)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'span_real', 'span_pad', 'n_chunks', 'tail_real', 'tail_pad'))
+def _inplace_pass(hs, alive, rmsd_thr, span_real, span_pad, n_chunks,
+                  tail_real, tail_pad):
+    '''
+    One ENTIRE schedule pass fused into a single device program for the
+    high-k regime (small chunk spans): chunk blocks are cut straight
+    from the pool by POSITION (no host-side gather of active rows — the
+    liveness mask supplies pair validity instead), kills are scattered
+    back into the device-resident mask, and only the surviving count
+    leaves the device. This removes the per-pass host round trips that
+    dominate on high-latency links.
+
+    Chunks c = 0..n_chunks-1 cover rows [c*span_real, c*span_real +
+    span_real); the reference's LAST chunk (rows [n_chunks*span_real,
+    n)) is evaluated as one extra block of tail_real rows padded to
+    tail_pad. All kill decisions use the PASS-START mask (reference
+    rmsd_pruning.py:123-162 semantics). Returns (alive', n_active').
+    '''
+    n_pool = hs.shape[0]
+
+    c = jnp.arange(n_chunks, dtype=jnp.int32)[:, None]
+    r = jnp.arange(span_pad, dtype=jnp.int32)[None, :]
+    idx = c * span_real + r                            # (C, Sp)
+    in_range = r < span_real
+    idx_c = jnp.clip(idx, 0, n_pool - 1)
+    P = hs[idx_c]
+    a = alive[idx_c] & in_range                        # (C, Sp)
+    valid = a[:, :, None] & a[:, None, :] & \
+        (r[0][None, None, :] > r[0][None, :, None])
+    kill = _pair_kill_core(P, valid, rmsd_thr) & in_range
+
+    # tail chunk: rows [n_chunks*span_real, n_chunks*span_real + tail_real)
+    rt = jnp.arange(tail_pad, dtype=jnp.int32)
+    idx_t = n_chunks * span_real + rt
+    in_range_t = rt < tail_real
+    idx_tc = jnp.clip(idx_t, 0, n_pool - 1)
+    Pt = hs[idx_tc][None]
+    at = (alive[idx_tc] & in_range_t)[None]
+    valid_t = at[:, :, None] & at[:, None, :] & \
+        (rt[None, None, :] > rt[None, :, None])
+    kill_t = _pair_kill_core(Pt, valid_t, rmsd_thr)[0] & in_range_t
+
+    kill_flat = jnp.zeros(n_pool, dtype=bool)
+    kill_flat = kill_flat.at[idx_c.reshape(-1)].max(kill.reshape(-1))
+    kill_flat = kill_flat.at[idx_tc].max(kill_t)
+    alive = alive & ~kill_flat
+    return alive, jnp.sum(alive)
 
 
 @functools.partial(jax.jit, static_argnames=('row_tile', 'col_block'))
@@ -440,6 +500,118 @@ def _gathered_kill_stream(sub, n_act, rmsd_thr,
                              jnp.zeros(S, dtype=bool))
 
 
+@functools.partial(jax.jit, static_argnames=('s_pad',))
+def _finish_passes(hs, alive, n, rmsd_thr, s_pad):
+    '''
+    Run the ENTIRE remaining k-bucket schedule in one device program:
+    actives are compacted once (order-preserving nonzero), every
+    schedule pass evaluates its 20k<active gate on device and streams
+    row tiles over the compacted block with pair validity
+    alive(p) & alive(q) & q>p & same-chunk (chunk = original position
+    // (n//k), capped at k-1 like the reference's trailing chunk).
+    Re-evaluating already-run ks is a no-op (surviving pairs were
+    already compared under identical boundaries), so the full schedule
+    is always safe. Returns (updated pool mask, n_active).
+    '''
+    n_pool = hs.shape[0]
+    idx = jnp.nonzero(alive, size=s_pad, fill_value=n_pool)[0]
+    real = idx < n_pool
+    idx_c = jnp.clip(idx, 0, n_pool - 1)
+    sub = hs[idx_c]                                    # (S, N, 3)
+    N = sub.shape[1]
+    n_dt = jnp.asarray(N, sub.dtype)
+
+    radii = jnp.sqrt(jnp.maximum(jnp.sum(sub * sub, axis=-1), 0.0))
+    r2_mean = jnp.mean(radii * radii, axis=-1)
+    G_all = jnp.sum(sub * sub, axis=(-2, -1))
+    S_len = sub.shape[0]
+    row_tile = min(_FINISH_ROW_TILE, S_len)
+    n_tiles = S_len // row_tile
+    col_block = min(_FINISH_ROW_TILE, S_len)
+    n_cblocks = S_len // col_block
+
+    # schedule as data: ONE pass body compiled once, k dynamic inside
+    # (static filter: active <= s_pad, so ks with 20k >= s_pad can
+    # never pass their gate — dropping them shortens the loop)
+    ks = jnp.asarray([int(k) for k in K_SCHEDULE
+                      if k == 1 or 20 * k < s_pad], jnp.int32)
+
+    def one_pass(a, k):
+        cs = jnp.maximum(n // k, 1)
+        chunk = jnp.minimum(idx // cs, k - 1)
+
+        def do(a):
+            def row_body(r, kill_acc):
+                r0 = r * row_tile
+                P = jax.lax.dynamic_slice_in_dim(sub, r0, row_tile)
+                rP = jax.lax.dynamic_slice_in_dim(radii, r0, row_tile)
+                rP2 = jax.lax.dynamic_slice_in_dim(r2_mean, r0, row_tile)
+                GA = jax.lax.dynamic_slice_in_dim(G_all, r0, row_tile)
+                aP = jax.lax.dynamic_slice_in_dim(a, r0, row_tile)
+                cP = jax.lax.dynamic_slice_in_dim(chunk, r0, row_tile)
+                i_loc = r0 + jnp.arange(row_tile)
+
+                def col_body(cb, kill_rows):
+                    c0 = cb * col_block
+                    j_loc = c0 + jnp.arange(col_block)
+                    aQ = jax.lax.dynamic_slice_in_dim(a, c0, col_block)
+                    cQ = jax.lax.dynamic_slice_in_dim(chunk, c0, col_block)
+                    valid = aP[:, None] & aQ[None, :] & \
+                        (j_loc[None, :] > i_loc[:, None]) & \
+                        (cP[:, None] == cQ[None, :])
+                    rQ = jax.lax.dynamic_slice_in_dim(radii, c0, col_block)
+                    rQ2 = jax.lax.dynamic_slice_in_dim(r2_mean, c0,
+                                                       col_block)
+                    lb = rP2[:, None] + rQ2[None, :] \
+                        - (2.0 / N) * jnp.einsum('tn,cn->tc', rP, rQ)
+                    cand = (lb < rmsd_thr * rmsd_thr) & valid
+
+                    def heavy(kill_rows):
+                        Q = jax.lax.dynamic_slice_in_dim(sub, c0, col_block)
+                        GB = jax.lax.dynamic_slice_in_dim(G_all, c0,
+                                                          col_block)
+                        Sm = jnp.einsum('tni,cnk->tcik', P, Q)
+                        lam = _qcp_lambda_max(Sm, GA[:, None], GB[None, :])
+                        msd = (GA[:, None] + GB[None, :] - 2.0 * lam) / n_dt
+                        rmsd = jnp.sqrt(jnp.maximum(msd, 0.0))
+                        K = _horn_key_matrix(Sm)
+                        q_wxyz = _quaternion_from_key(K, lam)
+                        q_xyzw = jnp.concatenate(
+                            [q_wxyz[..., 1:], q_wxyz[..., :1]], axis=-1)
+                        R = quaternion_to_rotation_matrix(q_xyzw)
+                        rotated = jnp.einsum('tcij,tnj->tcni', R, P)
+                        diff = rotated - Q[None]
+                        maxdev = jnp.sqrt(
+                            jnp.max(jnp.sum(diff * diff, axis=-1), axis=-1))
+                        hit = (rmsd < rmsd_thr) & \
+                            (maxdev < 2.0 * rmsd_thr) & cand
+                        return kill_rows | jnp.any(hit, axis=1)
+
+                    return jax.lax.cond(jnp.any(cand), heavy,
+                                        lambda kk: kk, kill_rows)
+
+                kill_rows = jax.lax.fori_loop(
+                    0, n_cblocks, col_body,
+                    jnp.zeros(row_tile, dtype=bool))
+                return jax.lax.dynamic_update_slice_in_dim(
+                    kill_acc, kill_rows, r0, 0)
+
+            kill = jax.lax.fori_loop(0, n_tiles, row_body,
+                                     jnp.zeros(S_len, dtype=bool))
+            return a & ~kill
+
+        active = jnp.sum(a)
+        run = (k == 1) | (20 * k < active)
+        return jax.lax.cond(run, do, lambda a: a, a)
+
+    a = jax.lax.fori_loop(0, ks.shape[0],
+                          lambda i, a: one_pass(a, ks[i]), real)
+
+    out = jnp.zeros(n_pool + 1, dtype=bool)
+    out = out.at[jnp.where(a, idx_c, n_pool)].set(True)
+    return out[:n_pool], jnp.sum(a)
+
+
 def _pow2(x, floor=8):
     return max(floor, int(2 ** np.ceil(np.log2(max(x, 1)))))
 
@@ -448,12 +620,23 @@ def _pow2(x, floor=8):
 # distinct executables tiny (see prune_conformers_rmsd_device)
 _BLOCK_BUCKETS = ((64, 512), (256, 32))
 
+# passes whose chunk span (padded) is at most this run as ONE fused
+# device program (_inplace_pass); larger spans use the gathered path
+_INPLACE_SPAN_MAX = 256
+
+# once the active count fits this bound, ALL remaining schedule passes
+# run as ONE device program (_finish_passes)
+_FINISH_MAX = 4096
+_FINISH_ROW_TILE = 256
+
 
 def warmup_prune_kernels(n_atoms, dtype=np.float32, stream_sizes=(1024,),
-                         n_pool=4):
+                         n_pool=4, n_real=None):
     '''Pre-compile the pruning executables for a given (pool size, atom
     count): the blocked kernel gathers from the full pool, so its
-    executable is keyed on the pool shape too. Cheap: runs on zeros.'''
+    executable is keyed on the pool shape too. Cheap: runs on zeros.
+    With n_real given, also pre-compiles the fused in-place pass for
+    every schedule k that could run at that ensemble size.'''
     hs = jnp.zeros((n_pool, n_atoms, 3), dtype=dtype)
     thr = jnp.asarray(0.5, hs.dtype)
     for L_pad, group in _BLOCK_BUCKETS:
@@ -464,6 +647,27 @@ def warmup_prune_kernels(n_atoms, dtype=np.float32, stream_sizes=(1024,),
         sub = jnp.zeros((S, n_atoms, 3), dtype=dtype)
         _gathered_kill_stream(sub, jnp.asarray(2, jnp.int32), thr,
                               col_block=min(_COL_BLOCK, S)).block_until_ready()
+    if n_real is not None and n_real > 1:
+        alive = jnp.zeros(n_pool, dtype=bool)
+        n_dev = jnp.asarray(min(n_real, n_pool), jnp.int32)
+        for s_pad in (2048, 4096):
+            if s_pad <= n_real:
+                a, _ = _finish_passes(hs, alive, n_dev, thr, s_pad=s_pad)
+                a.block_until_ready()
+        for k in K_SCHEDULE:
+            if not (k > 1 and 20 * k < n_real):
+                continue
+            k = int(k)
+            chunksize = n_real // k
+            span_pad = _pow2(chunksize, floor=8)
+            if span_pad > _INPLACE_SPAN_MAX:
+                continue
+            tail_real = n_real - (k - 1) * chunksize
+            a, _ = _inplace_pass(hs, alive, thr, span_real=chunksize,
+                                 span_pad=span_pad, n_chunks=k - 1,
+                                 tail_real=tail_real,
+                                 tail_pad=_pow2(tail_real, floor=8))
+            a.block_until_ready()
 
 
 def prune_conformers_rmsd_device(heavy_structures, rmsd_thr=0.5,
@@ -494,13 +698,59 @@ def prune_conformers_rmsd_device(heavy_structures, rmsd_thr=0.5,
 
     thr = jnp.asarray(rmsd_thr, hs.dtype)
 
+    # high-k regime: the whole pass fuses into one device program and
+    # the mask never leaves the device (see _inplace_pass). As k drops,
+    # chunk spans grow past _INPLACE_SPAN_MAX and the loop switches to
+    # the host-orchestrated gathered path below (spans only grow, so
+    # the switch happens at most once).
+    alive_dev = jnp.asarray(mask)
+    active = int(mask.sum())
+    synced = True
     for k in K_SCHEDULE:
         t_pass = _time.perf_counter()
-        active = int(mask.sum())
         if not (k == 1 or 20 * k < active):
             continue
         k = int(k)
         chunksize = n // k
+
+        if active <= _FINISH_MAX:
+            # all remaining passes in ONE device program
+            if synced:
+                alive_dev = jnp.asarray(mask)
+            alive_dev, n_act = _finish_passes(
+                hs, alive_dev, jnp.asarray(n, jnp.int32), thr,
+                s_pad=_pow2(active, floor=_FINISH_ROW_TILE))
+            active = int(n_act)
+            synced = False
+            if trace:
+                import sys
+                print(f'[prune] k<={k} finish-pass -> {active} '
+                      f'({_time.perf_counter() - t_pass:.2f}s)',
+                      file=sys.stderr)
+            break
+
+        span_pad = _pow2(chunksize, floor=8)
+        if k > 1 and span_pad <= _INPLACE_SPAN_MAX:
+            tail_real = n - (k - 1) * chunksize
+            alive_dev, n_act = _inplace_pass(
+                hs, alive_dev, thr, span_real=chunksize,
+                span_pad=span_pad, n_chunks=k - 1, tail_real=tail_real,
+                tail_pad=_pow2(tail_real, floor=8))
+            active = int(n_act)
+            synced = False
+            if trace:
+                import sys
+                print(f'[prune] k={k} fused-pass -> {active} '
+                      f'({_time.perf_counter() - t_pass:.2f}s)',
+                      file=sys.stderr)
+            continue
+
+        if not synced:
+            mask = np.array(alive_dev)
+            synced = True
+        active = int(mask.sum())
+        if not (k == 1 or 20 * k < active):
+            continue
 
         act = np.flatnonzero(mask)
         bounds = np.arange(1, k) * chunksize
@@ -560,12 +810,15 @@ def prune_conformers_rmsd_device(heavy_structures, rmsd_thr=0.5,
             new_mask[c[bits[:len(c)]]] = False
 
         mask = new_mask
+        active = int(mask.sum())
         if trace:
             import sys
-            print(f'[prune] k={k} active_in={active} '
+            print(f'[prune] k={k} -> {active} '
                   f'({_time.perf_counter() - t_pass:.2f}s)',
                   file=sys.stderr)
 
+    if not synced:
+        mask = np.array(alive_dev)
     return mask
 
 
