@@ -244,6 +244,24 @@ def test_rmsd_prune_device_resident_large_fused():
     np.testing.assert_array_equal(got, want)
 
 
+def test_rmsd_prune_whole_schedule_single_call():
+    # warmup registers the ensemble length -> the pruner takes the
+    # single _device_schedule call; results must match the host path
+    import jax.numpy as jnp
+    structures, atomnos = _clustered_ensemble(700, seed=13)
+    _, want = rmsd_prune.prune_conformers_rmsd(structures, atomnos,
+                                               rmsd_thr=0.5)
+    heavy = atomnos != 1
+    hs = np.ascontiguousarray(structures[:, heavy])
+    rmsd_prune.warmup_prune_kernels(hs.shape[1], dtype=hs.dtype,
+                                    n_pool=len(hs), n_real=len(hs))
+    assert (len(hs), (len(hs), hs.shape[1], 3)) \
+        in rmsd_prune._SCHEDULE_WARMED
+    got = np.asarray(rmsd_prune.prune_conformers_rmsd_device(
+        jnp.asarray(hs), rmsd_thr=0.5))
+    np.testing.assert_array_equal(got, want)
+
+
 def test_rmsd_prune_device_resident_init_mask():
     import jax.numpy as jnp
     structures, atomnos = _clustered_ensemble(40, seed=3)

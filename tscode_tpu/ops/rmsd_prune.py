@@ -379,9 +379,7 @@ def _gathered_kill_blocks(hs, idx, m_real, rmsd_thr):
     return _pair_kill_core(P, valid, rmsd_thr)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    'span_real', 'span_pad', 'n_chunks', 'tail_real', 'tail_pad'))
-def _inplace_pass(hs, alive, rmsd_thr, span_real, span_pad, n_chunks,
+def _inplace_body(hs, alive, rmsd_thr, span_real, span_pad, n_chunks,
                   tail_real, tail_pad):
     '''
     One ENTIRE schedule pass fused into a single device program for the
@@ -425,7 +423,15 @@ def _inplace_pass(hs, alive, rmsd_thr, span_real, span_pad, n_chunks,
     kill_flat = jnp.zeros(n_pool, dtype=bool)
     kill_flat = kill_flat.at[idx_c.reshape(-1)].max(kill.reshape(-1))
     kill_flat = kill_flat.at[idx_tc].max(kill_t)
-    alive = alive & ~kill_flat
+    return alive & ~kill_flat
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'span_real', 'span_pad', 'n_chunks', 'tail_real', 'tail_pad'))
+def _inplace_pass(hs, alive, rmsd_thr, span_real, span_pad, n_chunks,
+                  tail_real, tail_pad):
+    alive = _inplace_body(hs, alive, rmsd_thr, span_real, span_pad,
+                          n_chunks, tail_real, tail_pad)
     return alive, jnp.sum(alive)
 
 
@@ -500,8 +506,7 @@ def _gathered_kill_stream(sub, n_act, rmsd_thr,
                              jnp.zeros(S, dtype=bool))
 
 
-@functools.partial(jax.jit, static_argnames=('s_pad',))
-def _finish_passes(hs, alive, n, rmsd_thr, s_pad):
+def _finish_body(hs, alive, n, rmsd_thr, s_pad):
     '''
     Run the ENTIRE remaining k-bucket schedule in one device program:
     actives are compacted once (order-preserving nonzero), every
@@ -612,6 +617,63 @@ def _finish_passes(hs, alive, n, rmsd_thr, s_pad):
     return out[:n_pool], jnp.sum(a)
 
 
+@functools.partial(jax.jit, static_argnames=('s_pad',))
+def _finish_passes(hs, alive, n, rmsd_thr, s_pad):
+    return _finish_body(hs, alive, n, rmsd_thr, s_pad)
+
+
+# ensemble lengths whose whole-schedule single-program executable has
+# been pre-compiled by warmup_prune_kernels (keyed (n, pool shape))
+_SCHEDULE_WARMED = set()
+
+
+def _inplace_ks(n):
+    '''Schedule ks that can run the fused in-place pass at ensemble
+    length n (superset of what any active count allows).'''
+    out = []
+    for k in K_SCHEDULE:
+        if k == 1 or not 20 * k < n:
+            continue
+        k = int(k)
+        if _pow2(n // k, floor=8) <= _INPLACE_SPAN_MAX:
+            out.append(k)
+    return tuple(out)
+
+
+@functools.partial(jax.jit, static_argnames=('n', 's_pad'))
+def _device_schedule(hs, alive, rmsd_thr, n, s_pad):
+    '''
+    The ENTIRE pruning schedule as one device program: every fused
+    in-place pass (high-k regime) with its 20k<active gate evaluated
+    on device, then — if the survivor count fits s_pad — the finish
+    program for all remaining ks. Returns (alive', n_active, finished):
+    when `finished` is False the caller must resume the host loop from
+    alive' (passes are idempotent, so resuming from the start of the
+    schedule is safe).
+    '''
+    active = jnp.sum(alive)
+    for k in _inplace_ks(n):
+        chunksize = n // k
+        tail_real = n - (k - 1) * chunksize
+
+        def body(al, k=k, chunksize=chunksize, tail_real=tail_real):
+            return _inplace_body(
+                hs, al, rmsd_thr, span_real=chunksize,
+                span_pad=_pow2(chunksize, floor=8), n_chunks=k - 1,
+                tail_real=tail_real, tail_pad=_pow2(tail_real, floor=8))
+
+        alive = jax.lax.cond(20 * k < active, body, lambda al: al, alive)
+        active = jnp.sum(alive)
+
+    finished = active <= s_pad
+    alive, active = jax.lax.cond(
+        finished,
+        lambda al: _finish_body(hs, al, jnp.asarray(n, jnp.int32),
+                                rmsd_thr, s_pad),
+        lambda al: (al, jnp.sum(al)), alive)
+    return alive, active, finished
+
+
 def _pow2(x, floor=8):
     return max(floor, int(2 ** np.ceil(np.log2(max(x, 1)))))
 
@@ -635,10 +697,22 @@ def warmup_prune_kernels(n_atoms, dtype=np.float32, stream_sizes=(1024,),
     '''Pre-compile the pruning executables for a given (pool size, atom
     count): the blocked kernel gathers from the full pool, so its
     executable is keyed on the pool shape too. Cheap: runs on zeros.
-    With n_real given, also pre-compiles the fused in-place pass for
-    every schedule k that could run at that ensemble size.'''
+
+    With n_real given, pre-compiles the whole-schedule single-call
+    program instead — the gathered/stream executables are then only
+    needed on its rare not-finished fallback and are left to lazy
+    compilation (remote compiles are expensive on tunneled links;
+    warming both paths doubles the cost for nothing).'''
     hs = jnp.zeros((n_pool, n_atoms, 3), dtype=dtype)
     thr = jnp.asarray(0.5, hs.dtype)
+    if n_real is not None and n_real > 1:
+        alive = jnp.zeros(n_pool, dtype=bool)
+        n_eff = int(min(n_real, n_pool))
+        a, _, _ = _device_schedule(hs, alive, thr, n=n_eff,
+                                   s_pad=_FINISH_MAX)
+        a.block_until_ready()
+        _SCHEDULE_WARMED.add((n_eff, hs.shape))
+        return
     for L_pad, group in _BLOCK_BUCKETS:
         idx = jnp.zeros((group, L_pad), dtype=jnp.int32)
         m_real = jnp.zeros(group, dtype=jnp.int32)
@@ -647,27 +721,6 @@ def warmup_prune_kernels(n_atoms, dtype=np.float32, stream_sizes=(1024,),
         sub = jnp.zeros((S, n_atoms, 3), dtype=dtype)
         _gathered_kill_stream(sub, jnp.asarray(2, jnp.int32), thr,
                               col_block=min(_COL_BLOCK, S)).block_until_ready()
-    if n_real is not None and n_real > 1:
-        alive = jnp.zeros(n_pool, dtype=bool)
-        n_dev = jnp.asarray(min(n_real, n_pool), jnp.int32)
-        for s_pad in (2048, 4096):
-            if s_pad <= n_real:
-                a, _ = _finish_passes(hs, alive, n_dev, thr, s_pad=s_pad)
-                a.block_until_ready()
-        for k in K_SCHEDULE:
-            if not (k > 1 and 20 * k < n_real):
-                continue
-            k = int(k)
-            chunksize = n_real // k
-            span_pad = _pow2(chunksize, floor=8)
-            if span_pad > _INPLACE_SPAN_MAX:
-                continue
-            tail_real = n_real - (k - 1) * chunksize
-            a, _ = _inplace_pass(hs, alive, thr, span_real=chunksize,
-                                 span_pad=span_pad, n_chunks=k - 1,
-                                 tail_real=tail_real,
-                                 tail_pad=_pow2(tail_real, floor=8))
-            a.block_until_ready()
 
 
 def prune_conformers_rmsd_device(heavy_structures, rmsd_thr=0.5,
@@ -706,6 +759,25 @@ def prune_conformers_rmsd_device(heavy_structures, rmsd_thr=0.5,
     alive_dev = jnp.asarray(mask)
     active = int(mask.sum())
     synced = True
+
+    # fastest path: if warmup pre-compiled the whole-schedule program
+    # for this exact ensemble length, the entire prune is ONE call
+    if (n, hs.shape) in _SCHEDULE_WARMED:
+        t0 = _time.perf_counter()
+        alive_dev, n_act, finished = _device_schedule(
+            hs, alive_dev, thr, n=n, s_pad=_FINISH_MAX)
+        done = bool(finished)
+        if trace:
+            import sys
+            print(f'[prune] whole-schedule call -> {int(n_act)} '
+                  f'(finished={done}, {_time.perf_counter() - t0:.2f}s)',
+                  file=sys.stderr)
+        if done:
+            return np.array(alive_dev)
+        # rare: survivors still exceed _FINISH_MAX — resume the host
+        # loop from the device state (passes are idempotent)
+        mask = np.array(alive_dev)
+        active = int(mask.sum())
     for k in K_SCHEDULE:
         t_pass = _time.perf_counter()
         if not (k == 1 or 20 * k < active):
