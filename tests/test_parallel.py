@@ -48,3 +48,27 @@ def test_sharded_screen_matches_single_device():
     # the planted duplicates must have been killed (they precede pose 3's
     # own index... rather: 3 dies because 40/41 are later duplicates)
     assert not keep[3]
+
+
+def _clustered(n, seed, n_atoms=5):
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(max(1, n // 12), n_atoms, 3)) * 3
+    idx = rng.integers(0, len(base), size=n)
+    out = base[idx] + rng.normal(size=(n, n_atoms, 3)) * 0.12
+    return out.astype(np.float64)
+
+
+def test_sharded_prune_matches_reference_semantics():
+    # whole k-bucket schedule over the 8-device mesh == single-device
+    # pruner (which is golden-tested against the sequential oracle)
+    from tscode_tpu.ops.rmsd_prune import prune_conformers_rmsd_device
+    from tscode_tpu.parallel.prune import sharded_prune_rmsd
+
+    mesh = make_mesh()
+    for n, seed in ((700, 3), (3000, 7)):
+        hs = _clustered(n, seed)
+        want = np.asarray(prune_conformers_rmsd_device(
+            jnp.asarray(hs), rmsd_thr=0.5))
+        got = sharded_prune_rmsd(hs, mesh, rmsd_thr=0.5)
+        np.testing.assert_array_equal(got[:n], want[:n])
+        assert 1 <= got[:n].sum() < n
