@@ -135,9 +135,9 @@ def _neb_operator(embedder, mol, name):
     with open(f'{mol.rootname}_NEB_TS.xyz', 'w') as f:
         write_xyz(chain[ts], mol.atomnos, f,
                   title=f'NEB TS guess - Rel. E = '
-                        f'{round(energies[ts] - energies[0], 2)} kcal/mol')
+                        f'{float(energies[ts] - energies[0]):.2f} kcal/mol')
     embedder.log(f'    TS guess at image {ts + 1}, barrier '
-                 f'{round(energies[ts] - energies[0], 2)} kcal/mol; wrote '
+                 f'{float(energies[ts] - energies[0]):.2f} kcal/mol; wrote '
                  f'{mol.rootname}_MEP.xyz and {mol.rootname}_NEB_TS.xyz')
     return mol
 
@@ -160,7 +160,7 @@ def _saddle_operator(embedder, mol, name):
         mol.atomcoords[0], mol.atomnos, mol.graph)
     with open(f'{mol.rootname}_saddle.xyz', 'w') as f:
         write_xyz(coords, mol.atomnos, f,
-                  title=f'Saddle structure - E = {round(energy, 2)} '
+                  title=f'Saddle structure - E = {float(energy):.2f} '
                         f'kcal/mol - converged: {done}')
     embedder.log(f'    wrote {mol.rootname}_saddle.xyz '
                  f'(converged: {done})')
