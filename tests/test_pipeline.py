@@ -146,3 +146,41 @@ def test_refine_operator_end_to_end(tmp_path):
         os.chdir(cwd)
     # the three near-duplicates collapse to one; the distinct one survives
     assert len(run.structures) == 2
+
+
+def test_bypass_dumps_every_embedded_pose(tmp_path):
+    run, d = _run(tmp_path,
+                  'BYPASS RIGID STEPS=4\nC2H4.xyz 0a 3b\nC2H4.xyz 0b 3a\n',
+                  'e2e_byp')
+    out = d / f'tscode_embedded_{run.stamp}.xyz'
+    frames = _read_frames(out)
+    # BYPASS skips pruning/optimization: everything embedded is dumped
+    assert len(frames) == len(run.structures) > 0
+
+
+def test_rmsd_threshold_changes_survivors(tmp_path):
+    base = 'NOOPT\nC2H4.xyz 0\nCH3Cl.xyz 0\n'
+    r1, _ = _run(tmp_path, base, 'e2e_r05')
+    r2, _ = _run(tmp_path, 'RMSD=0.05 ' + base, 'e2e_r005')
+    # a much tighter threshold keeps at least as many structures
+    assert len(r2.structures) >= len(r1.structures)
+
+
+def test_clashes_keyword_loosens_screen(tmp_path):
+    tight = 'NOOPT RIGID STEPS=4 CLASHES(num=0,dist=1.8)\n' \
+            'C2H4.xyz 0a 3b\nC2H4.xyz 0b 3a\n'
+    loose = 'NOOPT RIGID STEPS=4 CLASHES(num=5,dist=1.0)\n' \
+            'C2H4.xyz 0a 3b\nC2H4.xyz 0b 3a\n'
+    rt, _ = _run(tmp_path, tight, 'e2e_ct')
+    rl, _ = _run(tmp_path, loose, 'e2e_cl')
+    assert len(rl.structures) >= len(rt.structures)
+
+
+def test_shrink_scales_orbital_length(tmp_path):
+    r1, _ = _run(tmp_path, 'NOOPT DRYRUN\nC2H4.xyz 0\nCH3Cl.xyz 0\n',
+                 'e2e_s1')
+    r2, _ = _run(tmp_path, 'NOOPT DRYRUN SHRINK=2\nC2H4.xyz 0\n'
+                           'CH3Cl.xyz 0\n', 'e2e_s2')
+    l1 = r1.objects[0].get_orbital_length(0)
+    l2 = r2.objects[0].get_orbital_length(0)
+    assert l2 == pytest.approx(2 * l1)
