@@ -397,32 +397,37 @@ def _inplace_body(hs, alive, rmsd_thr, span_real, span_pad, n_chunks,
     rmsd_pruning.py:123-162 semantics). Returns (alive', n_active').
     '''
     n_pool = hs.shape[0]
+    N = hs.shape[1]
+    span = n_chunks * span_real
 
-    c = jnp.arange(n_chunks, dtype=jnp.int32)[:, None]
-    r = jnp.arange(span_pad, dtype=jnp.int32)[None, :]
-    idx = c * span_real + r                            # (C, Sp)
-    in_range = r < span_real
-    idx_c = jnp.clip(idx, 0, n_pool - 1)
-    P = hs[idx_c]
-    a = alive[idx_c] & in_range                        # (C, Sp)
+    # chunk windows never read past their own span (rows beyond it are
+    # masked dead), so the block tensor is a RESHAPE + pad of the pool
+    # prefix — no gather, and the kill writeback is a reshape too
+    # (device gathers/scatters of small rows measured ~100x slower)
+    P = jnp.pad(hs[:span].reshape(n_chunks, span_real, N, 3),
+                ((0, 0), (0, span_pad - span_real), (0, 0), (0, 0)))
+    a = jnp.pad(alive[:span].reshape(n_chunks, span_real),
+                ((0, 0), (0, span_pad - span_real)))
+    r = jnp.arange(span_pad, dtype=jnp.int32)
     valid = a[:, :, None] & a[:, None, :] & \
-        (r[0][None, None, :] > r[0][None, :, None])
-    kill = _pair_kill_core(P, valid, rmsd_thr) & in_range
+        (r[None, None, :] > r[None, :, None])
+    kill = _pair_kill_core(P, valid, rmsd_thr)[:, :span_real]
 
-    # tail chunk: rows [n_chunks*span_real, n_chunks*span_real + tail_real)
+    # tail chunk: rows [span, span + tail_real), contiguous slice
+    tail_take = min(tail_pad, n_pool - span)
+    Pt = jnp.pad(hs[span:span + tail_take],
+                 ((0, tail_pad - tail_take), (0, 0), (0, 0)))[None]
     rt = jnp.arange(tail_pad, dtype=jnp.int32)
-    idx_t = n_chunks * span_real + rt
-    in_range_t = rt < tail_real
-    idx_tc = jnp.clip(idx_t, 0, n_pool - 1)
-    Pt = hs[idx_tc][None]
-    at = (alive[idx_tc] & in_range_t)[None]
+    at = (jnp.pad(alive[span:span + tail_take],
+                  (0, tail_pad - tail_take)) & (rt < tail_real))[None]
     valid_t = at[:, :, None] & at[:, None, :] & \
         (rt[None, None, :] > rt[None, :, None])
-    kill_t = _pair_kill_core(Pt, valid_t, rmsd_thr)[0] & in_range_t
+    kill_t = _pair_kill_core(Pt, valid_t, rmsd_thr)[0][:tail_take]
 
-    kill_flat = jnp.zeros(n_pool, dtype=bool)
-    kill_flat = kill_flat.at[idx_c.reshape(-1)].max(kill.reshape(-1))
-    kill_flat = kill_flat.at[idx_tc].max(kill_t)
+    kill_flat = jnp.concatenate([
+        kill.reshape(span),
+        kill_t,
+        jnp.zeros(n_pool - span - tail_take, dtype=bool)])
     return alive & ~kill_flat
 
 
