@@ -333,3 +333,42 @@ def test_fitness_scores_signed():
                 d = np.linalg.norm(structures[b, cidx[b, c, 0]] - structures[b, cidx[b, c, 1]])
                 want += d - targets[b, c]
         np.testing.assert_allclose(got[b], want, atol=1e-9)
+
+
+def test_rmsd_prune_maxdev_gate_ambiguous_band():
+    # pairs engineered into the band rmsd < thr <= maxdev/2: a single
+    # atom displaced by d on an N=16 structure gives rmsd ~ d/4 but
+    # maxdev ~ d, so d in (1.0, 2.0) passes gate1 and FAILS gate2 —
+    # the cheap sqrt(N)*rmsd bound must not shortcut these kills
+    import jax.numpy as jnp
+    g = np.random.default_rng(17)
+    n_atoms = 16
+    atomnos = np.full(n_atoms, 6)
+    base = g.normal(size=(n_atoms, 3)) * 4.0
+
+    structures = [base.copy()]
+    for d in (0.2, 0.9, 1.2, 1.5, 1.9, 2.4, 0.05):
+        s = base.copy()
+        s[0] += np.array([d, 0.0, 0.0])
+        structures.append(s)
+    structures = np.array(structures)
+
+    _, want = rmsd_prune.prune_conformers_rmsd(structures, atomnos,
+                                               rmsd_thr=0.5)
+    want_oracle = _oracle_prune_rmsd(structures, atomnos, rmsd_thr=0.5)
+    np.testing.assert_array_equal(want, want_oracle)
+
+    got = np.asarray(rmsd_prune.prune_conformers_rmsd_device(
+        jnp.asarray(structures), rmsd_thr=0.5))
+    np.testing.assert_array_equal(got, want)
+    # some structure must survive BECAUSE of the maxdev veto: at least
+    # one pair sits in the ambiguous band
+    from tests.oracles import rmsd_and_max
+    in_band = 0
+    for i in range(len(structures)):
+        for j in range(i + 1, len(structures)):
+            r, md = rmsd_and_max(structures[i].copy(),
+                                 structures[j].copy())
+            if r < 0.5 and md >= 1.0:
+                in_band += 1
+    assert in_band > 0

@@ -108,18 +108,10 @@ def _fused_kill_rows(P_tile, Q_all, i0, m_real, rmsd_thr, col_block=_COL_BLOCK):
         msd = (GA[:, None] + GB[None, :] - 2.0 * lam) / n_dt
         rmsd = jnp.sqrt(jnp.maximum(msd, 0.0))
 
-        K = _horn_key_matrix(S)
-        q_wxyz = _quaternion_from_key(K, lam)
-        q_xyzw = jnp.concatenate([q_wxyz[..., 1:], q_wxyz[..., :1]], axis=-1)
-        R = quaternion_to_rotation_matrix(q_xyzw)           # (T, C, 3, 3)
-        rotated = jnp.einsum('tcij,tnj->tcni', R, P_tile)
-        diff = rotated - Q[None, :, :, :]
-        maxdev = jnp.sqrt(jnp.max(jnp.sum(diff * diff, axis=-1), axis=-1))
-
         j_global = b * col_block + jnp.arange(col_block)
         valid = (j_global[None, :] > i_global[:, None]) & \
             (j_global[None, :] < m_real)
-        hit = (rmsd < rmsd_thr) & (maxdev < 2.0 * rmsd_thr) & valid
+        hit = _two_gate_hits(rmsd, valid, rmsd_thr, N, S, lam, P_tile, Q)
         return kill | jnp.any(hit, axis=1), None
 
     kill0 = jnp.zeros(T, dtype=bool)
@@ -146,19 +138,31 @@ def _fused_kill_blocks(P_blocks, m_real, rmsd_thr):
     msd = (G[:, :, None] + G[:, None, :] - 2.0 * lam) / n_dt
     rmsd = jnp.sqrt(jnp.maximum(msd, 0.0))
 
-    K = _horn_key_matrix(S)
-    q_wxyz = _quaternion_from_key(K, lam)
-    q_xyzw = jnp.concatenate([q_wxyz[..., 1:], q_wxyz[..., :1]], axis=-1)
-    R = quaternion_to_rotation_matrix(q_xyzw)                # (B, L, L, 3, 3)
-    rotated = jnp.einsum('bpqij,bpnj->bpqni', R, P_blocks)
-    diff = rotated - P_blocks[:, None, :, :, :]
-    maxdev = jnp.sqrt(jnp.max(jnp.sum(diff * diff, axis=-1), axis=-1))
-
     idx = jnp.arange(L)
     valid = (idx[None, None, :] > idx[None, :, None]) & \
         (idx[None, None, :] < m_real[:, None, None])
-    hit = (rmsd < rmsd_thr) & (maxdev < 2.0 * rmsd_thr) & valid
-    return jnp.any(hit, axis=2)
+    gate1 = (rmsd < rmsd_thr) & valid
+    if N <= 4:
+        return jnp.any(gate1, axis=2)
+
+    # see _two_gate_hits: the maxdev gate only matters in the ambiguous
+    # rmsd band (maxdev <= sqrt(N)*rmsd)
+    ambiguous = gate1 & (jnp.sqrt(float(N)) * rmsd >= 2.0 * rmsd_thr)
+
+    def exact(_):
+        K = _horn_key_matrix(S)
+        q_wxyz = _quaternion_from_key(K, lam)
+        q_xyzw = jnp.concatenate([q_wxyz[..., 1:], q_wxyz[..., :1]],
+                                 axis=-1)
+        R = quaternion_to_rotation_matrix(q_xyzw)
+        rotated = jnp.einsum('bpqij,bpnj->bpqni', R, P_blocks)
+        diff = rotated - P_blocks[:, None, :, :, :]
+        maxdev = jnp.sqrt(jnp.max(jnp.sum(diff * diff, axis=-1), axis=-1))
+        return ambiguous & (maxdev < 2.0 * rmsd_thr)
+
+    hit2 = jax.lax.cond(jnp.any(ambiguous), exact,
+                        lambda _: jnp.zeros_like(ambiguous), 0)
+    return jnp.any((gate1 & ~ambiguous) | hit2, axis=2)
 
 
 _SMALL_CHUNK = 256
@@ -331,6 +335,14 @@ def _pair_kill_core(P, valid, rmsd_thr):
     valid (B, L, L) bool pair eligibility. Row p of block b dies when
     some valid (p, q) pair passes rmsd < thr AND maxdev < 2*thr.
     Returns (B, L) bool kill bits.
+
+    The maxdev gate is mostly IMPLIED by the rmsd gate: the per-atom
+    deviations after optimal rotation satisfy sum_n dev_n^2 = N*msd,
+    so maxdev <= sqrt(N)*rmsd. With rmsd < thr this makes
+    maxdev < 2*thr automatic whenever N <= 4, and for N > 4 only
+    pairs in the band rmsd >= 2*thr/sqrt(N) can fail it — the
+    expensive eigenvector/rotation path runs only for those (rare)
+    ambiguous pairs, under a cond.
     '''
     N = P.shape[2]
     n_dt = jnp.asarray(N, P.dtype)
@@ -348,16 +360,27 @@ def _pair_kill_core(P, valid, rmsd_thr):
     msd = (G[:, :, None] + G[:, None, :] - 2.0 * lam) / n_dt
     rmsd = jnp.sqrt(jnp.maximum(msd, 0.0))
 
-    K = _horn_key_matrix(S)
-    q_wxyz = _quaternion_from_key(K, lam)
-    q_xyzw = jnp.concatenate([q_wxyz[..., 1:], q_wxyz[..., :1]], axis=-1)
-    R = quaternion_to_rotation_matrix(q_xyzw)
-    rotated = jnp.einsum('bpqij,bpnj->bpqni', R, P)
-    diff = rotated - P[:, None]
-    maxdev = jnp.sqrt(jnp.max(jnp.sum(diff * diff, axis=-1), axis=-1))
+    gate1 = (rmsd < rmsd_thr) & cand
+    if N <= 4:
+        return jnp.any(gate1, axis=2)
 
-    hit = (rmsd < rmsd_thr) & (maxdev < 2.0 * rmsd_thr) & cand
-    return jnp.any(hit, axis=2)
+    ambiguous = gate1 & (jnp.sqrt(float(N)) * rmsd >= 2.0 * rmsd_thr)
+
+    def exact(_):
+        K = _horn_key_matrix(S)
+        q_wxyz = _quaternion_from_key(K, lam)
+        q_xyzw = jnp.concatenate([q_wxyz[..., 1:], q_wxyz[..., :1]],
+                                 axis=-1)
+        R = quaternion_to_rotation_matrix(q_xyzw)
+        rotated = jnp.einsum('bpqij,bpnj->bpqni', R, P)
+        diff = rotated - P[:, None]
+        maxdev = jnp.sqrt(jnp.max(jnp.sum(diff * diff, axis=-1),
+                                  axis=-1))
+        return ambiguous & (maxdev < 2.0 * rmsd_thr)
+
+    hit2 = jax.lax.cond(jnp.any(ambiguous), exact,
+                        lambda _: jnp.zeros_like(ambiguous), 0)
+    return jnp.any((gate1 & ~ambiguous) | hit2, axis=2)
 
 
 @jax.jit
@@ -440,6 +463,36 @@ def _inplace_pass(hs, alive, rmsd_thr, span_real, span_pad, n_chunks,
     return alive, jnp.sum(alive)
 
 
+def _two_gate_hits(rmsd, cand, rmsd_thr, N, Sm, lam, P, Q):
+    '''
+    Two-gate hit bits for a (T, C) pair tile given the already-computed
+    rmsd + candidates. Exploits maxdev <= sqrt(N)*rmsd (sum of squared
+    per-atom deviations equals N*msd): for N <= 4 the maxdev gate is
+    implied, and otherwise the eigenvector/rotation path runs only for
+    the ambiguous rmsd band under a cond.
+    '''
+    gate1 = (rmsd < rmsd_thr) & cand
+    if N <= 4:
+        return gate1
+
+    ambiguous = gate1 & (jnp.sqrt(float(N)) * rmsd >= 2.0 * rmsd_thr)
+
+    def exact(_):
+        K = _horn_key_matrix(Sm)
+        q_wxyz = _quaternion_from_key(K, lam)
+        q_xyzw = jnp.concatenate([q_wxyz[..., 1:], q_wxyz[..., :1]],
+                                 axis=-1)
+        R = quaternion_to_rotation_matrix(q_xyzw)
+        rotated = jnp.einsum('tcij,tnj->tcni', R, P)
+        diff = rotated - Q[None]
+        maxdev = jnp.sqrt(jnp.max(jnp.sum(diff * diff, axis=-1), axis=-1))
+        return ambiguous & (maxdev < 2.0 * rmsd_thr)
+
+    hit2 = jax.lax.cond(jnp.any(ambiguous), exact,
+                        lambda _: jnp.zeros_like(ambiguous), 0)
+    return (gate1 & ~ambiguous) | hit2
+
+
 @functools.partial(jax.jit, static_argnames=('row_tile', 'col_block'))
 def _gathered_kill_stream(sub, n_act, rmsd_thr,
                           row_tile=_ROW_TILE, col_block=_COL_BLOCK):
@@ -487,17 +540,8 @@ def _gathered_kill_stream(sub, n_act, rmsd_thr,
                 lam = _qcp_lambda_max(Sm, GA[:, None], GB[None, :])
                 msd = (GA[:, None] + GB[None, :] - 2.0 * lam) / n_dt
                 rmsd = jnp.sqrt(jnp.maximum(msd, 0.0))
-
-                K = _horn_key_matrix(Sm)
-                q_wxyz = _quaternion_from_key(K, lam)
-                q_xyzw = jnp.concatenate(
-                    [q_wxyz[..., 1:], q_wxyz[..., :1]], axis=-1)
-                R = quaternion_to_rotation_matrix(q_xyzw)
-                rotated = jnp.einsum('tcij,tnj->tcni', R, P)
-                diff = rotated - Q[None]
-                maxdev = jnp.sqrt(jnp.max(jnp.sum(diff * diff, axis=-1),
-                                          axis=-1))
-                hit = (rmsd < rmsd_thr) & (maxdev < 2.0 * rmsd_thr) & cand
+                hit = _two_gate_hits(rmsd, cand, rmsd_thr, N, Sm, lam,
+                                     P, Q)
                 return kill_rows | jnp.any(hit, axis=1)
 
             return jax.lax.cond(jnp.any(cand), heavy, lambda kk: kk,
@@ -588,17 +632,8 @@ def _finish_body(hs, alive, n, rmsd_thr, s_pad):
                         lam = _qcp_lambda_max(Sm, GA[:, None], GB[None, :])
                         msd = (GA[:, None] + GB[None, :] - 2.0 * lam) / n_dt
                         rmsd = jnp.sqrt(jnp.maximum(msd, 0.0))
-                        K = _horn_key_matrix(Sm)
-                        q_wxyz = _quaternion_from_key(K, lam)
-                        q_xyzw = jnp.concatenate(
-                            [q_wxyz[..., 1:], q_wxyz[..., :1]], axis=-1)
-                        R = quaternion_to_rotation_matrix(q_xyzw)
-                        rotated = jnp.einsum('tcij,tnj->tcni', R, P)
-                        diff = rotated - Q[None]
-                        maxdev = jnp.sqrt(
-                            jnp.max(jnp.sum(diff * diff, axis=-1), axis=-1))
-                        hit = (rmsd < rmsd_thr) & \
-                            (maxdev < 2.0 * rmsd_thr) & cand
+                        hit = _two_gate_hits(rmsd, cand, rmsd_thr, N,
+                                             Sm, lam, P, Q)
                         return kill_rows | jnp.any(hit, axis=1)
 
                     return jax.lax.cond(jnp.any(cand), heavy,
