@@ -195,8 +195,8 @@ def run_device_pipeline(mol1, mol2):
         *fused_args, n_angles=N_ANGLES, n_ok=n_ok_warm, s_pool=pool_pad)
     keep.block_until_ready()
     stats = np.asarray(stats)
-    assert stats[1] == n_ok_warm and stats[2]
-    vlog('fused pipeline warm')
+    assert stats[1] == n_ok_warm
+    vlog(f'fused pipeline warm (single-program finish: {bool(stats[2])})')
 
     # best-of-3 timed reps: the tunneled device link has rare
     # multi-second stalls that would otherwise corrupt the measurement.
@@ -210,9 +210,22 @@ def run_device_pipeline(mol1, mol2):
             *fused_args, n_angles=N_ANGLES, n_ok=n_ok_warm,
             s_pool=pool_pad)
         stats = np.asarray(stats)                 # single host pull
+        if not stats[2]:
+            # survivors exceeded the single-program finish block:
+            # complete the schedule on the host-orchestrated path
+            # (timed — the fallback is part of the honest pipeline)
+            from tscode_tpu.ops.rmsd_prune import \
+                prune_conformers_rmsd_device
+            poses2, ok2 = _embed_clash_all(*args, n_angles=N_ANGLES)
+            idx2 = jnp.nonzero(ok2, size=pool_pad, fill_value=B)[0]
+            hs2 = poses2[jnp.clip(idx2, 0, B - 1)][:, heavy_idx]
+            mask = prune_conformers_rmsd_device(
+                hs2, rmsd_thr=0.5, init_mask=np.array(keep),
+                n_real=n_ok_warm)
+            stats = np.array([int(mask.sum()), n_ok_warm, 1])
         elapsed = time.perf_counter() - t0
         n_final, n_ok = int(stats[0]), int(stats[1])
-        assert n_ok == n_ok_warm and stats[2]
+        assert n_ok == n_ok_warm
         vlog(f'rep {rep}: {n_ok} clash-ok, {n_final} final '
              f'({elapsed:.2f}s)')
         if best is None or elapsed < best[1]:
