@@ -280,6 +280,15 @@ def prune_conformers_rmsd(structures, atomnos, rmsd_thr=0.5):
     heavy = atomnos != 1
     heavy_structures = np.ascontiguousarray(structures[:, heavy])
 
+    # on accelerator backends with sizable ensembles, the per-pass host
+    # orchestration below pays one dispatch+pull round trip per pass —
+    # route through the device-resident scheduler instead (identical
+    # semantics, parity-tested)
+    if n >= 2048 and jax.default_backend() not in ('cpu',):
+        mask = prune_conformers_rmsd_device(
+            jnp.asarray(heavy_structures), rmsd_thr=rmsd_thr)
+        return structures[mask], mask
+
     out_mask = np.ones(n, dtype=bool)
 
     for k in K_SCHEDULE:
