@@ -372,3 +372,34 @@ def test_rmsd_prune_maxdev_gate_ambiguous_band():
             if r < 0.5 and md >= 1.0:
                 in_band += 1
     assert in_band > 0
+
+
+def test_rmsd_prune_mid_regime_banded(monkeypatch):
+    # shrink the regime thresholds so the banded mid regime engages:
+    # duplicates 150 positions apart share a chunk only at k=2/k=1,
+    # which the in-place regime (spans <= 128) cannot reach
+    import jax.numpy as jnp
+    monkeypatch.setattr(rmsd_prune, '_FINISH_MAX', 64)
+    monkeypatch.setattr(rmsd_prune, '_MID_MAX', 1024)
+    monkeypatch.setattr(rmsd_prune, '_MID_BAND', 640)
+
+    g = np.random.default_rng(29)
+    n = 600
+    uniq = g.normal(size=(450, 4, 3)) * 3
+    hs = np.empty((n, 4, 3))
+    hs[:450] = uniq
+    hs[450:] = uniq[:150] + g.normal(size=(150, 4, 3)) * 0.05
+
+    atomnos = np.full(4, 6)
+    _, want = rmsd_prune.prune_conformers_rmsd(hs, atomnos, rmsd_thr=0.5)
+
+    alive, n_act, finished = rmsd_prune._device_schedule(
+        jnp.asarray(hs), jnp.ones(n, dtype=bool),
+        jnp.asarray(0.5, jnp.float64), n=n, s_pad=64)
+    # the mid regime must complete the schedule on device (k=1 banded)
+    assert bool(finished)
+    got = np.asarray(alive)
+    np.testing.assert_array_equal(got, want)
+    assert int(n_act) == want.sum()
+    # the duplicates actually got pruned
+    assert want.sum() < n

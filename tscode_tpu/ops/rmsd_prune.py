@@ -675,6 +675,124 @@ def _finish_passes(hs, alive, n, rmsd_thr, s_pad):
     return _finish_body(hs, alive, n, rmsd_thr, s_pad)
 
 
+def _pair_kill_rect(Pr, Qc, valid, rmsd_thr):
+    '''
+    Two-gate kill bits for rectangular pair tiles: Pr (B, Lr, N, 3) rows
+    vs Qc (B, Lc, N, 3) columns, valid (B, Lr, Lc). Returns (B, Lr).
+    Same sqrt(N)-bound gate elision as _pair_kill_core.
+    '''
+    N = Pr.shape[2]
+    n_dt = jnp.asarray(N, Pr.dtype)
+    S = jnp.einsum('bpni,bqnk->bpqik', Pr, Qc)
+    GA = jnp.sum(Pr * Pr, axis=(-2, -1))
+    GB = jnp.sum(Qc * Qc, axis=(-2, -1))
+    lam = _qcp_lambda_max(S, GA[:, :, None], GB[:, None, :])
+    msd = (GA[:, :, None] + GB[:, None, :] - 2.0 * lam) / n_dt
+    rmsd = jnp.sqrt(jnp.maximum(msd, 0.0))
+
+    gate1 = (rmsd < rmsd_thr) & valid
+    if N <= 4:
+        return jnp.any(gate1, axis=2)
+
+    ambiguous = gate1 & (jnp.sqrt(float(N)) * rmsd >= 2.0 * rmsd_thr)
+
+    def exact(_):
+        K = _horn_key_matrix(S)
+        q_wxyz = _quaternion_from_key(K, lam)
+        q_xyzw = jnp.concatenate([q_wxyz[..., 1:], q_wxyz[..., :1]],
+                                 axis=-1)
+        R = quaternion_to_rotation_matrix(q_xyzw)
+        rotated = jnp.einsum('bpqij,bpnj->bpqni', R, Pr)
+        diff = rotated - Qc[:, None]
+        maxdev = jnp.sqrt(jnp.max(jnp.sum(diff * diff, axis=-1), axis=-1))
+        return ambiguous & (maxdev < 2.0 * rmsd_thr)
+
+    hit2 = jax.lax.cond(jnp.any(ambiguous), exact,
+                        lambda _: jnp.zeros_like(ambiguous), 0)
+    return jnp.any((gate1 & ~ambiguous) | hit2, axis=2)
+
+
+def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128):
+    '''
+    Banded mid-regime passes: actives are compacted once (order
+    preserved, so same-chunk actives sit in contiguous runs); each
+    eligible pass whose largest run fits `band` evaluates its
+    same-chunk pairs as dense (tile, tile+band) window blocks built by
+    reshape+concat — no gathers, no conds per block. Passes only run
+    while actives still exceed the finish block (_finish_body handles
+    the rest, in order). Returns (alive', ok): ok=False means an
+    eligible pass could not run banded — the caller must NOT run later
+    passes on device (order matters); host fallback resumes safely
+    because re-running earlier passes is a no-op.
+    '''
+    n_pool = hs.shape[0]
+    N = hs.shape[1]
+    idx = jnp.nonzero(alive, size=s_mid, fill_value=n_pool)[0]
+    real = idx < n_pool
+    idx_c = jnp.clip(idx, 0, n_pool - 1)
+    sub = hs[idx_c]                                    # (S, N, 3)
+    T = s_mid // tile
+    m = -(-band // tile)                               # look-ahead tiles
+    W = (m + 1) * tile
+
+    def windows(x, fill):
+        '''(S, ...) -> (T, W, ...): each tile plus its m successors.'''
+        blocks_ = x.reshape((T, tile) + x.shape[1:])
+        parts = [blocks_]
+        for s in range(1, m + 1):
+            pad = jnp.full((s, tile) + x.shape[1:], fill, x.dtype)
+            parts.append(jnp.concatenate([blocks_[s:], pad], axis=0))
+        return jnp.concatenate(parts, axis=1)
+
+    blocks = sub.reshape(T, tile, N, 3)
+    win = windows(sub, 0)                              # (T, W, N, 3)
+
+    pos = jnp.arange(s_mid, dtype=jnp.int32)
+    row_pos = pos.reshape(T, tile)                     # global positions
+    col_pos = row_pos[:, :1] + jnp.arange(W, dtype=jnp.int32)[None, :]
+
+    ks = jnp.asarray([int(k) for k in K_SCHEDULE], jnp.int32)
+
+    def one_pass(i, state):
+        a, ok, ran_k1 = state
+        k = ks[i]
+        active = jnp.sum(a)
+        eligible = ((k == 1) | (20 * k < active)) & (active > _FINISH_MAX)
+
+        cs = jnp.maximum(n // k, 1)
+        chunk = jnp.minimum(idx // cs, k - 1)
+        # largest same-chunk run among COMPACTED positions (chunk ids
+        # are non-decreasing); dead rows only shrink true runs
+        first = jnp.searchsorted(chunk, chunk, side='left')
+        max_run = jnp.max(jnp.where(real, pos - first, 0)) + 1
+        fits = max_run <= band
+
+        def run(a):
+            a_rows = a.reshape(T, tile)
+            a_cols = windows(a, False)
+            c_rows = chunk.reshape(T, tile)
+            c_cols = windows(chunk, -1)
+
+            valid = a_rows[:, :, None] & a_cols[:, None, :] & \
+                (col_pos[:, None, :] > row_pos[:, :, None]) & \
+                (c_rows[:, :, None] == c_cols[:, None, :])
+            kill = _pair_kill_rect(blocks, win, valid, rmsd_thr)
+            return a & ~kill.reshape(s_mid)
+
+        ran = eligible & fits & ok
+        a = jax.lax.cond(ran, run, lambda a: a, a)
+        ok = ok & (fits | ~eligible)
+        ran_k1 = ran_k1 | (ran & (k == 1))
+        return a, ok, ran_k1
+
+    a, ok, ran_k1 = jax.lax.fori_loop(0, ks.shape[0], one_pass,
+                                      (real, True, False))
+
+    out = jnp.zeros(n_pool + 1, dtype=bool)
+    out = out.at[jnp.where(a, idx_c, n_pool)].set(True)
+    return out[:n_pool], ok, ran_k1
+
+
 # ensemble lengths whose whole-schedule single-program executable has
 # been pre-compiled by warmup_prune_kernels (keyed (n, pool shape))
 _SCHEDULE_WARMED = set()
@@ -718,9 +836,20 @@ def _device_schedule(hs, alive, rmsd_thr, n, s_pad):
         alive = jax.lax.cond(20 * k < active, body, lambda al: al, alive)
         active = jnp.sum(alive)
 
-    finished = active <= s_pad
+    # banded mid regime: shrink oversized survivor sets on device when
+    # every eligible chunk's actives fit the band (may complete the
+    # whole schedule itself by running k=1 banded)
+    need_mid = (active > s_pad) & (active <= _MID_MAX)
+    alive, mid_ok, mid_done = jax.lax.cond(
+        need_mid,
+        lambda al: _mid_body(hs, al, jnp.asarray(n, jnp.int32),
+                             rmsd_thr, s_mid=_MID_MAX, band=_MID_BAND),
+        lambda al: (al, True, False), alive)
+    active = jnp.sum(alive)
+
+    finished = mid_ok & (mid_done | (active <= s_pad))
     alive, active = jax.lax.cond(
-        finished,
+        finished & ~mid_done,
         lambda al: _finish_body(hs, al, jnp.asarray(n, jnp.int32),
                                 rmsd_thr, s_pad),
         lambda al: (al, jnp.sum(al)), alive)
@@ -743,6 +872,14 @@ _INPLACE_SPAN_MAX = 256
 # run as ONE device program (_finish_passes)
 _FINISH_MAX = 4096
 _FINISH_ROW_TILE = 256
+
+# mid regime between the in-place passes and the finish block: actives
+# up to _MID_MAX run BANDED passes (same-chunk actives are contiguous
+# runs in the order-preserving compaction, so as long as no chunk holds
+# more than _MID_BAND actives, every same-chunk pair sits within
+# _MID_BAND positions)
+_MID_MAX = 16384
+_MID_BAND = 128
 
 
 def warmup_prune_kernels(n_atoms, dtype=np.float32, stream_sizes=(1024,),
