@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 '''
 Headline benchmark: poses/sec through the embed + clash + RMSD-prune
-pipeline on a ~100k-pose string-embed workload (BASELINE.md target:
+pipeline on a ~416k-pose string-embed workload (BASELINE.md target:
 >= 50x the CPU reference on one chip).
 
 Prints ONE JSON line:
@@ -30,7 +30,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_CONFS = 38          # tiled noisy conformers per molecule
+N_CONFS = 76          # tiled noisy conformers per molecule
 N_ANGLES = 36
 NOISE = 0.35          # A of per-conformer jitter: a genuinely DIVERSE
                       # ensemble, representative of multiembed-scale
@@ -43,7 +43,7 @@ BASE_SAMPLE = 1024    # poses measured for the CPU baseline
 
 def build_workload():
     '''Two fixture molecules tiled to N_CONFS noisy conformers each ->
-    a 38*38*2*36 = 103,968-pose string grid.'''
+    a 76*76*2*36 = 415,872-pose string grid.'''
     from tscode_tpu.molecule import Molecule
 
     fixdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
