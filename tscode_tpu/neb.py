@@ -24,6 +24,81 @@ def interpolate_chain(start, end, n_images):
     return (1 - t) * np.asarray(start)[None] + t * np.asarray(end)[None]
 
 
+def _idpp_energy(chain, targets, weights):
+    '''Per-image IDPP objective (Smidstrup et al., JCP 140, 214106):
+    chain (I, N, 3), targets/weights (I, N, N) -> (I,).'''
+    diff = chain[:, :, None, :] - chain[:, None, :, :]
+    d = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
+    return jnp.sum(weights * (d - targets) ** 2, axis=(-2, -1))
+
+
+def idpp_interpolate(start, end, n_images, n_steps=300):
+    '''Image-dependent pair potential interpolation: start from the
+    linear chain, then relax interior images toward linearly-interpolated
+    pairwise-DISTANCE targets (weights 1/d^4). The device form relaxes
+    every interior image simultaneously under batched FIRE — the analog
+    of ASE's `interpolate(method='idpp')` used by the reference
+    (mep_relaxer.py:155-200, ase_manipulations.py:411-422).'''
+    from tscode_tpu.optimizers import fire_minimize_batch
+
+    chain = interpolate_chain(start, end, n_images)
+    if n_images <= 2:
+        return chain
+    n = chain.shape[1]
+
+    def dmat(c):
+        diff = c[:, None, :] - c[None, :, :]
+        return np.sqrt(np.sum(diff * diff, axis=-1))
+
+    d0, d1 = dmat(chain[0]), dmat(chain[-1])
+    t = np.linspace(0.0, 1.0, n_images)[:, None, None]
+    targets = (1 - t) * d0[None] + t * d1[None]
+    weights = 1.0 / np.maximum(targets, 1e-2) ** 4
+    weights[:, np.arange(n), np.arange(n)] = 0.0
+
+    freeze = np.zeros((n_images, n), dtype=bool)
+    freeze[0] = freeze[-1] = True
+
+    refined, _, _ = fire_minimize_batch(
+        jnp.asarray(chain), _idpp_energy, n_steps=n_steps,
+        freeze_mask=jnp.asarray(freeze),
+        energy_args=(jnp.asarray(targets), jnp.asarray(weights)))
+    return np.asarray(refined)
+
+
+def interpolate_structures(structures, atomnos, n, method='idpp'):
+    '''Expand m >= 2 structures into an n-image chain, keeping the input
+    structures mapped at proportional positions and filling each gap by
+    linear or IDPP interpolation. Mirrors the reference's
+    interpolate_structures (mep_relaxer.py:155-200) but returns a plain
+    (n, N, 3) array instead of ASE Atoms objects.'''
+    structures = np.asarray(structures, dtype=float)
+    m = len(structures)
+    fill = idpp_interpolate if method == 'idpp' else \
+        (lambda a, b, k: interpolate_chain(a, b, k))
+
+    if m == 2:
+        return fill(structures[0], structures[-1], n)
+
+    if n <= m:                      # nothing to expand: sample evenly
+        idx = np.round(np.linspace(0, m - 1, n)).astype(int)
+        return structures[idx]
+
+    ratio = n / m
+    mappings = [round(i * ratio) for i in range(m)]
+    mappings[-1] = n - 1
+
+    images = np.zeros((n, structures.shape[1], 3))
+    for i, pos in enumerate(mappings):
+        images[pos] = structures[i]
+
+    group_ranges = [(mappings[i], mappings[i + 1])
+                    for i in range(m - 1) if mappings[i + 1] - mappings[i] > 1]
+    for r1, r2 in group_ranges:
+        images[r1:r2 + 1] = fill(images[r1], images[r2], r2 - r1 + 1)
+    return images
+
+
 def _tangents(chain, energies):
     '''Improved upwind tangents (Henkelman & Jonsson 2000).'''
     prev = chain[:-2]
@@ -135,7 +210,9 @@ def run_neb(start, end, energy_fn, n_images=7, k_spring=1.0,
     Returns (chain (I, N, 3), energies (I,), ts_index).
     '''
     if chain is None:
-        chain = interpolate_chain(start, end, n_images)
+        # IDPP starting band, as the reference's DyNEB setup does
+        # (ase_manipulations.py:411)
+        chain = idpp_interpolate(start, end, n_images)
     chain = jnp.asarray(chain)
 
     chain = _neb_relax(chain, energy_fn, climb_after, k_spring, dt0,

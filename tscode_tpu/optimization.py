@@ -8,6 +8,8 @@ calculator is present on PATH these stages raise a clear error, keeping
 all pure-geometry pipelines (NOOPT/BYPASS) fully functional.
 '''
 
+import numpy as np
+
 from tscode_tpu.errors import InputError
 
 
@@ -41,6 +43,94 @@ def optimization_refine(embedder, conv_thr='tight', maxiter=None,
 
 def saddle_refine(embedder):
     raise _no_calc_error('Saddle-point refinement')
+
+
+def adjust_spacings_batch(embedder, structures, atomnos):
+    '''Pull every pairing with a target distance to that distance while
+    keeping the rest of the geometry physical — the batched analog of the
+    reference's ase_adjust_spacings (ase_manipulations.py:216-312).
+
+    The reference runs, per structure, a coarse LBFGS with Spring
+    (k=100) + HalfSpring (NCI pairs, active beyond 2.5 A) +
+    PreventScramblingConstraint, then tightens the springs (k=1000),
+    drops the PSC and re-runs. Here the internal FF plays the role of
+    both the calculator forces and the PSC, and BOTH phases run as one
+    batched FIRE program over all structures at once. Returns
+    (structures (B, N, 3), energies (B,), success (B,) bool).
+    '''
+    import jax.numpy as jnp
+
+    from tscode_tpu.ff import (build_ff_params, ff_energy, merge_ff_params,
+                               params_to_device)
+    from tscode_tpu.graphs import graphize
+    from tscode_tpu.optimizers import fire_minimize_batch
+    from tscode_tpu.utils import scramble_check
+
+    structures = np.asarray(structures, dtype=float)
+    atomnos = np.asarray(atomnos)
+
+    # springs: pairings with a known target distance
+    spring_pairs, spring_targets = [], []
+    nci_pairs = []
+    for letter, pair in embedder.pairings_table.items():
+        target = embedder.get_pairing_dist_from_letter(letter)
+        if target is not None:
+            spring_pairs.append(tuple(pair))
+            spring_targets.append(float(target))
+        if isinstance(letter, str) and letter.islower():
+            nci_pairs.append(tuple(pair))
+
+    if not spring_pairs:
+        # no targets: plain constrained optimization is equivalent
+        # (reference ase_manipulations.py:233-249)
+        from tscode_tpu.calculators.dispatch import optimize_batch_pipeline
+        return optimize_batch_pipeline(embedder, structures, atomnos)
+
+    graphs = getattr(embedder, 'graphs', None) or \
+        [graphize(structures[0], atomnos)]
+    offsets = np.cumsum([0] + [g.number_of_nodes() for g in graphs])[:-1]
+    params = params_to_device(merge_ff_params(
+        [build_ff_params(structures[0][off:off + g.number_of_nodes()],
+                         atomnos[off:off + g.number_of_nodes()], g)
+         for g, off in zip(graphs, offsets)], offsets))
+
+    sp = jnp.asarray(np.array(spring_pairs, dtype=int))
+    st = jnp.asarray(np.array(spring_targets))
+    ncip = jnp.asarray(np.array(nci_pairs, dtype=int)
+                       if nci_pairs else np.zeros((0, 2), dtype=int))
+
+    def energy(coords, k_spring, k_nci):
+        e = ff_energy(coords, params)
+        d = jnp.linalg.norm(coords[..., sp[:, 0], :]
+                            - coords[..., sp[:, 1], :], axis=-1)
+        e = e + k_spring * jnp.sum((d - st) ** 2, axis=-1)
+        if ncip.shape[0]:
+            dn = jnp.linalg.norm(coords[..., ncip[:, 0], :]
+                                 - coords[..., ncip[:, 1], :], axis=-1)
+            e = e + k_nci * jnp.sum(jnp.maximum(dn - 2.5, 0.0) ** 2, axis=-1)
+        return e
+
+    batch = jnp.asarray(structures)
+    # coarse phase: springs + halfsprings (reference :264-270)
+    batch, _, _ = fire_minimize_batch(
+        batch, energy, n_steps=500,
+        energy_args=(jnp.asarray(50.0), jnp.asarray(500.0)))
+    # tight phase: springs only, 10x stiffer (reference Spring.tighten +
+    # set_constraint(springs) at :271-279)
+    batch, energies, _ = fire_minimize_batch(
+        batch, energy, n_steps=200,
+        energy_args=(jnp.asarray(500.0), jnp.asarray(0.0)))
+
+    out = np.asarray(batch)
+    constrained = np.array(spring_pairs, dtype=int)
+    success = np.array([
+        scramble_check(s, atomnos, constrained, graphs,
+                       max_newbonds=embedder.options.max_newbonds)
+        for s in out])
+    # report the FF energy without the biasing springs
+    import jax
+    pure = np.asarray(jax.jit(lambda c: ff_energy(c, params))(batch))
+    return out, pure, success
 
 
 def optimize_batch(embedder, structures, atomnos, calc=None, method=None,

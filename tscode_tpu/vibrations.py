@@ -1,0 +1,189 @@
+'''
+Vibrational analysis and ideal-gas RRHO thermochemistry on device.
+
+The reference exposes frequency calculations through ASE
+(`ase_vib`, /root/reference/tscode/ase_manipulations.py:348-380 —
+finite-difference displacements, one force call each) and obtains free
+energies by shelling out to `xtb --ohess`
+(/root/reference/tscode/calculators/_xtb.py:440-512). The TPU-native
+form needs neither displacements nor subprocesses for FF-backed paths:
+the internal force field (ff.py) is differentiable, so the full
+mass-weighted Hessian of a structure — or of a whole batch of
+structures via vmap — comes from one `jax.hessian` program, and the
+RRHO partition-function corrections are closed-form on top of the
+eigenvalues.
+
+Conventions: coordinates in Angstrom, energies in kcal/mol, masses in
+amu. Frequencies are returned in cm^-1, with imaginary modes encoded as
+negative numbers (the count of imaginary modes is returned alongside,
+mirroring the reference's `np.count_nonzero(freqs.imag > 1e-3)`).
+'''
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tscode_tpu.pt import MASSES
+
+# sqrt(kcal/mol / (amu * A^2)) -> cm^-1
+# lambda_SI = lambda * 4184 / (N_A * amu_kg * 1e-20)  [s^-2]; amu_kg*N_A = 1e-3
+_KCAL_PER_MOL = 4184.0                      # J/mol
+_C_CM = 2.99792458e10                       # speed of light, cm/s
+_FREQ_FACTOR = np.sqrt(_KCAL_PER_MOL / 1e-23) / (2.0 * np.pi * _C_CM)
+
+# thermochemistry constants
+_KB = 0.0019872042586408316                 # kcal/mol/K (R in kcal)
+_H_PLANCK = 6.62607015e-34                  # J s
+_KB_J = 1.380649e-23                        # J/K
+_AMU = 1.66053906892e-27                    # kg
+_NA = 6.02214076e23
+
+
+def mass_weighted_hessian(energy_fn, coords, masses):
+    '''Dense mass-weighted Hessian (3N, 3N) of a differentiable
+    energy_fn(coords)->scalar at coords (N, 3); masses (N,) in amu.'''
+    n = coords.shape[-2]
+    flat = coords.reshape(-1)
+    hess = jax.hessian(lambda x: energy_fn(x.reshape(n, 3)))(flat)
+    w = 1.0 / jnp.sqrt(jnp.repeat(masses, 3))
+    return hess * w[:, None] * w[None, :]
+
+
+def _tr_rot_projector(coords, masses):
+    '''Projector removing translations and infinitesimal rotations from a
+    mass-weighted Hessian (Eckart frame). Returns (3N, 3N).'''
+    n = coords.shape[0]
+    sqm = jnp.sqrt(masses)
+    com = jnp.sum(coords * masses[:, None], axis=0) / jnp.sum(masses)
+    x = coords - com
+
+    basis = []
+    for ax in range(3):                               # translations
+        t = jnp.zeros((n, 3)).at[:, ax].set(sqm)
+        basis.append(t.reshape(-1))
+    eye = jnp.eye(3)
+    for ax in range(3):                               # rotations
+        r = jnp.cross(jnp.broadcast_to(eye[ax], (n, 3)), x) * sqm[:, None]
+        basis.append(r.reshape(-1))
+    b = jnp.stack(basis, axis=1)                      # (3N, 6)
+
+    # orthonormalize, dropping near-null vectors (linear molecules)
+    q, r = jnp.linalg.qr(b)
+    keep = jnp.abs(jnp.diag(r)) > 1e-8
+    q = q * keep[None, :]
+    return jnp.eye(3 * n) - q @ q.T
+
+
+def frequencies(coords, atomnos, energy_fn, project=True):
+    '''Harmonic frequencies of one structure.
+
+    Returns (freqs_cm (3N,), n_imag). Imaginary modes appear as negative
+    wavenumbers; the six (five) projected rigid-body modes come out as
+    ~0 and are zeroed. Mirrors the contract of the reference's ase_vib
+    (ase_manipulations.py:348-380) without the per-displacement loop.
+    '''
+    coords = jnp.asarray(coords, dtype=jnp.float64)
+    masses = jnp.asarray(MASSES[np.asarray(atomnos)], dtype=coords.dtype)
+    h = mass_weighted_hessian(energy_fn, coords, masses)
+    h = 0.5 * (h + h.T)
+    if project:
+        p = _tr_rot_projector(coords, masses)
+        h = p @ h @ p
+    evals = jnp.linalg.eigvalsh(h)
+    freqs = jnp.sign(evals) * _FREQ_FACTOR * jnp.sqrt(jnp.abs(evals))
+    # zero out the projected rigid-body modes
+    freqs = jnp.where(jnp.abs(freqs) < 1.0, 0.0, freqs)
+    n_imag = int(jnp.sum(freqs < -1e-3))
+    return np.asarray(freqs), n_imag
+
+
+def frequencies_batch(coords_batch, atomnos, energy_fn, project=True):
+    '''vmapped frequencies over a (B, N, 3) batch — one device program
+    computes every Hessian. Returns (freqs (B, 3N), n_imag (B,)).'''
+    coords_batch = jnp.asarray(coords_batch, dtype=jnp.float64)
+    masses = jnp.asarray(MASSES[np.asarray(atomnos)],
+                         dtype=coords_batch.dtype)
+
+    def one(c):
+        h = mass_weighted_hessian(energy_fn, c, masses)
+        h = 0.5 * (h + h.T)
+        if project:
+            p = _tr_rot_projector(c, masses)
+            h = p @ h @ p
+        evals = jnp.linalg.eigvalsh(h)
+        f = jnp.sign(evals) * _FREQ_FACTOR * jnp.sqrt(jnp.abs(evals))
+        return jnp.where(jnp.abs(f) < 1.0, 0.0, f)
+
+    freqs = jax.jit(jax.vmap(one))(coords_batch)
+    return np.asarray(freqs), np.asarray(jnp.sum(freqs < -1e-3, axis=1))
+
+
+def thermochemistry(freqs_cm, atomnos, coords, temperature=298.15,
+                    pressure=101325.0, symmetry_number=1):
+    '''Ideal-gas RRHO corrections from harmonic frequencies.
+
+    Returns a dict (kcal/mol unless noted): zpe, e_vib, e_rot, e_trans,
+    h_corr (enthalpy correction incl. RT), s (entropy, kcal/mol/K),
+    g_corr (Gibbs correction, add to the electronic energy). Imaginary
+    and rigid-body modes are excluded, matching the convention of the
+    reference's xtb `--ohess` free-energy route (_xtb.py:440-512).
+    '''
+    t = float(temperature)
+    freqs = np.asarray(freqs_cm, dtype=float)
+    freqs = freqs[freqs > 1.0]                  # real vibrational modes
+
+    masses = MASSES[np.asarray(atomnos)]
+    coords = np.asarray(coords, dtype=float)
+
+    # vibrational: ZPE + thermal, entropy (harmonic oscillator)
+    theta = _H_PLANCK * _C_CM * freqs / _KB_J          # K per mode
+    x = theta / t
+    zpe = float(np.sum(0.5 * _KB * theta))
+    expm = np.expm1(x)
+    e_vib = float(np.sum(_KB * theta / expm))
+    s_vib = float(np.sum(_KB * (x / expm - np.log1p(-np.exp(-x)))))
+
+    # translational
+    m_kg = float(np.sum(masses)) * _AMU
+    q_trans = ((2 * np.pi * m_kg * _KB_J * t / _H_PLANCK ** 2) ** 1.5
+               * _KB_J * t / pressure)
+    e_trans = 1.5 * _KB * t
+    s_trans = _KB * (np.log(q_trans) + 2.5)
+
+    # rotational (rigid rotor from the inertia tensor)
+    com = np.sum(coords * masses[:, None], axis=0) / np.sum(masses)
+    x0 = coords - com
+    inert = np.zeros((3, 3))
+    for xi, mi in zip(x0, masses):
+        inert += mi * (np.dot(xi, xi) * np.eye(3) - np.outer(xi, xi))
+    moments = np.sort(np.linalg.eigvalsh(inert))       # amu A^2
+    moments_si = moments * _AMU * 1e-20
+    linear = moments_si[0] < 1e-3 * moments_si[2] or len(atomnos) == 2
+    if len(atomnos) == 1:
+        e_rot = s_rot = 0.0
+    elif linear:
+        theta_r = _H_PLANCK ** 2 / (8 * np.pi ** 2 * _KB_J * moments_si[2])
+        q_rot = t / (symmetry_number * theta_r)
+        e_rot = _KB * t
+        s_rot = _KB * (np.log(q_rot) + 1.0)
+    else:
+        theta_r = _H_PLANCK ** 2 / (8 * np.pi ** 2 * _KB_J * moments_si)
+        q_rot = (np.sqrt(np.pi) / symmetry_number
+                 * np.sqrt(t ** 3 / np.prod(theta_r)))
+        e_rot = 1.5 * _KB * t
+        s_rot = _KB * (np.log(q_rot) + 1.5)
+
+    s_tot = s_vib + s_trans + s_rot
+    h_corr = zpe + e_vib + e_trans + e_rot + _KB * t
+    g_corr = h_corr - t * s_tot
+    return {'zpe': zpe, 'e_vib': e_vib, 'e_rot': e_rot, 'e_trans': e_trans,
+            'h_corr': h_corr, 's': s_tot, 'g_corr': g_corr}
+
+
+def ff_free_energy(coords, atomnos, energy_fn, temperature=298.15):
+    '''Electronic (FF) energy + RRHO Gibbs correction — the hermetic
+    analog of xtb_get_free_energy for calculator-free runs.'''
+    freqs, n_imag = frequencies(coords, atomnos, energy_fn)
+    thermo = thermochemistry(freqs, atomnos, coords, temperature)
+    e_el = float(energy_fn(jnp.asarray(coords, dtype=jnp.float64)))
+    return e_el + thermo['g_corr'], n_imag
