@@ -30,7 +30,8 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_CONFS = 76          # tiled noisy conformers per molecule
+N_CONFS = int(os.environ.get('TSCODE_BENCH_CONFS', '76'))
+                      # tiled noisy conformers per molecule
 N_ANGLES = 36
 NOISE = 0.35          # A of per-conformer jitter: a genuinely DIVERSE
                       # ensemble, representative of multiembed-scale

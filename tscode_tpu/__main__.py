@@ -36,6 +36,10 @@ def main(argv=None):
                              'to ~/.tscode_tpu_settings.json)')
     parser.add_argument('-c', '--cite', action='store_true',
                         help='print the literature citation and exit')
+    parser.add_argument('--trace', metavar='DIR', default=None,
+                        help='capture a JAX device profile of the run into '
+                             'DIR (open with xprof/tensorboard); the device-'
+                             'level analog of -p host profiling')
     args = parser.parse_args(argv)
 
     if args.cite:
@@ -75,13 +79,26 @@ def main(argv=None):
                             procs=args.procs, threads=args.threads)
         embedder.run(resume_from=args.restart)
 
-    if args.profile:
+    def _cprofile(fn):
         import cProfile
         import pstats
         with cProfile.Profile() as pr:
-            _run()
+            fn()
         stats = pstats.Stats(pr)
         stats.sort_stats('cumtime').print_stats(30)
+
+    if args.trace:
+        # device-side tracing (reference only has host cProfile,
+        # profiler.py:8-18; on TPU the interesting time is in XLA
+        # programs, which the JAX profiler attributes per-op)
+        import jax
+        with jax.profiler.trace(os.path.abspath(args.trace)):
+            if args.profile:
+                _cprofile(_run)
+            else:
+                _run()
+    elif args.profile:
+        _cprofile(_run)
     else:
         _run()
 
