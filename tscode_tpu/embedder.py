@@ -1336,5 +1336,87 @@ class RunEmbedding(Embedder):
     def data_termination(self):
         '''pka>/scan> runs show data instead of embedding
         (reference embedder.py:2381-2393).'''
+        ops = [op for mol_ops in self.options.operators_dict.values()
+               for op in mol_ops] + list(
+                   getattr(self.options, 'operators', []) or [])
+        if any('pka' in op for op in ops):
+            self.pka_termination()
+        if len([op for op in ops if 'scan' in op]) > 1:
+            self.scan_termination()
         self.log('--> Data run (pka>/scan>) complete.\n')
         self.normal_termination()
+
+    def pka_termination(self):
+        '''Formatted pKa ladder for every pka> molecule: free-energy
+        legs, and absolute pKas vs the PKA(mol)=n reference when given
+        (reference embedder.py:2395-2449).'''
+        self.log('\n--> pKa energetics (from best conformers)')
+        solv = self.options.solvent or 'gas phase'
+
+        rows = [(mol.rootname,
+                 f'{mol.reactive_indices[0]}'
+                 f'({SYMBOLS[mol.atomnos[mol.reactive_indices[0]]]})',
+                 mol.pka_data[0], round(mol.pka_data[1], 3))
+                for mol in self.objects if hasattr(mol, 'pka_data')]
+        headers = ['Name', '#(Symb)', 'Process', 'Energy (kcal/mol)']
+
+        if hasattr(self, 'pka_ref'):
+            dg_ref = next(mol.pka_data[1] for mol in self.objects
+                          if mol.name == self.pka_ref[0])
+            rt_ln10 = np.log(10) * 1.9872036e-3 * 298.15
+            headers.append(f'pKa ({solv}, 298.15 K)')
+            rows = [row + (round(
+                ((mol.pka_data[1] - dg_ref) if 'HA' in mol.pka_data[0]
+                 else (dg_ref - mol.pka_data[1])) / rt_ln10
+                + self.pka_ref[1], 3),)
+                for row, mol in zip(rows, (
+                    m for m in self.objects if hasattr(m, 'pka_data')))]
+
+        widths = [max(len(str(r[c])) for r in rows + [tuple(headers)])
+                  for c in range(len(headers))]
+        fmt = ' | '.join(f'{{:<{w}}}' for w in widths)
+        self.log('    ' + fmt.format(*headers))
+        self.log('    ' + '-+-'.join('-' * w for w in widths))
+        for row in rows:
+            self.log('    ' + fmt.format(*row))
+
+        if self.options.theory_level is not None:
+            self.log(f'\n  Level used is {self.options.theory_level} via '
+                     f'{self.options.calculator}' +
+                     (f', using the ALPB solvation model for '
+                      f'{self.options.solvent}'
+                      if self.options.solvent is not None else ''))
+
+        # acid/base pair: report the proton-transfer equilibrium
+        with_data = [m for m in self.objects if hasattr(m, 'pka_data')]
+        if len(with_data) == 2:
+            tags = tuple(m.pka_data[0] for m in with_data)
+            if any('HA' in t for t in tags) and any('B ' in t for t in tags):
+                dg = sum(m.pka_data[1] for m in with_data)
+                k_eq = np.exp(-dg / (1.9872036e-3 * 298.15))
+                self.log(f'\n  Equilibrium data:')
+                self.log(f'    HA + B -> BH+ + A-    '
+                         f'K({solv}, 298.15 K) = {round(k_eq, 3)}')
+                self.log(f'                         '
+                         f'dG({solv}, 298.15 K) = {round(dg, 3)} kcal/mol')
+
+    def scan_termination(self):
+        '''Cumulative scan plot across every scan> molecule
+        (reference embedder.py:2451-2475).'''
+        import matplotlib
+        matplotlib.use('Agg')
+        import matplotlib.pyplot as plt
+
+        plt.figure()
+        for mol in self.objects:
+            if hasattr(mol, 'scan_data'):
+                plt.plot(*mol.scan_data, label=mol.rootname)
+        plt.legend()
+        plt.title('Unified scan energetics')
+        plt.xlabel('Distance (A)')
+        plt.gca().invert_xaxis()
+        plt.ylabel('Rel. E. (kcal/mol)')
+        plt.savefig(f'{self.stamp}_cumulative_plt.svg')
+        plt.close()
+        self.log(f'\n--> Written cumulative scan plot at '
+                 f'{self.stamp}_cumulative_plt.svg')
