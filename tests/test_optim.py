@@ -123,3 +123,19 @@ def test_interpolate_chain():
     np.testing.assert_allclose(chain[0], start)
     np.testing.assert_allclose(chain[-1], end)
     np.testing.assert_allclose(chain[2], (start + end) / 2)
+
+
+# ------------------------------------------------------------ dimer saddle
+
+def test_dimer_saddle_on_double_well():
+    '''The dimer method walks from a perturbed point to the (0, 0, 0)
+    saddle of the curved double well (no Hessian, forces only).'''
+    from tscode_tpu.saddle import dimer_saddle
+
+    start = jnp.asarray(np.array([[-0.4, 0.45, 0.02]]))
+    c, e, done = dimer_saddle(start, _curved_double_well,
+                              n_steps=600, fmax=1e-4)
+    c = np.asarray(c)[0]
+    assert abs(c[0]) < 0.02
+    assert abs(c[1]) < 0.05
+    assert abs(float(e) - 1.0) < 0.01

@@ -184,3 +184,21 @@ def test_shrink_scales_orbital_length(tmp_path):
     l1 = r1.objects[0].get_orbital_length(0)
     l2 = r2.objects[0].get_orbital_length(0)
     assert l2 == pytest.approx(2 * l1)
+
+
+def test_multiembed_end_to_end(tmp_path):
+    '''2 molecules with (3, 2) reactive atoms route to the multiembed
+    arrangement sweep (reference multiembed.py:26-82): every pairwise
+    arrangement embedded in-process, results concatenated and pruned.'''
+    run, d = _run(tmp_path, 'NOOPT RIGID\nHCOOH.xyz 0 1 3\nC2H4.xyz 0 1\n',
+                  'e2e_multi', files=('HCOOH.xyz', 'C2H4.xyz'))
+    assert run.embed == 'multiembed'
+    out = d / f'tscode_unoptimized_{run.stamp}.xyz'
+    assert out.exists()
+    frames = _read_frames(out)
+    assert len(frames) == len(run.structures) > 0
+    natoms = (run.objects[0].atomcoords.shape[1]
+              + run.objects[1].atomcoords.shape[1])
+    assert all(n == natoms for n, _ in frames)
+    log = (d / 'tscode_e2e_multi.log').read_text()
+    assert 'Multiembed' in log
