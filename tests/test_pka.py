@@ -81,3 +81,37 @@ def test_pka_end_to_end_with_canned_xtb(tmp_path, monkeypatch):
     assert 'pKa energetics' in log
     # the reference compound's computed pKa equals its assigned value
     assert '3.77' in log
+
+
+def test_pka_acid_base_equilibrium(tmp_path, monkeypatch):
+    '''Acid + base in one run: ladder signs follow the reference
+    convention (both legs store G(product) - G(reactant)) and the
+    proton-transfer equilibrium block prints.'''
+    monkeypatch.setattr('tscode_tpu.calculators.dispatch.optimize',
+                        _fake_optimize)
+    monkeypatch.setattr('tscode_tpu.calculators.xtb.xtb_get_free_energy',
+                        _fake_free_energy)
+
+    from tscode_tpu.embedder import Embedder
+    shutil.copy(os.path.join(FIX, 'HCOOH.xyz'), tmp_path)
+    shutil.copy(os.path.join(FIX, 'HCOOH.xyz'), tmp_path / 'base.xyz')
+    inp = tmp_path / 'input.txt'
+    # index 4 = acidic H (HA -> A-); index 1 = carbonyl O (B -> BH+)
+    inp.write_text('NOOPT CALC=XTB PKA(HCOOH.xyz)=3.77\n'
+                   'pka> HCOOH.xyz 4\npka> base.xyz 1\n')
+    cwd = os.getcwd()
+    try:
+        emb = Embedder(str(inp), stamp='pkaeq')
+        emb.run()
+    finally:
+        os.chdir(cwd)
+
+    acid, base = emb.objects
+    assert acid.pka_data == ('HA -> A-', pytest.approx(10.0))
+    # g = -10*n: G(BH+) - G(B) = -60 - (-50) = -10 (reference pka.py:245)
+    assert base.pka_data == ('B -> BH+', pytest.approx(-10.0))
+
+    log = (tmp_path / 'tscode_pkaeq.log').read_text()
+    assert 'Equilibrium data' in log
+    # dG_eq = 10 + (-10) = 0 -> K = 1
+    assert 'K(gas phase, 298.15 K) = 1.0' in log

@@ -203,3 +203,21 @@ def test_adjust_spacings_batch(tmp_path):
     assert d == pytest.approx(2.8, abs=0.1)
     assert success.all()
     assert np.isfinite(energies).all()
+
+
+def test_adjust_spacings_scramble_path_returns_false(tmp_path):
+    '''scramble_check must flag (not crash on) poses that formed a new
+    bond during the spring-biased relax.'''
+    from tscode_tpu.graphs import graphize
+    from tscode_tpu.io_xyz import read_xyz
+    from tscode_tpu.utils import scramble_check
+
+    data = read_xyz(os.path.join(FIX, 'C2H4.xyz'))
+    c1, n1 = data.atomcoords[0], data.atomnos
+    g1 = graphize(c1, n1)
+    # second fragment rammed into the first: new cross-fragment bonds
+    pose = np.concatenate([c1, c1 + np.array([0.9, 0.0, 0.0])])
+    nos = np.concatenate([n1, n1])
+    excluded = np.array([[0, 6]]).ravel()      # the constrained pair
+    ok = scramble_check(pose, nos, excluded, [g1, g1], max_newbonds=0)
+    assert ok is False or ok == False          # noqa: E712 — flags, no crash

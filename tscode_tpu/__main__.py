@@ -90,7 +90,12 @@ def main(argv=None):
     if args.trace:
         # device-side tracing (reference only has host cProfile,
         # profiler.py:8-18; on TPU the interesting time is in XLA
-        # programs, which the JAX profiler attributes per-op)
+        # programs, which the JAX profiler attributes per-op).
+        # jax.profiler.trace resolves the backend, so the platform must
+        # be pinned FIRST (the axon plugin registration is flaky and
+        # ensure_backend handles the CPU fallback)
+        from tscode_tpu.backend import ensure_backend
+        ensure_backend(quiet=True)
         import jax
         with jax.profiler.trace(os.path.abspath(args.trace)):
             if args.profile:

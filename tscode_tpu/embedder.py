@@ -1336,12 +1336,14 @@ class RunEmbedding(Embedder):
     def data_termination(self):
         '''pka>/scan> runs show data instead of embedding
         (reference embedder.py:2381-2393).'''
-        ops = [op for mol_ops in self.options.operators_dict.values()
-               for op in mol_ops] + list(
-                   getattr(self.options, 'operators', []) or [])
-        if any('pka' in op for op in ops):
+        # per-molecule operator names only (the full input lines in
+        # options.operators would double-count and match filenames)
+        ops = [op.split('>')[0].strip()
+               for mol_ops in self.options.operators_dict.values()
+               for op in mol_ops]
+        if any(op == 'pka' for op in ops):
             self.pka_termination()
-        if len([op for op in ops if 'scan' in op]) > 1:
+        if len([op for op in ops if op == 'scan']) > 1:
             self.scan_termination()
         self.log('--> Data run (pka>/scan>) complete.\n')
         self.normal_termination()
@@ -1391,7 +1393,7 @@ class RunEmbedding(Embedder):
         with_data = [m for m in self.objects if hasattr(m, 'pka_data')]
         if len(with_data) == 2:
             tags = tuple(m.pka_data[0] for m in with_data)
-            if any('HA' in t for t in tags) and any('B ' in t for t in tags):
+            if 'HA -> A-' in tags and 'B -> BH+' in tags:
                 dg = sum(m.pka_data[1] for m in with_data)
                 k_eq = np.exp(-dg / (1.9872036e-3 * 298.15))
                 self.log(f'\n  Equilibrium data:')

@@ -74,8 +74,7 @@ def interpolate_structures(structures, atomnos, n, method='idpp'):
     (n, N, 3) array instead of ASE Atoms objects.'''
     structures = np.asarray(structures, dtype=float)
     m = len(structures)
-    fill = idpp_interpolate if method == 'idpp' else \
-        (lambda a, b, k: interpolate_chain(a, b, k))
+    fill = idpp_interpolate if method == 'idpp' else interpolate_chain
 
     if m == 2:
         return fill(structures[0], structures[-1], n)

@@ -45,6 +45,25 @@ def saddle_refine(embedder):
     raise _no_calc_error('Saddle-point refinement')
 
 
+def _spacing_energy(coords, params, sp, st, ncip, k_spring, k_nci):
+    '''Module-level (cache-friendly for fire_minimize_batch's jit) FF +
+    spring + halfspring objective for adjust_spacings_batch.'''
+    import jax.numpy as jnp
+
+    from tscode_tpu.ff import ff_energy
+
+    e = ff_energy(coords, params)
+    if sp.shape[0]:
+        d = jnp.linalg.norm(coords[..., sp[:, 0], :]
+                            - coords[..., sp[:, 1], :], axis=-1)
+        e = e + k_spring * jnp.sum((d - st) ** 2, axis=-1)
+    if ncip.shape[0]:
+        dn = jnp.linalg.norm(coords[..., ncip[:, 0], :]
+                             - coords[..., ncip[:, 1], :], axis=-1)
+        e = e + k_nci * jnp.sum(jnp.maximum(dn - 2.5, 0.0) ** 2, axis=-1)
+    return e
+
+
 def adjust_spacings_batch(embedder, structures, atomnos):
     '''Pull every pairing with a target distance to that distance while
     keeping the rest of the geometry physical — the batched analog of the
@@ -60,7 +79,7 @@ def adjust_spacings_batch(embedder, structures, atomnos):
     '''
     import jax.numpy as jnp
 
-    from tscode_tpu.ff import (build_ff_params, ff_energy, merge_ff_params,
+    from tscode_tpu.ff import (build_ff_params, merge_ff_params,
                                params_to_device)
     from tscode_tpu.graphs import graphize
     from tscode_tpu.optimizers import fire_minimize_batch
@@ -69,11 +88,15 @@ def adjust_spacings_batch(embedder, structures, atomnos):
     structures = np.asarray(structures, dtype=float)
     atomnos = np.asarray(atomnos)
 
-    # springs: pairings with a known target distance
+    # springs: pairings with a known target distance; x/y/z letters are
+    # non-covalent contacts with NO target (reference embedder.py:1592-1607)
+    # and only get the >2.5 A halfspring like every lowercase pairing
     spring_pairs, spring_targets = [], []
     nci_pairs = []
     for letter, pair in embedder.pairings_table.items():
-        target = embedder.get_pairing_dist_from_letter(letter)
+        is_nci = isinstance(letter, str) and letter in 'xyz'
+        target = None if is_nci else \
+            embedder.get_pairing_dist_from_letter(letter)
         if target is not None:
             spring_pairs.append(tuple(pair))
             spring_targets.append(float(target))
@@ -99,38 +122,32 @@ def adjust_spacings_batch(embedder, structures, atomnos):
     ncip = jnp.asarray(np.array(nci_pairs, dtype=int)
                        if nci_pairs else np.zeros((0, 2), dtype=int))
 
-    def energy(coords, k_spring, k_nci):
-        e = ff_energy(coords, params)
-        d = jnp.linalg.norm(coords[..., sp[:, 0], :]
-                            - coords[..., sp[:, 1], :], axis=-1)
-        e = e + k_spring * jnp.sum((d - st) ** 2, axis=-1)
-        if ncip.shape[0]:
-            dn = jnp.linalg.norm(coords[..., ncip[:, 0], :]
-                                 - coords[..., ncip[:, 1], :], axis=-1)
-            e = e + k_nci * jnp.sum(jnp.maximum(dn - 2.5, 0.0) ** 2, axis=-1)
-        return e
-
     batch = jnp.asarray(structures)
     # coarse phase: springs + halfsprings (reference :264-270)
     batch, _, _ = fire_minimize_batch(
-        batch, energy, n_steps=500,
-        energy_args=(jnp.asarray(50.0), jnp.asarray(500.0)))
+        batch, _spacing_energy, n_steps=500,
+        energy_args=(params, sp, st, ncip,
+                     jnp.asarray(50.0), jnp.asarray(500.0)))
     # tight phase: springs only, 10x stiffer (reference Spring.tighten +
     # set_constraint(springs) at :271-279)
-    batch, energies, _ = fire_minimize_batch(
-        batch, energy, n_steps=200,
-        energy_args=(jnp.asarray(500.0), jnp.asarray(0.0)))
+    batch, _, _ = fire_minimize_batch(
+        batch, _spacing_energy, n_steps=200,
+        energy_args=(params, sp, st, ncip,
+                     jnp.asarray(500.0), jnp.asarray(0.0)))
+    # report the FF energy without the biasing springs: a 0-step pass of
+    # the same (cached) program with zeroed spring constants
+    _, pure, _ = fire_minimize_batch(
+        batch, _spacing_energy, n_steps=0,
+        energy_args=(params, sp, st, ncip,
+                     jnp.asarray(0.0), jnp.asarray(0.0)))
 
     out = np.asarray(batch)
     constrained = np.array(spring_pairs, dtype=int)
     success = np.array([
-        scramble_check(s, atomnos, constrained, graphs,
+        scramble_check(s, atomnos, constrained.ravel(), graphs,
                        max_newbonds=embedder.options.max_newbonds)
         for s in out])
-    # report the FF energy without the biasing springs
-    import jax
-    pure = np.asarray(jax.jit(lambda c: ff_energy(c, params))(batch))
-    return out, pure, success
+    return out, np.asarray(pure), success
 
 
 def optimize_batch(embedder, structures, atomnos, calc=None, method=None,

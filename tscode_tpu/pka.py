@@ -86,17 +86,20 @@ def pka_routine(filename, embedder, search=True):
         conj = [np.delete(s, index, axis=0) for s in structures]
         conj_nos = np.delete(mol.atomnos, index)
         g_conj = _best_free_energy(conj, conj_nos, -1)
-        label = 'HA -> A- + H+'
+        label = 'HA -> A-'
     else:
         conj = [protonate(s, mol.atomnos, index) for s in structures]
         conj_nos = np.append(mol.atomnos, 1)
         g_conj = _best_free_energy(conj, conj_nos, +1)
-        label = 'B + H+ -> BH+'
+        label = 'B -> BH+'
 
     if g_neutral is None or g_conj is None:
         raise InputError('pKa free-energy legs failed to converge.')
 
-    dg = (g_conj - g_neutral) if is_acidic_h else (g_neutral - g_conj)
+    # both legs store G(product) - G(reactant), exactly as the reference
+    # does (pka.py:221, :245) — pka_termination's ladder and equilibrium
+    # formulas depend on this sign convention
+    dg = g_conj - g_neutral
     embedder.log(f'    {label}: dG = {round(dg, 2)} kcal/mol')
 
     mol.pka_data = (label, dg)

@@ -293,5 +293,8 @@ def dihedral_scan(embedder, mol, prelim_step=10, accurate_step=1):
         embedder.log(f'--> Written {len(ts_structures)} TS guesses to '
                      f'{mol.rootname}_TSs_guesses.xyz\n')
 
-    mol.scan_data = (angles, energies)
+    # NOT stored as mol.scan_data: that attribute feeds the cumulative
+    # DISTANCE plot of scan_termination (the reference likewise only sets
+    # it in distance scans, operators.py:752)
+    mol.torsion_scan_data = (angles, energies)
     return angles, energies, ts_structures
