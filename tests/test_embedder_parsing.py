@@ -92,3 +92,26 @@ def test_dist_updates_orbitals_and_pairing_dists(tmp_path):
     # orbital half-length becomes dist/2 on the paired atoms
     assert emb.objects[0].get_orbital_length(0) == pytest.approx(1.5)
     assert emb.get_pairing_dist_from_letter('a') == 3.0
+
+
+def test_check_keyword_writes_hypermolecules_and_exits(tmp_path):
+    '''CHECK writes orbital-inspection files and stops the run
+    (reference embedder.py:164-165, :922-934 — GUI replaced by files).'''
+    import shutil
+
+    import pytest
+
+    from tscode_tpu.embedder import Embedder
+
+    for name in ('C2H4.xyz', 'CH3Cl.xyz'):
+        shutil.copy(os.path.join(FIX, name), tmp_path)
+    inp = tmp_path / 'input.txt'
+    inp.write_text('NOOPT CHECK\nC2H4.xyz 0\nCH3Cl.xyz 0\n')
+    cwd = os.getcwd()
+    try:
+        with pytest.raises(SystemExit):
+            Embedder(str(inp), stamp='chk')
+    finally:
+        os.chdir(cwd)
+    assert (tmp_path / 'C2H4_hypermolecule.xyz').exists()
+    assert (tmp_path / 'CH3Cl_hypermolecule.xyz').exists()

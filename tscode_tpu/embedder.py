@@ -109,9 +109,33 @@ class Embedder:
                         self.log(f'--> DEBUG: written hypermolecule file for ({mol.name})')
                 self.log()
 
+            if self.options.check_structures:
+                self._inspect_structures()
+
+        except SystemExit:
+            raise
         except Exception as e:
             logging.exception(e)
             raise
+
+    def _inspect_structures(self):
+        '''CHECK keyword: write every molecule's hypermolecule file
+        (conformers + orbital lobes as X dummy atoms) for inspection,
+        then exit. The reference opens the ASE GUI instead
+        (embedder.py:922-934) — on a headless TPU host the artifact IS
+        the inspection surface.'''
+        self.log('--> Structures check requested. Writing hypermolecule '
+                 'files and shutting down.\n')
+        for mol in self.objects:
+            if mol.reactive_atoms and len(mol.reactive_atoms[0]) > 0:
+                name = mol.write_hypermolecule()
+                self.log(f'    {mol.name}: orbital geometry written to '
+                         f'{name}')
+            else:
+                self.log(f'    {mol.name}: no reactive atoms — nothing '
+                         f'to inspect')
+        import sys
+        sys.exit()
 
     # ------------------------------------------------------------ logging
 
