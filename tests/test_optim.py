@@ -4,6 +4,7 @@ potentials with known minima/saddles.'''
 import os
 
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from tscode_tpu.ff import build_ff_params, ff_energy, merge_ff_params, params_to_device
@@ -139,3 +140,40 @@ def test_dimer_saddle_on_double_well():
     assert abs(c[0]) < 0.02
     assert abs(c[1]) < 0.05
     assert abs(float(e) - 1.0) < 0.01
+
+
+def test_ff_double_bond_protection_term():
+    '''EZPROT: build_ff_params(protect_double_bonds=True) restrains the
+    C=C dihedral — twisting the bond costs energy; without protection
+    the FF is flat along that mode (reference PSC,
+    ase_manipulations.py:618-633).'''
+    import os
+
+    from tscode_tpu.ff import build_ff_params, ff_energy, params_to_device
+    from tscode_tpu.graphs import graphize
+    from tscode_tpu.io_xyz import read_xyz
+
+    fix = os.path.join(os.path.dirname(__file__), 'fixtures')
+    data = read_xyz(os.path.join(fix, 'C2H4.xyz'))
+    coords, nos = data.atomcoords[0], data.atomnos
+    graph = graphize(coords, nos)
+
+    plain = build_ff_params(coords, nos, graph)
+    prot = build_ff_params(coords, nos, graph, protect_double_bonds=True)
+    assert plain.dihedrals.shape[0] == 0
+    assert prot.dihedrals.shape[0] == 1          # one C=C
+
+    # rotate one CH2 group by 30 degrees about the C=C axis
+    from tscode_tpu.ops.linalg import rot_mat_from_pointer
+    a, b = (int(prot.dihedrals[0][1]), int(prot.dihedrals[0][2]))
+    c0, c1 = coords[a], coords[b]
+    rot = np.asarray(rot_mat_from_pointer(jnp.asarray(c1 - c0),
+                                          jnp.asarray(30.0)))
+    nbs = [i for i in graph.neighbors(b) if i != a]
+    twisted = coords.copy()
+    twisted[nbs] = (rot @ (twisted[nbs] - c1).T).T + c1
+
+    e = lambda p, c: float(ff_energy(jnp.asarray(c), params_to_device(p)))
+    assert e(prot, coords) == pytest.approx(e(plain, coords), abs=1e-9)
+    gain = (e(prot, twisted) - e(plain, twisted))
+    assert gain > 1.0          # the E/Z restraint resists the twist

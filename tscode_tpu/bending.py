@@ -44,11 +44,17 @@ def _pivot_length(mol, conf, pivot_index):
 
 def bend_molecule(mol, conf, pivot, threshold, max_iter=40,
                   fix_angles=False, cache=None, suprafacial=False,
-                  logfunction=None, title='bend'):
+                  protect_double_bonds=False, logfunction=None,
+                  title='bend'):
     '''
     Bend `mol`'s conformer `conf` until the pivot between the two
     reactive-atom orbitals is <= threshold (A). Returns a NEW Molecule
     (same ensemble, bent conformer replaced, orbitals+pivots rebuilt).
+
+    fix_angles is kept for parity with the reference's
+    PreventScramblingConstraint signature but is inherently satisfied:
+    the internal FF restrains every angle to its input value.
+    protect_double_bonds (EZPROT) adds E/Z dihedral restraints.
     '''
     if cache is not None:
         key = bend_key(mol, pivot, threshold)
@@ -62,7 +68,8 @@ def bend_molecule(mol, conf, pivot, threshold, max_iter=40,
 
     i1, i2 = (int(i) for i in mol.reactive_indices[:2])
     params = params_to_device(build_ff_params(
-        mol.atomcoords[conf], mol.atomnos, mol.graph))
+        mol.atomcoords[conf], mol.atomnos, mol.graph,
+        protect_double_bonds=protect_double_bonds))
     pairs = jnp.asarray(np.array([[i1, i2]]))
 
     coords = mol.atomcoords[conf].copy()

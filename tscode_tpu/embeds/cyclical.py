@@ -695,6 +695,8 @@ def cyclical_embed_nonrigid(embedder, max_norm_delta=5):
                                 mol, conf_ids[i], pivots[i], target,
                                 cache=cache,
                                 suprafacial=embedder.options.suprafacial,
+                                protect_double_bonds=embedder.options
+                                .double_bond_protection,
                                 logfunction=embedder.log)
                     try:
                         pivots = [mols[m].pivots[conf_ids[m]][qi[m]]
@@ -723,6 +725,8 @@ def cyclical_embed_nonrigid(embedder, max_norm_delta=5):
                         mol, conf_ids[index], pivots[index],
                         0.9 * float(maxval), cache=cache,
                         suprafacial=embedder.options.suprafacial,
+                        protect_double_bonds=embedder.options
+                        .double_bond_protection,
                         logfunction=embedder.log)
                     try:
                         pivots = [mols[m].pivots[conf_ids[m]][qi[m]]

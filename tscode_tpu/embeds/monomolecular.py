@@ -31,6 +31,9 @@ def monomolecular_embed(embedder):
             bent = bend_molecule(
                 mol, c, pivot, target, cache=cache,
                 suprafacial=embedder.options.suprafacial,
+                fix_angles=embedder.options.fix_angles_in_deformation,
+                protect_double_bonds=embedder.options
+                .double_bond_protection,
                 logfunction=embedder.log,
                 title=f'{mol.rootname} - pivot {p}')
             for conformer in bent.atomcoords:

@@ -25,7 +25,10 @@ from tscode_tpu.pt import COVALENT_RADII
 K_BOND = 100.0      # kcal/mol/A^2
 K_ANGLE = 30.0      # kcal/mol/rad^2
 K_REP = 50.0        # kcal/mol at full overlap
+K_DIH = 30.0        # kcal/mol/rad^2 (double-bond E/Z protection)
 REP_SCALE = 0.85    # fraction of summed covalent radii where repulsion starts
+
+_EMPTY_QUADS = np.zeros((0, 4), dtype=int)
 
 
 @dataclass
@@ -37,11 +40,23 @@ class FFParams:
     angle_t0: np.ndarray        # (NA,) radians
     nb_pairs: np.ndarray        # (NP, 2) int, nonbonded (>= 1-3 separated)
     nb_r0: np.ndarray           # (NP,) repulsion onset distances
+    dihedrals: np.ndarray = None   # (ND, 4) int (E/Z-protected quads)
+    dihedral_t0: np.ndarray = None  # (ND,) radians
+
+    def __post_init__(self):
+        if self.dihedrals is None:
+            self.dihedrals = _EMPTY_QUADS
+            self.dihedral_t0 = np.zeros(0)
 
 
-def build_ff_params(coords0, atomnos, graph):
+def build_ff_params(coords0, atomnos, graph, protect_double_bonds=False):
     '''Derive harmonic reference values from the input geometry and the
-    bond graph; nonbonded pairs are all pairs at graph distance >= 3.'''
+    bond graph; nonbonded pairs are all pairs at graph distance >= 3.
+
+    protect_double_bonds adds a restraint on one dihedral across every
+    double bond (EZPROT keyword) — the FF analog of the reference's
+    PreventScramblingConstraint(double_bond_protection=True)
+    (ase_manipulations.py:618-633).'''
     coords0 = np.asarray(coords0)
     atomnos = np.asarray(atomnos)
     n = len(atomnos)
@@ -80,15 +95,44 @@ def build_ff_params(coords0, atomnos, graph):
     nb_r0 = REP_SCALE * (radii[nb_pairs[:, 0]] + radii[nb_pairs[:, 1]]) \
         if len(nb_pairs) else np.zeros(0)
 
+    dihedrals, dihedral_t0 = _EMPTY_QUADS, np.zeros(0)
+    if protect_double_bonds:
+        from tscode_tpu.torsions import get_double_bonds_indices
+        quads = []
+        for a, b in get_double_bonds_indices(coords0, atomnos):
+            n_a = [n for n in neighbors(graph, a) if n != b]
+            n_b = [n for n in neighbors(graph, b) if n != a]
+            if n_a and n_b:
+                quads.append((n_a[0], a, b, n_b[0]))
+        if quads:
+            dihedrals = np.array(quads, dtype=int)
+            dihedral_t0 = np.array([_dihedral_np(coords0[list(q)])
+                                    for q in quads])
+
     return FFParams(bonds=bonds, bond_r0=bond_r0, angles=angles,
-                    angle_t0=angle_t0, nb_pairs=nb_pairs, nb_r0=nb_r0)
+                    angle_t0=angle_t0, nb_pairs=nb_pairs, nb_r0=nb_r0,
+                    dihedrals=dihedrals, dihedral_t0=dihedral_t0)
+
+
+def _dihedral_np(p):
+    '''Praxeolitic dihedral of 4 points, radians (host-side).'''
+    b0, b1, b2 = p[0] - p[1], p[2] - p[1], p[3] - p[2]
+    b1 = b1 / np.linalg.norm(b1)
+    v = b0 - np.dot(b0, b1) * b1
+    w = b2 - np.dot(b2, b1) * b1
+    return np.arctan2(np.dot(np.cross(b1, v), w), np.dot(v, w))
 
 
 def ff_energy(coords, params_arrays):
     '''Batched FF energy: coords (..., N, 3) -> (...).
     params_arrays: tuple of jnp arrays (bonds, bond_r0, angles, angle_t0,
-    nb_pairs, nb_r0) — static per topology.'''
-    bonds, bond_r0, angles, angle_t0, nb_pairs, nb_r0 = params_arrays
+    nb_pairs, nb_r0[, dihedrals, dihedral_t0]) — static per topology.'''
+    if len(params_arrays) == 8:
+        (bonds, bond_r0, angles, angle_t0, nb_pairs, nb_r0,
+         dihedrals, dihedral_t0) = params_arrays
+    else:
+        bonds, bond_r0, angles, angle_t0, nb_pairs, nb_r0 = params_arrays
+        dihedrals = None
     e = jnp.zeros(coords.shape[:-2], dtype=coords.dtype)
 
     if bonds.shape[0]:
@@ -111,6 +155,23 @@ def ff_energy(coords, params_arrays):
         overlap = jnp.maximum(nb_r0 - d, 0.0)
         e = e + K_REP * jnp.sum(overlap ** 2, axis=-1)
 
+    if dihedrals is not None and dihedrals.shape[0]:
+        p0 = coords[..., dihedrals[:, 0], :]
+        p1 = coords[..., dihedrals[:, 1], :]
+        p2 = coords[..., dihedrals[:, 2], :]
+        p3 = coords[..., dihedrals[:, 3], :]
+        b0, b1, b2 = p0 - p1, p2 - p1, p3 - p2
+        b1 = b1 / jnp.maximum(
+            jnp.linalg.norm(b1, axis=-1, keepdims=True), 1e-12)
+        v = b0 - jnp.sum(b0 * b1, axis=-1, keepdims=True) * b1
+        w = b2 - jnp.sum(b2 * b1, axis=-1, keepdims=True) * b1
+        phi = jnp.arctan2(jnp.sum(jnp.cross(b1, v) * w, axis=-1),
+                          jnp.sum(v * w, axis=-1))
+        # wrapped deviation so +pi/-pi do not fight each other
+        delta = jnp.arctan2(jnp.sin(phi - dihedral_t0),
+                            jnp.cos(phi - dihedral_t0))
+        e = e + K_DIH * jnp.sum(delta ** 2, axis=-1)
+
     return e
 
 
@@ -118,7 +179,8 @@ def params_to_device(params):
     '''FFParams -> tuple of jnp arrays for jit closures.'''
     return (jnp.asarray(params.bonds), jnp.asarray(params.bond_r0),
             jnp.asarray(params.angles), jnp.asarray(params.angle_t0),
-            jnp.asarray(params.nb_pairs), jnp.asarray(params.nb_r0))
+            jnp.asarray(params.nb_pairs), jnp.asarray(params.nb_r0),
+            jnp.asarray(params.dihedrals), jnp.asarray(params.dihedral_t0))
 
 
 def merge_ff_params(params_list, offsets):
@@ -137,4 +199,5 @@ def merge_ff_params(params_list, offsets):
     return FFParams(
         bonds=cat('bonds', True), bond_r0=cat('bond_r0'),
         angles=cat('angles', True), angle_t0=cat('angle_t0'),
-        nb_pairs=cat('nb_pairs', True), nb_r0=cat('nb_r0'))
+        nb_pairs=cat('nb_pairs', True), nb_r0=cat('nb_r0'),
+        dihedrals=cat('dihedrals', True), dihedral_t0=cat('dihedral_t0'))

@@ -360,7 +360,12 @@ class OptionSetter:
         self.embedder.threads = self._value_of('THREADS', int)
 
     def ts(self, options):
+        # the reference documents TS ("various scans/saddle algorithms",
+        # embedder_options.py:153) but ships no setter, so the keyword
+        # raises AttributeError there — a bug. Here it routes the run to
+        # first-order saddle refinement after optimization.
         options.ts = True
+        options.saddle = True
 
     # ------------------------------------------------------------- driver
 
