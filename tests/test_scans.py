@@ -101,3 +101,21 @@ def test_scan_rejects_bad_index_count(tmp_path):
     with pytest.raises(Exception):
         _run_scan(tmp_path, 'NOOPT\nscan> HCOOH.xyz 1 2 4\n', 'badscan',
                   ('HCOOH.xyz',))
+
+
+def test_two_distance_scans_write_cumulative_plot(tmp_path):
+    '''>1 scan> molecules trigger the unified scan plot at termination
+    (reference embedder.py:2390, :2451-2475); a single scan must not.'''
+    shutil.copy(os.path.join(FIX, 'HCOOH.xyz'), tmp_path / 'molB.xyz')
+    _run_scan(tmp_path,
+              'NOOPT\nscan> HCOOH.xyz 1 4\nscan> molB.xyz 1 4\n',
+              'dscan2', ('HCOOH.xyz',))
+    assert (tmp_path / 'tscode_dscan2_cumulative_plt.svg').exists() or \
+        list(tmp_path.glob('*cumulative*.svg')), \
+        'cumulative scan plot missing for a 2-scan run'
+
+
+def test_single_scan_no_cumulative_plot(tmp_path):
+    _run_scan(tmp_path, 'NOOPT\nscan> HCOOH.xyz 1 4\n', 'dscan3',
+              ('HCOOH.xyz',))
+    assert not list(tmp_path.glob('*cumulative*.svg'))
