@@ -289,7 +289,44 @@ def run_cpu_baseline(mol1, mol2, n_sample=BASE_SAMPLE):
     return n_done, elapsed
 
 
+def _device_reachable(
+        timeout_s=int(os.environ.get('TSCODE_BENCH_PROBE_TIMEOUT', '420'))):
+    '''Probe the configured accelerator in a SUBPROCESS with a timeout.
+    A wedged device tunnel blocks inside PJRT init (not catchable
+    in-process), which would hang the whole benchmark; probing from a
+    child lets the parent fall back to CPU and still emit a result.'''
+    import subprocess
+    platform = os.environ.get('JAX_PLATFORMS', '')
+    if platform in ('', 'cpu'):
+        return True
+    code = (
+        "import jax\n"
+        f"jax.config.update('jax_platforms', '{platform}')\n"
+        "import jax.numpy as jnp\n"
+        "print(float(jnp.sum(jnp.ones(8))))\n")
+    try:
+        r = subprocess.run([sys.executable, '-c', code],
+                           capture_output=True, timeout=timeout_s)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    if not _device_reachable():
+        # wedged/unreachable accelerator: run the same pipeline on CPU at
+        # a reduced size rather than hanging the driver. The emitted
+        # metric is labeled backend=cpu so the number is not mistaken
+        # for a TPU result.
+        print('[bench] accelerator unreachable, falling back to CPU',
+              file=sys.stderr)
+        os.environ['JAX_PLATFORMS'] = 'cpu'
+        import jax
+        jax.config.update('jax_platforms', 'cpu')
+        global N_CONFS
+        if 'TSCODE_BENCH_CONFS' not in os.environ:
+            N_CONFS = 24
+
     from tscode_tpu.backend import ensure_backend
     backend = ensure_backend(quiet=True)
 
