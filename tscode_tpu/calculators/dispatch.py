@@ -66,10 +66,10 @@ def optimize(coords, atomnos, calculator, method=None, maxiter=None,
     if success:
         if check:
             if mols_graphs is not None:
-                success = scramble_check(opt_coords, atomnos,
-                                         constrained_indices,
-                                         mols_graphs,
-                                         max_newbonds=max_newbonds)
+                success = scramble_check(
+                    opt_coords, atomnos,
+                    np.asarray(constrained_indices).ravel(),
+                    mols_graphs, max_newbonds=max_newbonds)
             else:
                 success = molecule_check(coords, opt_coords, atomnos,
                                          max_newbonds=max_newbonds)
@@ -206,8 +206,8 @@ def ff_refine_pipeline(embedder, conv_thr='tight',
     '''Force-field refinement stage (reference embedder.py:1390-1590).'''
     from tscode_tpu.calculators.xtb import xtb_opt, xtb_pre_opt
 
+    embedder.outname = f'tscode_checkpoint_{embedder.stamp}.xyz'
     if not only_fixed_constraints:
-        embedder.outname = f'tscode_checkpoint_{embedder.stamp}.xyz'
         _write_checkpoint(embedder, embedder.options.ff_level)
         embedder.log(f'\n--> Checkpoint output - Wrote '
                      f'{len(embedder.structures)} unoptimized structures to '
@@ -337,7 +337,7 @@ def optimization_refine_pipeline(embedder, conv_thr='tight', maxiter=None,
 
 def optimize_batch_pipeline(embedder, structures, atomnos, calc=None,
                             method=None, constrained_indices=None,
-                            logfunction=print):
+                            constrained_distances=None, logfunction=print):
     '''Batch optimization for csearch ff_opt
     (reference torsion_module.py:787-807).'''
     calc = calc or (embedder.options.ff_calc if embedder else 'XTB')
@@ -352,6 +352,7 @@ def optimize_batch_pipeline(embedder, structures, atomnos, calc=None,
         futures = {executor.submit(
             optimize, s, atomnos, calc, method=method,
             constrained_indices=constrained_indices,
+            constrained_distances=constrained_distances,
             title=f'csearch_{i}'): i
             for i, s in enumerate(np.copy(structures))}
         for fut in as_completed(futures):
@@ -376,8 +377,24 @@ def optimize_ensemble_pipeline(embedder, mol):
     embedder.log(f'--> {mol.rootname}: optimizing '
                  f'{mol.n_confs} conformers at {method} level')
 
+    # internal constraints (same letter twice on this molecule) hold
+    # through the optimization, with their imposed distances
+    # (reference operators.py:237-239, _get_internal_constraints :769-780)
+    mol_id = embedder.objects.index(mol) if mol in embedder.objects else None
+    constrained_indices, constrained_distances = None, None
+    if mol_id is not None and mol_id in getattr(embedder, 'pairings_dict', {}):
+        pairs = [tgt for tgt in embedder.pairings_dict[mol_id].values()
+                 if isinstance(tgt, tuple)]
+        if pairs:
+            constrained_indices = np.array(pairs)
+            constrained_distances = [
+                embedder.get_pairing_dists_from_constrained_indices(cp)
+                for cp in pairs]
+
     structures, energies = optimize_batch_pipeline(
         embedder, mol.atomcoords, mol.atomnos, calc=calc, method=method,
+        constrained_indices=constrained_indices,
+        constrained_distances=constrained_distances,
         logfunction=embedder.log)
 
     order = np.argsort(energies, kind='stable')

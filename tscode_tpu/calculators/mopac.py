@@ -73,8 +73,8 @@ def read_mop_out(filename):
 
 
 def write_mopac_input(path, coords, atomnos, method='PM7',
-                      constrained_indices=None, solvent=None, title='temp',
-                      rng=None):
+                      constrained_indices=None, solvent=None, charge=0,
+                      title='temp', rng=None):
     '''Build the mixed-coordinate input; returns the atom order used
     (needed to unscramble the output).'''
     rng = rng or np.random.default_rng(0)
@@ -82,6 +82,11 @@ def write_mopac_input(path, coords, atomnos, method='PM7',
         if constrained_indices is not None else []
     flat = np.asarray(constrained_indices).ravel()
 
+    if int(charge) != 0:
+        # the reference's mopac_opt swallows `charge` via **kwargs and
+        # always computes the neutral species (_mopac.py:84-236) — a
+        # bug, fixed here with the CHARGE keyword
+        method = method + f' CHARGE={int(charge)}'
     if solvent is not None:
         method = method + ' ' + get_solvent_line(solvent, 'MOPAC', method)
 
@@ -126,14 +131,15 @@ def write_mopac_input(path, coords, atomnos, method='PM7',
 
 
 def mopac_opt(coords, atomnos, constrained_indices=None, method='PM7',
-              solvent=None, title='temp', read_output=True, **kwargs):
+              solvent=None, charge=0, title='temp', read_output=True,
+              **kwargs):
     '''Constrained MOPAC optimization. Returns (coords, E kcal/mol, ok).'''
     coords = np.asarray(coords)
     with scratch_dir(title) as cwd:
         order = write_mopac_input(
             os.path.join(cwd, f'{title}.mop'), coords, atomnos,
             method=method, constrained_indices=constrained_indices,
-            solvent=solvent, title=title)
+            solvent=solvent, charge=charge, title=title)
 
         subprocess.check_call([COMMANDS['MOPAC'], f'{title}.mop'],
                               stdout=subprocess.DEVNULL,

@@ -25,7 +25,6 @@ from itertools import groupby
 import numpy as np
 
 from tscode_tpu import __version__
-from tscode_tpu.embeds.cyclical import cyclical_embed_bimol_rigid
 from tscode_tpu.embeds.string import string_embed
 from tscode_tpu.errors import InputError, ZeroCandidatesError
 from tscode_tpu.graphs import get_quadruplets, get_sum_graph, graphize
@@ -40,8 +39,8 @@ from tscode_tpu.options import Options, OptionSetter
 from tscode_tpu.pivots import set_pivots
 from tscode_tpu.references import references
 from tscode_tpu.pt import SYMBOLS
-from tscode_tpu.settings import CALCULATOR, DEFAULT_LEVELS
-from tscode_tpu.utils import (auto_newline, clean_directory, pretty_num,
+from tscode_tpu.settings import DEFAULT_LEVELS
+from tscode_tpu.utils import (auto_newline, clean_directory,
                               saturation_check, time_to_string)
 
 import jax.numpy as jnp
@@ -766,12 +765,17 @@ class RunEmbedding(Embedder):
     MASKABLE = ('structures', 'energies', 'constrained_indices', 'exit_status')
 
     def __init__(self, embedder):
-        # copy non-callable state from the set-up embedder
+        # copy non-callable state from the set-up embedder (reference
+        # embedder.py:1104-1114 shares everything; here the Options
+        # object is deep-copied so in-place keyword mutations during a
+        # run — auto-RIGID, rotation_steps, only_refined — never leak
+        # back into the Embedder when run() is called again)
         for attr in dir(embedder):
             if not attr.startswith('__') and attr != 'run':
                 value = getattr(embedder, attr)
-                if not callable(value) or isinstance(value, np.ndarray):
+                if not callable(value):
                     setattr(self, attr, value)
+        self.options = deepcopy(embedder.options)
 
     def rel_energies(self):
         return self.energies - np.min(self.energies)
