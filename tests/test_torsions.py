@@ -5,6 +5,7 @@ vs a sequential numpy oracle of the reference algorithm
 import os
 
 import numpy as np
+import pytest
 
 import oracles
 from tscode_tpu.molecule import Molecule
@@ -148,3 +149,65 @@ def test_hydrogen_bond_detection():
     graph = graphize(coords, atomnos)
     hbs = T.get_hydrogen_bonds(coords, atomnos, graph)
     assert [1, 2] in hbs
+
+
+def test_random_csearch_empty_pool_returns_empty(tmp_path):
+    '''rotations=K with no K-rotation angle sets: empty result, no crash
+    (the reference's sequential loop just never accepts anything).'''
+    import os
+
+    from tscode_tpu.graphs import graphize
+    from tscode_tpu.io_xyz import read_xyz
+    from tscode_tpu.torsions import (get_double_bonds_indices, get_torsions,
+                                     random_csearch)
+
+    fix = os.path.join(os.path.dirname(__file__), 'fixtures')
+    data = read_xyz(os.path.join(fix, 'HCOOH.xyz'))
+    coords, nos = data.atomcoords[0], data.atomnos
+    graph = graphize(coords, nos)
+    torsions = get_torsions(graph, [], get_double_bonds_indices(coords, nos))
+    out = random_csearch(coords, nos, torsions, graph, n_out=5,
+                         rotations=99, logfunction=lambda s: None)
+    assert out.shape[0] == 0
+
+
+def test_most_diverse_returns_aligned_energies():
+    from tscode_tpu.torsions import most_diverse_conformers
+
+    rng = np.random.default_rng(0)
+    structs = rng.normal(size=(40, 5, 3))
+    energies = np.arange(40.0)
+    quads = np.array([[0, 1, 2, 3]])
+    out, ens = most_diverse_conformers(10, structs, quads,
+                                       energies=energies,
+                                       return_energies=True)
+    assert len(out) == len(ens) <= 10
+    # every returned energy belongs to a returned structure
+    for s, e in zip(out, ens):
+        assert e in energies
+
+
+def test_scale_orbs_preserves_type_and_direction():
+    '''SHRINK must only change orbital lengths (reference
+    hypermolecule_class.py:283-290), even with type overrides.'''
+    import os
+
+    from tscode_tpu.molecule import Molecule
+
+    fix = os.path.join(os.path.dirname(__file__), 'fixtures')
+    mol = Molecule(os.path.join(fix, 'CH3Cl.xyz'), reactive_indices=[0])
+    mol.compute_orbitals(override='Single')
+    before = mol.get_r_atoms(0)[0]
+    vec_before = before.center[0] - before.coord
+    n_lobes = len(before.center)
+
+    mol.scale_orbs(0.5)
+    after = mol.get_r_atoms(0)[0]
+    vec_after = after.center[0] - after.coord
+    assert len(after.center) == n_lobes
+    # same direction, half the length
+    assert np.linalg.norm(vec_after) == pytest.approx(
+        0.5 * np.linalg.norm(vec_before), rel=1e-6)
+    cos = vec_before @ vec_after / (np.linalg.norm(vec_before)
+                                    * np.linalg.norm(vec_after))
+    assert cos == pytest.approx(1.0, abs=1e-9)

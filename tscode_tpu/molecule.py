@@ -190,6 +190,7 @@ class Molecule:
         if len(self.reactive_indices) == 0:
             return
 
+        self._orbital_override = override     # reused by scale_orbs
         builders = {i: get_atom_builder(self.graph, i, override=override)
                     for i in self.reactive_indices}
         pre_names = [pre_init_type_name(self, builders[i], i)
@@ -216,13 +217,21 @@ class Molecule:
 
     def scale_orbs(self, value):
         '''Rescale every orbital length by `value` (SHRINK keyword,
-        reference hypermolecule_class.py:283-290).'''
+        reference hypermolecule_class.py:283-290). Atoms are rebuilt
+        with the SAME type override and leaving-group index used by
+        compute_orbitals, so only the length changes — never the
+        orbital type or direction.'''
+        override = getattr(self, '_orbital_override', None)
+        lg = self.attrs.get('lg')
         for c in range(self.n_confs):
             for i, atom in self.reactive_atoms[c].items():
-                builder = get_atom_builder(self.graph, i)
+                builder = get_atom_builder(self.graph, i, override=override)
+                kwargs = {}
+                if builder is build_sp3 and lg is not None:
+                    kwargs['leaving_group_index'] = int(lg)
                 orb_dim = np.linalg.norm(atom.center[0] - atom.coord)
                 self.reactive_atoms[c][i] = builder(
-                    self, i, conf=c, orb_dim=orb_dim * value)
+                    self, i, conf=c, orb_dim=orb_dim * value, **kwargs)
 
     def get_r_atoms(self, c):
         return list(self.reactive_atoms[c].values())

@@ -36,8 +36,10 @@ from tscode_tpu.utils import flatten, time_to_string
 # --------------------------------------------------------- double bonds
 
 # bond-length thresholds below which a bond counts as double (pair tag in
-# alphabetical order), mirroring the reference's table
-# (utils.py double_bonds_thresholds_dict usage at :292-314)
+# alphabetical order). DELIBERATE EXTENSION of the reference table
+# (utils.py:288-291 lists only CC and CN): the extra entries stop
+# csearch from driving azo/carbonyl/thiocarbonyl and other pi bonds the
+# reference would wrongly treat as rotable single bonds.
 DOUBLE_BONDS_THRESHOLDS = {
     'CC': 1.4,
     'CN': 1.3,
@@ -352,9 +354,26 @@ def _rotate_batch_with_backoff(coords_batch, quad, move_mask, angles,
 def _apply_torsion_group(coords_batch, torsions_group, graph, angle_sets):
     '''Apply one angle set column per torsion sequentially (torsions in a
     group interact through their masks), each fully batched over the
-    candidate axis. Returns (coords (B, N, 3), n_rotated (B,)).'''
+    candidate axis. Returns (coords (B, N, 3), n_rotated (B,)).
+
+    The batch axis is padded to a pow2 bucket with angle=0 rows (no-ops)
+    so device executables are keyed on a handful of shapes instead of
+    one per (molecule, torsion group) — remote compiles cost 5-30 s each
+    (see CLAUDE.md). The retreat-step bound is likewise bucketed; extra
+    steps are masked by the eff >= 0 validity gate.'''
     B = coords_batch.shape[0]
-    n_rotated = jnp.zeros(B, dtype=jnp.int32)
+    if B == 0:
+        return coords_batch, jnp.zeros(0, dtype=jnp.int32)
+    B_pad = max(8, int(2 ** np.ceil(np.log2(B))))
+    if B_pad != B:
+        coords_batch = jnp.concatenate(
+            [coords_batch,
+             jnp.broadcast_to(coords_batch[:1],
+                              (B_pad - B,) + coords_batch.shape[1:])])
+        angle_sets = np.concatenate(
+            [angle_sets, np.zeros((B_pad - B, angle_sets.shape[1]),
+                                  dtype=angle_sets.dtype)])
+    n_rotated = jnp.zeros(B_pad, dtype=jnp.int32)
 
     for t, torsion in enumerate(torsions_group):
         quad = np.asarray(torsion.torsion, dtype=np.int32)
@@ -364,14 +383,19 @@ def _apply_torsion_group(coords_batch, torsions_group, graph, angle_sets):
         other_mask[torsion.torsion[2]] = False
 
         angles = angle_sets[:, t].astype(float)
-        max_steps = int(np.max(angles) // _BACKOFF_STEP) if np.max(angles) > 0 else 0
+        max_steps = int(np.max(angles) // _BACKOFF_STEP) \
+            if len(angles) and np.max(angles) > 0 else 0
+        for bucket in (0, 12, 24, 48, 72):
+            if max_steps <= bucket:
+                max_steps = bucket
+                break
         coords_batch, rotated = _rotate_batch_with_backoff(
             coords_batch, jnp.asarray(quad), jnp.asarray(move_mask),
             jnp.asarray(angles), jnp.asarray(other_mask),
             max_steps)
         n_rotated = n_rotated + rotated.astype(jnp.int32)
 
-    return coords_batch, n_rotated
+    return coords_batch[:B], n_rotated[:B]
 
 
 # ------------------------------------------------------------- csearch
@@ -465,22 +489,42 @@ def random_csearch(coords, atomnos, torsions, graph, n_out=100,
     logfunction(f'\n--> Random dihedral CSearch on {title}\n    mode 2 '
                 f'(random) - {len(torsions)} torsions')
 
+    if len(torsions) == 0:
+        logfunction('  No rotable bonds - returning no conformers')
+        return np.zeros((0,) + coords.shape)
     angles = cartesian_product(*[np.array(t.get_angles())
                                  for t in torsions])
     if rotations is not None:
         angles = angles[np.count_nonzero(angles, axis=1) == rotations]
+    if len(angles) == 0:
+        logfunction('  No candidate angle sets - returning no conformers')
+        return np.zeros((0,) + coords.shape)
     np.random.shuffle(angles)
-    angles = angles[:min(len(angles), max_tries)]
 
-    batch = angles.shape[0]
-    coords_batch = jnp.broadcast_to(jnp.asarray(coords),
-                                    (batch,) + coords.shape)
-    new_coords, n_rotated = _apply_torsion_group(
-        coords_batch, torsions, graph, angles)
-
-    n_rotated = np.asarray(n_rotated)
-    keep = np.nonzero(n_rotated > 0)[0][:n_out]
-    new_structures = np.asarray(new_coords)[keep]
+    # the reference walks the WHOLE shuffled pool, stopping when n_out
+    # structures are accepted or when one is accepted at pool index ==
+    # max_tries exactly (torsion_module.py:509-510 — the bound check
+    # lives inside the acceptance branch). Same semantics, evaluated in
+    # device chunks with early exit between chunks.
+    accepted = []
+    chunk = 8192
+    stop = False
+    for start in range(0, len(angles), chunk):
+        block = angles[start:start + chunk]
+        coords_batch = jnp.broadcast_to(jnp.asarray(coords),
+                                        (len(block),) + coords.shape)
+        new_coords, n_rotated = _apply_torsion_group(
+            coords_batch, torsions, graph, block)
+        new_coords = np.asarray(new_coords)
+        for j in np.nonzero(np.asarray(n_rotated) > 0)[0]:
+            accepted.append(new_coords[j])
+            if len(accepted) == n_out or start + int(j) == max_tries:
+                stop = True
+                break
+        if stop:
+            break
+    new_structures = np.array(accepted) if accepted else \
+        np.zeros((0,) + coords.shape)
 
     exhaustiveness = len(new_structures) / np.prod(
         [t.n_fold for t in torsions])
@@ -518,6 +562,7 @@ def clustered_csearch(coords, atomnos, torsions, graph,
 
     torsion_array = np.array([t.torsion for t in torsions])
     output_structures = []
+    output_energies = []
     starting_points = np.array([coords])
 
     for tg, torsions_group in enumerate(grouped_torsions):
@@ -562,29 +607,40 @@ def clustered_csearch(coords, atomnos, torsions, graph,
         if tg + 1 != len(grouped_torsions):
             if n is not None and len(new_structures) > n:
                 if mode == 0:
-                    order = np.argsort(energies)
+                    order = np.argsort(energies, kind='stable')
                     new_structures = new_structures[order][:n]
                     energies = np.asarray(energies)[order][:n]
                 else:
-                    new_structures = most_diverse_conformers(
-                        n, new_structures, torsion_array, energies=energies)
+                    new_structures, energies = most_diverse_conformers(
+                        n, new_structures, torsion_array, energies=energies,
+                        return_energies=True)
             logfunction(f'  Kept the most {tag} {len(new_structures)} '
                         f'starting points for next rotation cluster')
 
+        # energies kept ALIGNED with the aggregated structures: the
+        # reference pairs the final selection against the last group's
+        # stale energies through silently-truncating zip()
+        # (torsion_module.py:830-840) — a bug, fixed here
         output_structures.extend(new_structures)
+        output_energies.extend(
+            energies if energies is not None else [0.0] * len(new_structures))
         starting_points = new_structures
 
     output_structures = np.array(output_structures)
-    output_structures, _ = prune_conformers_tfd(output_structures,
-                                                torsion_array)
+    output_energies = np.array(output_energies)
+    output_structures, keep = prune_conformers_tfd(output_structures,
+                                                   torsion_array)
+    output_energies = output_energies[keep]
 
+    # gate on the LAST group's count, as the reference does (:829)
     if len(new_structures) > n_out:
         if mode == 0:
-            order = np.argsort(energies)
+            order = np.argsort(output_energies, kind='stable')
             output_structures = output_structures[order][:n_out]
         else:
             output_structures = most_diverse_conformers(
-                n_out, output_structures, torsion_array, energies=energies)
+                n_out, output_structures, torsion_array,
+                energies=output_energies if ff_opt else None)
 
     exhaustiveness = len(output_structures) / np.prod(
         [t.n_fold for t in torsions])
@@ -597,22 +653,34 @@ def clustered_csearch(coords, atomnos, torsions, graph,
     return output_structures
 
 
-def most_diverse_conformers(n, structures, torsion_array, energies=None):
+def most_diverse_conformers(n, structures, torsion_array, energies=None,
+                            return_energies=False):
     '''TFD-prune then KMeans-select the n most diverse structures
-    (reference torsion_module.py:849-924).'''
+    (reference torsion_module.py:849-924). energies, when given, must be
+    aligned with structures; with return_energies=True the selected
+    structures' energies come back too (the reference pairs mismatched
+    arrays through zip truncation — fixed here).'''
     structures = np.asarray(structures)
+    if energies is not None:
+        energies = np.asarray(energies)
+        assert len(energies) == len(structures)
+
+    def ret(structs, ens):
+        return (structs, ens) if return_energies else structs
+
     if len(structures) <= n:
-        return structures
+        return ret(structures, energies)
     if n > 300:
         indices = np.sort(np.random.choice(len(structures), size=n,
                                            replace=False))
-        return structures[indices]
+        return ret(structures[indices],
+                   energies[indices] if energies is not None else None)
 
     structures, keep = prune_conformers_tfd(structures, torsion_array)
     if energies is not None:
-        energies = np.asarray(energies)[keep]
+        energies = energies[keep]
     if len(structures) <= n:
-        return structures
+        return ret(structures, energies)
 
     from sklearn.cluster import KMeans
     aligned = align_structures(structures)
@@ -624,8 +692,10 @@ def most_diverse_conformers(n, structures, torsion_array, energies=None):
         clusters = [[] for _ in range(n)]
         for c_coords, energy, c in zip(aligned, energies, kmeans.labels_):
             clusters[c].append((c_coords, energy))
-        output = [sorted(group, key=lambda x: x[1])[0][0]
+        picked = [sorted(group, key=lambda x: x[1])[0]
                   for group in clusters if group]
+        output = [p[0] for p in picked]
+        out_energies = np.array([p[1] for p in picked])
     else:
         centers = kmeans.cluster_centers_.reshape((n, *aligned.shape[1:3]))
         clusters = [[] for _ in range(n)]
@@ -639,7 +709,8 @@ def most_diverse_conformers(n, structures, torsion_array, energies=None):
                                                   axis=2))
                             for ref in cluster]
                 output.append(cluster[int(np.argmax(cumdists))])
-    return np.array(output)
+        out_energies = None
+    return ret(np.array(output), out_energies)
 
 
 def csearch_operator(embedder, mol, mode=1, keep_hb=False):
@@ -649,13 +720,37 @@ def csearch_operator(embedder, mol, mode=1, keep_hb=False):
     embedder.log(f'--> {mol.rootname}: csearch operator (mode {mode})')
 
     keep_hb = keep_hb or embedder.options.keep_hb
-    conformers = csearch(
-        mol.atomcoords[0], mol.atomnos, keep_hb=keep_hb, mode=mode,
-        n_out=embedder.options.max_confs,
-        ff_opt=embedder.options.ff_opt and
-        embedder.options.ff_calc is not None,
-        calc=embedder.options.ff_calc,
-        title=mol.rootname, logfunction=embedder.log, embedder=embedder)
+
+    # internal constraints for this molecule (same letter twice), as the
+    # reference passes (operators.py:187)
+    mol_id = embedder.objects.index(mol) if mol in embedder.objects else None
+    internal = None
+    if mol_id is not None and mol_id in getattr(embedder, 'pairings_dict', {}):
+        pairs = [tgt for tgt in embedder.pairings_dict[mol_id].values()
+                 if isinstance(tgt, tuple)]
+        internal = np.array(pairs) if pairs else None
+
+    # one search from EACH input conformer, n_out split between them
+    # (reference operators.py:170-199)
+    n_confs = len(mol.atomcoords)
+    if n_confs > 1:
+        embedder.log('    multimolecular file: individual search from '
+                     'each conformer')
+    batches = []
+    for i, start in enumerate(mol.atomcoords):
+        batch = csearch(
+            start, mol.atomnos, constrained_indices=internal,
+            keep_hb=keep_hb, mode=mode,
+            n_out=max(embedder.options.max_confs // n_confs, 1),
+            ff_opt=embedder.options.ff_opt and
+            embedder.options.ff_calc is not None,
+            calc=embedder.options.ff_calc,
+            title=f'{mol.rootname}_conf{i}' if n_confs > 1 else mol.rootname,
+            logfunction=embedder.log, embedder=embedder)
+        if len(batch):
+            batches.append(np.asarray(batch))
+    conformers = np.concatenate(batches) if batches else \
+        mol.atomcoords[:1]
 
     from tscode_tpu.molecule import Molecule
     new_mol = Molecule.__new__(Molecule)
