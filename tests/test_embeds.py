@@ -288,7 +288,10 @@ def _trimol_oracle(mols, systematic_angles, clash_thresh=1.5):
                        for i in (0, 1, 2)):
                 continue
             polygon_vectors = polygonize(norms)
-            directions0 = _get_directions(norms)
+            directions = _get_directions(norms)
+            # the reference REBINDS directions inside the orientation
+            # loop (embeds.py:633,652): each orientation's adjustment
+            # chains from the previous orientation's result
 
             for v, vecs in enumerate(polygon_vectors):
                 swaps = [(0, 0, 0), (0, 0, 1), (0, 1, 0), (0, 1, 1),
@@ -304,7 +307,7 @@ def _trimol_oracle(mols, systematic_angles, clash_thresh=1.5):
                            sorted([cums[1][1], cums[2][0]]),
                            sorted([cums[2][1], cums[0][0]])]
 
-                directions = adjust(directions0, arr_ids, vecs, pivots,
+                directions = adjust(directions, arr_ids, vecs, pivots,
                                     conf_ids, norms)
 
                 angular_poses = []

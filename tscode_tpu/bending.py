@@ -29,8 +29,11 @@ def _bend_energy(c, params, pairs, targets):
     return ff_energy(c, params) + spring_energy(c, pairs, targets, k=20.0)
 
 
-def bend_key(mol, pivot, threshold):
-    return (float(np.sum(mol.atomcoords[0])), tuple(sorted(pivot.index)),
+def bend_key(mol, pivot, threshold, conf=0):
+    '''Cache key for one (conformer geometry, pivot, target) bend — the
+    reference keys on the CONFORMER's coordinate sum
+    (ase_manipulations.py:697-700), not the ensemble's first.'''
+    return (float(np.sum(mol.atomcoords[conf])), tuple(sorted(pivot.index)),
             round(threshold, 3))
 
 
@@ -57,7 +60,7 @@ def bend_molecule(mol, conf, pivot, threshold, max_iter=40,
     protect_double_bonds (EZPROT) adds E/Z dihedral restraints.
     '''
     if cache is not None:
-        key = bend_key(mol, pivot, threshold)
+        key = bend_key(mol, pivot, threshold, conf=conf)
         if key in cache:
             return cache[key]
 

@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tscode_tpu.embeds.common import materialize_two_mol
 from tscode_tpu.errors import ZeroCandidatesError
 from tscode_tpu.ops.clash import cross_fragment_pair_mask
 from tscode_tpu.ops.linalg import (align_vec_pair, polygonize,
@@ -48,6 +47,39 @@ def _cyclical_ids_bimol(pivots, orientation, offsets):
         cumnums.append(ids)
     return [[cumnums[0][0], cumnums[1][0]], [cumnums[0][1], cumnums[1][1]]]
 
+
+
+
+def _dev_coords(mol):
+    '''Device copy of a molecule's ensemble, cached on the instance and
+    refreshed only when the coordinates array is replaced (a bend makes
+    a new array) — the non-rigid sweep must not re-upload every pivot
+    combination.'''
+    cached = getattr(mol, '_dev_coords_cache', None)
+    if cached is None or cached[0] is not mol.atomcoords:
+        cached = (mol.atomcoords, jnp.asarray(mol.atomcoords))
+        mol._dev_coords_cache = cached
+    return cached[1]
+
+
+def _pad_rows(arr, n):
+    '''Pad axis 0 to n by repeating row 0 (compile-shape bucketing).'''
+    arr = np.asarray(arr)
+    if len(arr) == n:
+        return arr
+    pad = np.broadcast_to(arr[:1], (n - len(arr),) + arr.shape[1:])
+    return np.concatenate([arr, pad])
+
+def _pairwise_maxdev(pb):
+    '''Blockwise (A, A) max-deviation matrices from (Bb, A, N, 3) poses
+    WITHOUT materializing the Bb*A*A pose-pair copies a .repeat would
+    create (hundreds of MB at trimolecular A=125) — the broadcast stays
+    lazy inside XLA.'''
+    def one_block(P):
+        def row(pi):
+            return _maxdev_pairs(jnp.broadcast_to(pi, P.shape), P)
+        return jax.vmap(row)(P)
+    return jax.vmap(one_block)(pb)
 
 @jax.jit
 def _block_geometry(starts, ends, dirs, pvs, mds, apms, mps, rc_axes):
@@ -110,9 +142,7 @@ def _block_poses(coords1, coords2, c1, c2, R_align, axis, cor, pos0,
     pb = poses.reshape(Bb, A, -1, 3)
     n_atoms = pb.shape[2]
     rmsd = jax.vmap(lambda P: _rmsd_matrix_lambda_only(P, P, n_atoms))(pb)
-    flat_i = pb[:, :, None].repeat(A, axis=2).reshape(Bb * A * A, n_atoms, 3)
-    flat_j = pb[:, None, :].repeat(A, axis=1).reshape(Bb * A * A, n_atoms, 3)
-    maxdev = _maxdev_pairs(flat_i, flat_j).reshape(Bb, A, A)
+    maxdev = _pairwise_maxdev(pb)
 
     return poses.reshape(Bb, A, -1, 3), clash_ok.reshape(Bb, A), rmsd, maxdev
 
@@ -308,58 +338,86 @@ _ADJ_STEPS = 6
 _ADJ_RANGE = 30
 
 
-@jax.jit
-def _adjust_directions_batch(p_axes, p_means, a_pts, verts, angle_grid):
+def _adjust_core(p_axes, p_means, a_pts, verts, angle_grid):
     '''
-    Batched trimolecular pre-alignment correction
-    (reference _adjust_directions, embeds.py:314-451): for each block,
-    scan a 7^3 per-molecule rotation grid about the triangle sides and
-    pick the angle triple minimizing the orbital misalignment cost; the
-    returned "directions" are the side-midpoint-to-reactive-atom-mean
+    One block of the trimolecular pre-alignment correction
+    (reference _adjust_directions, embeds.py:314-451): scan a 7^3
+    per-molecule rotation grid about the triangle sides and pick the
+    angle triple minimizing the orbital misalignment cost; the returned
+    "directions" are the side-midpoint-to-reactive-atom-mean
     displacement vectors of the winner.
-    p_axes (B, 3, 3): side vectors p0/p1/p2
-    p_means (B, 3, 3): side midpoints
-    a_pts (B, 6, 3): embedded reactive-atom positions a01,a02,a10,a12,a20,a21
-    verts (B, 3, 3): triangle vertices v0,v1,v2
-    angle_grid (A, 3): the 343 angle triples
-    Returns (B, 3, 3) directions.
+    p_axes/p_means/verts (3, 3); a_pts (6, 3): embedded reactive-atom
+    positions a01,a02,a10,a12,a20,a21; angle_grid (A, 3).
+    Returns (3, 3) directions.
     '''
-    A = angle_grid.shape[0]
+    # rotation matrices per (angle, mol): rotate about p_axes[m]
+    R = rot_mat_from_pointer(p_axes[None, :, :], angle_grid)   # (A, 3, 3, 3)
 
-    # rotation matrices per (block, angle, mol): rotate about p_axes[m]
-    R = rot_mat_from_pointer(p_axes[:, None, :, :], angle_grid[None, :, :])
-
-    a01, a02 = a_pts[:, 0], a_pts[:, 1]
-    a10, a12 = a_pts[:, 2], a_pts[:, 3]
-    a20, a21 = a_pts[:, 4], a_pts[:, 5]
+    a01, a02 = a_pts[0], a_pts[1]
+    a10, a12 = a_pts[2], a_pts[3]
+    a20, a21 = a_pts[4], a_pts[5]
 
     def rot(m, pt):
-        return jnp.einsum('baij,bj->bai', R[:, :, m], pt)
+        return jnp.einsum('aij,j->ai', R[:, m], pt)
 
     new_a01, new_a02 = rot(0, a01), rot(0, a02)
     new_a10, new_a12 = rot(1, a10), rot(1, a12)
     new_a20, new_a21 = rot(2, a20), rot(2, a21)
 
-    d0 = p_means[:, None, 0] - (new_a01 + new_a02) / 2
-    d1 = p_means[:, None, 1] - (new_a10 + new_a12) / 2
-    d2 = p_means[:, None, 2] - (new_a20 + new_a21) / 2
+    d0 = p_means[None, 0] - (new_a01 + new_a02) / 2
+    d1 = p_means[None, 1] - (new_a10 + new_a12) / 2
+    d2 = p_means[None, 2] - (new_a20 + new_a21) / 2
 
     def ang(u, w):
         cosv = jnp.sum(u * w, axis=-1) / jnp.maximum(
             jnp.linalg.norm(u, axis=-1) * jnp.linalg.norm(w, axis=-1), 1e-30)
         return jnp.degrees(jnp.arccos(jnp.clip(cosv, -1.0, 1.0)))
 
-    v0 = verts[:, None, 0]
-    v1 = verts[:, None, 1]
-    v2 = verts[:, None, 2]
+    v0, v1, v2 = verts[None, 0], verts[None, 1], verts[None, 2]
     cost = (ang(v0 - new_a02, new_a20 - v0)
             + ang(v1 - new_a01, new_a10 - v1)
-            + ang(v2 - new_a21, new_a12 - v2))            # (B, A)
+            + ang(v2 - new_a21, new_a12 - v2))              # (A,)
 
-    best = jnp.argmin(cost, axis=1)                        # (B,)
-    take = lambda d: jnp.take_along_axis(
-        d, best[:, None, None], axis=1)[:, 0]
-    return jnp.stack([take(d0), take(d1), take(d2)], axis=1)
+    best = jnp.argmin(cost)
+    return jnp.stack([d0[best], d1[best], d2[best]], axis=0)
+
+
+@jax.jit
+def _adjust_chain(starts, ends, pvs, mds, mps, rc_src, verts, reset, dirs0,
+                  angle_grid):
+    '''
+    CHAINED direction adjustment over a block sequence: the reference
+    rebinds `directions = _adjust_directions(...)` inside its polygon
+    orientation loop (embeds.py:633,652), so each orientation's
+    adjustment starts from the PREVIOUS orientation's result within the
+    same (conformer, pivot) combination. One lax.scan reproduces that
+    data flow on device: blocks with reset=True (first kept orientation
+    of a combo) restart from that combo's _get_directions estimate.
+
+    starts/ends/pvs/mds/mps/verts (B, 3, 3); rc_src (B, 6, 3) raw
+    conformer-0 reactive-atom coords (reference quirk, embeds.py:404-411)
+    ordered a01,a02,a10,a12,a20,a21; reset (B,); dirs0 (B, 3, 3);
+    angle_grid (A, 3). Returns (B, 3, 3) adjusted directions.
+    '''
+    owner = jnp.array([0, 0, 1, 1, 2, 2])
+
+    def body(carry, x):
+        starts_v, ends_v, pvs_v, mds_v, mps_v, rc_v, verts_v, reset_v, d0_v = x
+        dirs_in = jnp.where(reset_v, d0_v, carry)
+        # initial per-mol alignment (reference _adjust_directions:359-371)
+        ref = jnp.stack([ends_v - starts_v, dirs_in], axis=-2)   # (3, 2, 3)
+        tgt = jnp.stack([pvs_v, mds_v], axis=-2)
+        R = align_vec_pair(ref, tgt)                             # (3, 3, 3)
+        pos = (starts_v + ends_v) / 2 - jnp.einsum('mij,mj->mi', R, mps_v)
+        apts = jnp.einsum('kij,kj->ki', R[owner], rc_v) + pos[owner]
+        d_new = _adjust_core(ends_v - starts_v, (starts_v + ends_v) / 2,
+                             apts, verts_v, angle_grid)
+        return d_new, d_new
+
+    _, dirs = jax.lax.scan(
+        body, jnp.zeros((3, 3), dtype=starts.dtype),
+        (starts, ends, pvs, mds, mps, rc_src, verts, reset, dirs0))
+    return dirs
 
 
 def _cyclical_ids_trimol(pivots, orientation, offsets):
@@ -416,12 +474,14 @@ def cyclical_embed_trimol_rigid(mols, systematic_angles, clash_thresh=1.5,
                 continue    # impossible triangle (bending needs a calculator)
             polygon = polygonize(norms)             # (8, 3, 2, 3)
             directions0 = _get_directions(norms)
+            first_of_combo = True
             for v in range(8):
                 arr_ids = _cyclical_ids_trimol(pivots, v, offsets)
                 if pairing_ok is not None and not pairing_ok(arr_ids):
                     continue
                 blocks.append((conf_ids, pivots, norms, v, polygon[v],
-                               directions0, arr_ids))
+                               directions0, arr_ids, first_of_combo))
+                first_of_combo = False
 
     if not blocks:
         raise ZeroCandidatesError(
@@ -434,12 +494,13 @@ def cyclical_embed_trimol_rigid(mols, systematic_angles, clash_thresh=1.5,
     Bb = len(blocks)
 
     # ------------- host: adjust-directions inputs per block -----------
-    # initial alignment (reference _adjust_directions:359-371) uses
-    # conformer 0 coordinates for the reactive-atom positions (:404-411)
-    adj_axes = np.zeros((Bb, 3, 3))
-    adj_means = np.zeros((Bb, 3, 3))
-    adj_apts = np.zeros((Bb, 6, 3))
+    # the adjustment chain consumes conformer-0 reactive-atom coords
+    # (reference quirk, _adjust_directions:404-411) and reset flags at
+    # combo starts; alignments happen inside the device scan
+    adj_rc_src = np.zeros((Bb, 6, 3))
     adj_verts = np.zeros((Bb, 3, 3))
+    adj_reset = np.zeros(Bb, dtype=bool)
+    adj_dirs0 = np.zeros((Bb, 3, 3))
 
     # main sweep arrays
     starts = np.zeros((Bb, 3, 3))
@@ -453,9 +514,11 @@ def cyclical_embed_trimol_rigid(mols, systematic_angles, clash_thresh=1.5,
     ids_arr = np.zeros((Bb, 3, 2), dtype=np.int64)
 
     for b, (conf_ids, pivots, norms, v, polygon, directions0,
-            arr_ids) in enumerate(blocks):
+            arr_ids, first_of_combo) in enumerate(blocks):
         conf_arr[b] = conf_ids
         ids_arr[b] = arr_ids
+        adj_reset[b] = first_of_combo
+        adj_dirs0[b] = directions0
 
         # triangle vertices (2D -> 3D, z=0) like _adjust_directions:331-357
         verts2 = np.zeros((3, 2))
@@ -465,10 +528,6 @@ def cyclical_embed_trimol_rigid(mols, systematic_angles, clash_thresh=1.5,
         verts2[2] = [x, (c - x ** 2) ** 0.5]
         adj_verts[b, :, :2] = verts2
 
-        # initial per-mol alignment to compute embedded reactive atoms
-        pair_map = {}
-        for ci, pair in enumerate(arr_ids):
-            pair_map[ci] = pair
         # r[m, partner] = local reactive index of mol m facing partner
         r = np.zeros((3, 3), dtype=int)
         for pair in arr_ids:
@@ -480,7 +539,6 @@ def cyclical_embed_trimol_rigid(mols, systematic_angles, clash_thresh=1.5,
             r[m1, m2] = i1
             r[m2, m1] = i2
 
-        rots, poss = [], []
         for i in range(3):
             start, end = polygon[i]
             rc = mols[i].atomcoords[conf_ids[i]][mols[i].reactive_indices]
@@ -488,14 +546,6 @@ def cyclical_embed_trimol_rigid(mols, systematic_angles, clash_thresh=1.5,
             md = pivots[i].meanpoint - apm
             if np.all(md == 0.):
                 md = pivots[i].meanpoint
-            Ra = np.asarray(align_vec_pair(
-                np.array([end - start, directions0[i]]),
-                np.array([pivots[i].pivot, md])))
-            rots.append(Ra)
-            poss.append((start + end) / 2 - Ra @ pivots[i].meanpoint)
-
-            adj_axes[b, i] = end - start
-            adj_means[b, i] = (start + end) / 2
 
             starts[b, i] = start
             ends[b, i] = end
@@ -506,21 +556,28 @@ def cyclical_embed_trimol_rigid(mols, systematic_angles, clash_thresh=1.5,
             rc_axes[b, i] = (rc[0] - rc[1]) if len(rc) == 2 \
                 else pivots[i].pivot
 
-        # embedded reactive-atom positions, conformer 0 (reference quirk)
-        adj_apts[b, 0] = rots[0] @ mols[0].atomcoords[0][r[0, 1]] + poss[0]
-        adj_apts[b, 1] = rots[0] @ mols[0].atomcoords[0][r[0, 2]] + poss[0]
-        adj_apts[b, 2] = rots[1] @ mols[1].atomcoords[0][r[1, 0]] + poss[1]
-        adj_apts[b, 3] = rots[1] @ mols[1].atomcoords[0][r[1, 2]] + poss[1]
-        adj_apts[b, 4] = rots[2] @ mols[2].atomcoords[0][r[2, 0]] + poss[2]
-        adj_apts[b, 5] = rots[2] @ mols[2].atomcoords[0][r[2, 1]] + poss[2]
+        # raw conformer-0 reactive-atom coords (reference quirk)
+        adj_rc_src[b, 0] = mols[0].atomcoords[0][r[0, 1]]
+        adj_rc_src[b, 1] = mols[0].atomcoords[0][r[0, 2]]
+        adj_rc_src[b, 2] = mols[1].atomcoords[0][r[1, 0]]
+        adj_rc_src[b, 3] = mols[1].atomcoords[0][r[1, 2]]
+        adj_rc_src[b, 4] = mols[2].atomcoords[0][r[2, 0]]
+        adj_rc_src[b, 5] = mols[2].atomcoords[0][r[2, 1]]
 
-    # ------------- device: batched direction adjustment ---------------
+    # ------------- device: CHAINED direction adjustment ---------------
     step_angle = 2 * _ADJ_RANGE / _ADJ_STEPS
     grid = np.stack(np.meshgrid(*[np.arange(_ADJ_STEPS + 1)] * 3),
                     -1).reshape(-1, 3) * step_angle - _ADJ_RANGE
-    directions = np.asarray(_adjust_directions_batch(
-        jnp.asarray(adj_axes), jnp.asarray(adj_means),
-        jnp.asarray(adj_apts), jnp.asarray(adj_verts), jnp.asarray(grid)))
+    Bp = max(8, int(2 ** np.ceil(np.log2(Bb))))
+    directions = np.asarray(_adjust_chain(
+        jnp.asarray(_pad_rows(starts, Bp)), jnp.asarray(_pad_rows(ends, Bp)),
+        jnp.asarray(_pad_rows(pvs, Bp)), jnp.asarray(_pad_rows(mds, Bp)),
+        jnp.asarray(_pad_rows(mps, Bp)),
+        jnp.asarray(_pad_rows(adj_rc_src, Bp)),
+        jnp.asarray(_pad_rows(adj_verts, Bp)),
+        jnp.asarray(_pad_rows(adj_reset, Bp)),
+        jnp.asarray(_pad_rows(adj_dirs0, Bp)),
+        jnp.asarray(grid)))[:Bb]
 
     # ------------- device: main sweep ---------------------------------
     coords = [jnp.asarray(m.atomcoords) for m in mols]
@@ -605,9 +662,7 @@ def _block_poses_multi(coords1, coords2, coords3, c1, c2, c3,
     pb = poses.reshape(Bb, A, -1, 3)
     n_atoms = pb.shape[2]
     rmsd = jax.vmap(lambda P: _rmsd_matrix_lambda_only(P, P, n_atoms))(pb)
-    flat_i = pb[:, :, None].repeat(A, axis=2).reshape(Bb * A * A, n_atoms, 3)
-    flat_j = pb[:, None, :].repeat(A, axis=1).reshape(Bb * A * A, n_atoms, 3)
-    maxdev = _maxdev_pairs(flat_i, flat_j).reshape(Bb, A, A)
+    maxdev = _pairwise_maxdev(pb)
 
     return pb, clash_ok.reshape(Bb, A), rmsd, maxdev
 
@@ -705,8 +760,9 @@ def cyclical_embed_nonrigid(embedder, max_norm_delta=5):
                         continue
                     norms = np.array([np.linalg.norm(p.pivot)
                                       for p in pivots])
-                    if abs(norms[0] - norms[1]) >= max_norm_delta:
-                        continue
+                    # the reference embeds whatever the bend achieved —
+                    # it goes straight to polygonize without re-checking
+                    # the norm delta (embeds.py:621-628)
             else:
                 if not all(norms[i] < norms[i - 1] + norms[i - 2]
                            for i in (0, 1, 2)):
@@ -768,13 +824,16 @@ def cyclical_embed_nonrigid(embedder, max_norm_delta=5):
                 continue
 
             Bb = len(kept_orients)
-            coords = [jnp.asarray(mols[m].atomcoords) for m in range(n_mols)]
+            # fixed executable shapes: orientation blocks padded to the
+            # full orientation count (results sliced back to Bb)
+            Bp = n_orient
+            coords = [_dev_coords(mols[m]) for m in range(n_mols)]
 
-            pvs = np.tile([p.pivot for p in pivots], (Bb, 1, 1))
-            mps = np.tile([p.meanpoint for p in pivots], (Bb, 1, 1))
-            apms = np.zeros((Bb, n_mols, 3))
-            mds = np.zeros((Bb, n_mols, 3))
-            rc_axes = np.zeros((Bb, n_mols, 3))
+            pvs = np.tile([p.pivot for p in pivots], (Bp, 1, 1))
+            mps = np.tile([p.meanpoint for p in pivots], (Bp, 1, 1))
+            apms = np.zeros((Bp, n_mols, 3))
+            mds = np.zeros((Bp, n_mols, 3))
+            rc_axes = np.zeros((Bp, n_mols, 3))
             for m in range(n_mols):
                 rc = mols[m].atomcoords[conf_ids[m]][mols[m].reactive_indices]
                 apm = rc.mean(axis=0)
@@ -786,34 +845,45 @@ def cyclical_embed_nonrigid(embedder, max_norm_delta=5):
                 rc_axes[:, m] = (rc[0] - rc[1]) if len(rc) == 2 \
                     else pivots[m].pivot
 
-            starts = np.array(starts)
-            ends_ = np.array(ends_)
+            starts = _pad_rows(np.array(starts), Bp)
+            ends_ = _pad_rows(np.array(ends_), Bp)
 
             if n_mols == 2:
-                dirs_arr = np.broadcast_to(_DIRECTIONS, (Bb, 2, 3)).copy()
+                dirs_arr = np.broadcast_to(_DIRECTIONS, (Bp, 2, 3)).copy()
             else:
-                # per-orientation adjusted directions (device-batched)
-                adj_axes = ends_ - starts
-                adj_means = (ends_ + starts) / 2
-                adj_verts = np.zeros((Bb, 3, 3))
+                # per-orientation adjusted directions, CHAINED across the
+                # kept orientations as the reference rebinding does
+                # (embeds.py:633,652); padded rows extend the chain
+                # harmlessly past the real blocks
+                adj_verts = np.zeros((Bp, 3, 3))
                 verts2 = np.zeros((3, 2))
                 verts2[1] = [norms[0], 0]
                 a_, b_, c_ = norms ** 2
                 x_ = (a_ - b_ + c_) / (2 * a_ ** 0.5)
                 verts2[2] = [x_, (c_ - x_ ** 2) ** 0.5]
                 adj_verts[:, :, :2] = verts2
-                adj_apts = np.zeros((Bb, 6, 3))
-                for b, v in enumerate(kept_orients):
-                    adj_apts[b] = _adjust_apts(
-                        mols, conf_ids, pivots, ids_list[b],
-                        (starts[b], ends_[b]), directions0, offsets)
+                adj_rc_src = np.zeros((Bp, 6, 3))
+                for b in range(Bp):
+                    src = b if b < Bb else 0   # padded rows replay row 0
+                    r = _facing_matrix(ids_list[src], offsets)
+                    adj_rc_src[b, 0] = mols[0].atomcoords[0][r[0, 1]]
+                    adj_rc_src[b, 1] = mols[0].atomcoords[0][r[0, 2]]
+                    adj_rc_src[b, 2] = mols[1].atomcoords[0][r[1, 0]]
+                    adj_rc_src[b, 3] = mols[1].atomcoords[0][r[1, 2]]
+                    adj_rc_src[b, 4] = mols[2].atomcoords[0][r[2, 0]]
+                    adj_rc_src[b, 5] = mols[2].atomcoords[0][r[2, 1]]
                 step_angle = 2 * _ADJ_RANGE / _ADJ_STEPS
                 grid = np.stack(np.meshgrid(
                     *[np.arange(_ADJ_STEPS + 1)] * 3),
                     -1).reshape(-1, 3) * step_angle - _ADJ_RANGE
-                dirs_arr = np.asarray(_adjust_directions_batch(
-                    jnp.asarray(adj_axes), jnp.asarray(adj_means),
-                    jnp.asarray(adj_apts), jnp.asarray(adj_verts),
+                reset = np.zeros(Bp, dtype=bool)
+                reset[0] = True
+                dirs_arr = np.asarray(_adjust_chain(
+                    jnp.asarray(starts), jnp.asarray(ends_),
+                    jnp.asarray(pvs), jnp.asarray(mds), jnp.asarray(mps),
+                    jnp.asarray(adj_rc_src), jnp.asarray(adj_verts),
+                    jnp.asarray(reset),
+                    jnp.asarray(np.tile(directions0, (Bp, 1, 1))),
                     jnp.asarray(grid)))
 
             R_align, axis, cor, pos0 = _block_geometry(
@@ -821,14 +891,14 @@ def cyclical_embed_nonrigid(embedder, max_norm_delta=5):
                 jnp.asarray(dirs_arr), jnp.asarray(pvs), jnp.asarray(mds),
                 jnp.asarray(apms), jnp.asarray(mps), jnp.asarray(rc_axes))
 
-            conf_cols = [jnp.full(Bb, conf_ids[m], dtype=jnp.int32)
+            conf_cols = [jnp.full(Bp, conf_ids[m], dtype=jnp.int32)
                          for m in range(n_mols)]
             if n_mols == 2:
                 poses, clash_ok, rmsd, maxdev = _block_poses(
                     coords[0], coords[1], conf_cols[0], conf_cols[1],
                     R_align, axis, cor, pos0, angle_grid, pair_mask,
                     float(clash_thresh))
-                poses = np.asarray(poses).reshape(Bb, A, -1, 3)
+                poses = np.asarray(poses).reshape(Bp, A, -1, 3)
             else:
                 poses, clash_ok, rmsd, maxdev = _block_poses_multi(
                     coords[0], coords[1], coords[2],
@@ -837,8 +907,9 @@ def cyclical_embed_nonrigid(embedder, max_norm_delta=5):
                     float(clash_thresh))
                 poses = np.asarray(poses)
 
-            clash_ok = np.asarray(clash_ok)
-            similar = np.asarray((rmsd < 1.0) & (maxdev < 2.0))
+            clash_ok = np.asarray(clash_ok)[:Bb]
+            poses = np.asarray(poses)[:Bb]
+            similar = np.asarray((rmsd < 1.0) & (maxdev < 2.0))[:Bb]
 
             for b in range(Bb):
                 kept = []
@@ -860,11 +931,9 @@ def cyclical_embed_nonrigid(embedder, max_norm_delta=5):
     return np.concatenate(poses_out), np.array(cons_out)
 
 
-def _adjust_apts(mols, conf_ids, pivots, arr_ids, vec_pair, directions0,
-                 offsets):
-    '''Embedded reactive-atom positions a01..a21 for the direction
-    adjustment (shares the trimolecular-rigid host setup).'''
-    starts, ends = vec_pair
+def _facing_matrix(arr_ids, offsets):
+    '''r[m, partner] = local reactive index of molecule m facing partner
+    (reference _adjust_directions:376-399).'''
     r = np.zeros((3, 3), dtype=int)
     for pair in arr_ids:
         sides = []
@@ -874,27 +943,7 @@ def _adjust_apts(mols, conf_ids, pivots, arr_ids, vec_pair, directions0,
         (m1, i1), (m2, i2) = sides
         r[m1, m2] = i1
         r[m2, m1] = i2
-
-    rots, poss = [], []
-    for i in range(3):
-        rc = mols[i].atomcoords[conf_ids[i]][mols[i].reactive_indices]
-        md = pivots[i].meanpoint - rc.mean(axis=0)
-        if np.all(md == 0.):
-            md = pivots[i].meanpoint
-        Ra = np.asarray(align_vec_pair(
-            np.array([ends[i] - starts[i], directions0[i]]),
-            np.array([pivots[i].pivot, md])))
-        rots.append(Ra)
-        poss.append((starts[i] + ends[i]) / 2 - Ra @ pivots[i].meanpoint)
-
-    apts = np.zeros((6, 3))
-    apts[0] = rots[0] @ mols[0].atomcoords[0][r[0, 1]] + poss[0]
-    apts[1] = rots[0] @ mols[0].atomcoords[0][r[0, 2]] + poss[0]
-    apts[2] = rots[1] @ mols[1].atomcoords[0][r[1, 0]] + poss[1]
-    apts[3] = rots[1] @ mols[1].atomcoords[0][r[1, 2]] + poss[1]
-    apts[4] = rots[2] @ mols[2].atomcoords[0][r[2, 0]] + poss[2]
-    apts[5] = rots[2] @ mols[2].atomcoords[0][r[2, 1]] + poss[2]
-    return apts
+    return r
 
 
 def cyclical_embed(embedder, max_norm_delta=5):

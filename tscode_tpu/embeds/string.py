@@ -86,23 +86,13 @@ def string_embed(mol1, mol2, angles, clash_thresh=1.5, tfd_thresh=10,
 
     # grid in the reference's generation order:
     # for (c1, c2) in cartesian (c1 fastest) -> for (ai1, ai2) (ai1 fastest)
-    # -> for angle
-    c1g, c2g, a1g, a2g, aig = [], [], [], [], []
-    conf_pairs = [(i1, i2) for i2 in range(n2c) for i1 in range(n1c)]
-    lobe_pairs = [(j1, j2) for j2 in range(k2) for j1 in range(k1)]
-    for (ci1, ci2) in conf_pairs:
-        for (l1, l2) in lobe_pairs:
-            c1g.extend([ci1] * n_ang)
-            c2g.extend([ci2] * n_ang)
-            a1g.extend([l1] * n_ang)
-            a2g.extend([l2] * n_ang)
-            aig.extend(range(n_ang))
-    c1g, c2g, a1g, a2g, aig = (np.array(x, dtype=np.int32)
-                               for x in (c1g, c2g, a1g, a2g, aig))
+    # -> for angle; expressed as a C-order grid with (c2, c1, a2, a1,
+    # angle) outermost-to-innermost
+    from tscode_tpu.embeds.common import flat_grid
+    c2g, c1g, a2g, a1g, aig = flat_grid(n2c, n1c, k2, k1, n_ang)
     total = len(c1g)
     log(f'--> Performing string embed ({total} candidates)')
 
-    n_pad = ids[0] + ids[1]
     pair_mask = jnp.asarray(cross_fragment_pair_mask(ids))
     dev = dict(coords1=jnp.asarray(mol1.atomcoords),
                coords2=jnp.asarray(mol2.atomcoords),
@@ -113,7 +103,6 @@ def string_embed(mol1, mol2, angles, clash_thresh=1.5, tfd_thresh=10,
                angles=jnp.asarray(angles))
 
     poses_out, order = [], []
-    all_ok = np.zeros(total, dtype=bool)
     all_tfps = None
 
     for lo in range(0, total, chunk):
@@ -125,7 +114,6 @@ def string_embed(mol1, mol2, angles, clash_thresh=1.5, tfd_thresh=10,
             ai=sl(aig), clash_thresh=float(clash_thresh))
         ok = np.asarray(ok)[:hi - lo]
         tfps = np.asarray(tfps)[:hi - lo]
-        all_ok[lo:hi] = ok
         if all_tfps is None:
             all_tfps = np.empty((total, tfps.shape[1]), dtype=tfps.dtype)
         all_tfps[lo:hi] = tfps

@@ -97,16 +97,23 @@ def run_child_embed(parent, arrangement, i):
         f.write(f'{mol2.name} {x2}x {y2}y\n')
 
     try:
-        child = Embedder(child_input, stamp=f'embed{i + 1}')
-        run = RunEmbedding(child)
-        try:
-            run.generate_candidates()
-            run.compenetration_refining()
-            run.fitness_refining()
-            run.similarity_refining(rmsd=False)
-        except ZeroCandidatesError:
-            run.structures = np.array([])
-            run.constrained_indices = np.array([])
+        # child console output suppressed, as the reference does for its
+        # child processes (multiembed.py:135-140)
+        from tscode_tpu.utils import suppress_stdout_stderr
+        with suppress_stdout_stderr():
+            child = Embedder(child_input, stamp=f'embed{i + 1}')
+            run = RunEmbedding(child)
+            try:
+                run.generate_candidates()
+                run.compenetration_refining()
+                run.fitness_refining()
+                run.similarity_refining(rmsd=False)
+                if parent.options.debug and len(run.structures):
+                    # keep the structures the debug folder exists for
+                    run.write_structures('unoptimized', energies=False)
+            except ZeroCandidatesError:
+                run.structures = np.array([])
+                run.constrained_indices = np.array([])
         structures = run.structures
         constrained = run.constrained_indices
         run.logfile.close()

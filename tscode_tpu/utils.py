@@ -47,6 +47,19 @@ def flatten(array, typefunc=float):
     return out
 
 
+from contextlib import contextmanager, redirect_stderr, redirect_stdout
+
+
+@contextmanager
+def suppress_stdout_stderr():
+    '''Silence console output of a block (reference utils.py uses an
+    os-level devnull dup; Python-level redirection covers every print
+    this package makes).'''
+    with open(os.devnull, 'w') as null, \
+            redirect_stdout(null), redirect_stderr(null):
+        yield
+
+
 def loadbar(done, total, prefix='', width=50):
     '''In-place terminal progress bar (reference utils.py:171-178).'''
     total = max(int(total), 1)
