@@ -58,12 +58,25 @@ def test_rotation_matrix_from_vectors_degenerate():
     # parallel -> identity
     np.testing.assert_allclose(np.asarray(L.rotation_matrix_from_vectors(v, 2 * v)),
                                np.eye(3), atol=1e-9)
-    # antiparallel -> reference's fixed 180 deg rotation about z
+    # antiparallel -> a true 180 deg flip. The reference rotates about
+    # the FIXED z axis (utils.py:204-206), which fails to flip vectors
+    # with a z component — a reference bug fixed here, so we assert the
+    # correct alignment property rather than reference equality.
     R = np.asarray(L.rotation_matrix_from_vectors(v, -v))
-    want = oracles.rotation_matrix_from_vectors(v, -v)
-    np.testing.assert_allclose(R, want, atol=1e-9)
+    a = v / np.linalg.norm(v)
+    np.testing.assert_allclose(R @ a, -a, atol=1e-9)
     np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-9)
     assert np.linalg.det(R) > 0
+
+    # nearly-antiparallel pairs inside the degeneracy window must also
+    # land on target (the old norm(a+b) test misrouted delta <= 1e-6)
+    for delta in (1e-13, 1e-9, 1e-7):
+        t = np.array([-0.2, 1.0, 0.4])
+        t -= (t @ a) * a
+        t /= np.linalg.norm(t)
+        b = -a * np.cos(delta) + t * np.sin(delta)
+        R = np.asarray(L.rotation_matrix_from_vectors(v, b))
+        assert R @ a @ b > 1.0 - 1e-9
 
 
 def test_align_vec_pair_random():

@@ -40,8 +40,9 @@ def test_sharded_screen_matches_single_device():
             continue
         for j in range(i + 1, B):
             if clash_ok[j]:
-                r, _ = rmsd_and_max(poses[i].copy(), poses[j].copy())
-                if r < 0.5:
+                r, md = rmsd_and_max(poses[i].copy(), poses[j].copy())
+                # two-gate accept rule (reference rmsd_pruning.py:75-77)
+                if r < 0.5 and md < 1.0:
                     want[i] = False
                     break
     np.testing.assert_array_equal(keep, want)

@@ -148,12 +148,23 @@ def rotation_matrix_from_vectors(vec1, vec2, eps=1e-12):
     factor = (1 - c) / jnp.maximum(s2, eps)
     general = eye + kmat + (kmat @ kmat) * factor[..., None, None]
 
-    # degenerate: parallel -> identity; antiparallel -> 180 deg about z
-    # (reference picks the z axis for the antiparallel case, utils.py:204-206)
+    # degenerate (s2 ~ 0): parallel -> identity; antiparallel -> 180 deg
+    # about an axis PERPENDICULAR to a. Two reference bugs fixed here
+    # (utils.py:204-206): (1) it rotates about the fixed z axis, which
+    # does not flip vectors with a z component (e.g. +z -> +z instead of
+    # -z); (2) the parallel/antiparallel split must use the dot-product
+    # sign — a tiny-threshold norm(a+b) test misclassifies
+    # nearly-antiparallel pairs (angle pi - delta, delta <= 1e-6) as
+    # parallel and returns identity, assembling poses ~180 degrees wrong.
+    helper = jnp.where((jnp.abs(a[..., :1]) < 0.9),
+                       jnp.broadcast_to(jnp.array([1., 0., 0.],
+                                                  dtype=v.dtype), v.shape),
+                       jnp.broadcast_to(jnp.array([0., 1., 0.],
+                                                  dtype=v.dtype), v.shape))
+    perp = normalize(jnp.cross(a, helper))
     antiparallel = rot_mat_from_pointer(
-        jnp.broadcast_to(jnp.array([0., 0., 1.], dtype=v.dtype), v.shape),
-        jnp.full(v.shape[:-1], 180.0, dtype=v.dtype))
-    degenerate = jnp.where((norm_of(a + b) < eps)[..., None, None], antiparallel, eye)
+        perp, jnp.full(v.shape[:-1], 180.0, dtype=v.dtype))
+    degenerate = jnp.where((c < 0.0)[..., None, None], antiparallel, eye)
 
     return jnp.where((s2 > eps)[..., None, None], general, degenerate)
 

@@ -185,8 +185,11 @@ def _kill_bits_batched_pass(heavy, chunk_indices, rmsd_thr):
         m_real[b] = len(idx)
 
     killed = []
-    # bound the per-call footprint: B_sub * L^2 pairs * ~100 B
-    b_step = max(1, int(2e8 // max(L_pad * L_pad * 100, 1)))
+    # bound the per-call footprint: the exact branch materializes two
+    # (B_sub, L, L, N, 3) tensors, so the per-pair cost scales with the
+    # atom count (f64 on the CPU test config doubles it again)
+    per_pair = 100 + 48 * N
+    b_step = max(1, int(2e8 // max(L_pad * L_pad * per_pair, 1)))
     for b0 in range(0, B, b_step):
         bits = np.asarray(_fused_kill_blocks(
             jnp.asarray(P[b0:b0 + b_step]),
@@ -210,7 +213,10 @@ def chunk_kill_bits(heavy_structures, rmsd_thr, row_tile=_ROW_TILE,
     if m <= 1:
         return np.zeros(m, dtype=bool)
 
-    cb = min(col_block, max(int(np.ceil(m / 128)) * 128, 128))
+    # fixed pow2 executable shapes (remote compiles cost 5-30 s each and
+    # the cache is unreliable — see CLAUDE.md): col blocks come from the
+    # {128, 256, ..., col_block} pow2 ladder
+    cb = min(col_block, _pow2(m, floor=128))
     m_pad_c = int(np.ceil(m / cb)) * cb
     m_pad_r = int(np.ceil(m / row_tile)) * row_tile
     dev_cols = jnp.asarray(_pad_to(heavy_structures, m_pad_c))
@@ -356,12 +362,11 @@ def _pair_kill_core(P, valid, rmsd_thr):
     N = P.shape[2]
     n_dt = jnp.asarray(N, P.dtype)
 
-    # rotation-invariant lower bound screen (see _gathered_kill_stream)
-    radii = jnp.sqrt(jnp.maximum(jnp.sum(P * P, axis=-1), 0.0))  # (B, L, N)
-    r2m = jnp.mean(radii * radii, axis=-1)                       # (B, L)
-    lb = r2m[:, :, None] + r2m[:, None, :] \
-        - (2.0 / N) * jnp.einsum('bpn,bqn->bpq', radii, radii)
-    cand = (lb < rmsd_thr * rmsd_thr) & valid
+    # (no radius lower-bound screen here: unlike _gathered_kill_stream,
+    # where lb gates a cond that skips the QCP work, this kernel computes
+    # S/lambda for every pair anyway — a pre-gate would add FLOPs and an
+    # f32-roundoff parity edge at the threshold without saving anything)
+    cand = valid
 
     S = jnp.einsum('bpni,bqnk->bpqik', P, P)
     G = jnp.sum(P * P, axis=(-2, -1))
@@ -877,7 +882,11 @@ _FINISH_ROW_TILE = 256
 # up to _MID_MAX run BANDED passes (same-chunk actives are contiguous
 # runs in the order-preserving compaction, so as long as no chunk holds
 # more than _MID_BAND actives, every same-chunk pair sits within
-# _MID_BAND positions)
+# _MID_BAND positions). NOTE: with the current constants the banded
+# k=1 completion inside _mid_body is unreachable (k=1 puts every active
+# in one chunk, so max_run = active > _FINISH_MAX > _MID_BAND); the mid
+# regime only SHRINKS oversized survivor sets until they fit the finish
+# block. The mid_done plumbing is kept for future band tuning.
 _MID_MAX = 16384
 _MID_BAND = 128
 

@@ -47,6 +47,59 @@ def _tfd_sim_block(tf_block, thresh):
     return tfd_delta_matrix(tf_block, tf_block) < thresh
 
 
+_TFD_ROW_TILE = 512
+_TFD_COL_TILE = 4096
+_TFD_PAD_VALUE = 1.0e9      # wrapped delta of a padded entry stays huge
+
+
+@jax.jit
+def _tfd_delta_tile(tf_rows, tf_cols):
+    '''(T, Q) x (C, Q) -> (T, C) wrapped L1 distance, accumulated over
+    torsions with a scan so the peak footprint is T*C — never T*C*Q.'''
+    def body(acc, qs):
+        a_q, b_q = qs
+        d = jnp.abs(a_q[:, None] - b_q[None, :])
+        return acc + jnp.abs(d - (d > 180) * 360.0), None
+    acc0 = jnp.zeros((tf_rows.shape[0], tf_cols.shape[0]),
+                     dtype=tf_rows.dtype)
+    acc, _ = jax.lax.scan(body, acc0, (tf_rows.T, tf_cols.T))
+    return acc
+
+
+def _pad_fp(block, n):
+    if len(block) == n:
+        return block
+    out = np.full((n, block.shape[1]), _TFD_PAD_VALUE, dtype=block.dtype)
+    out[:len(block)] = block
+    return out
+
+
+def _first_similar_successor(tf_chunk, thresh):
+    '''For each row i of a chunk, the smallest j > i with wrapped-L1
+    similarity < thresh, or -1 — computed in fixed-shape device tiles
+    (the k=1 pass covers the whole active set, so an untiled (L, L, Q)
+    tensor would OOM at csearch ensemble sizes).'''
+    L = len(tf_chunk)
+    first = np.full(L, -1, dtype=np.int64)
+    for r0 in range(0, L, _TFD_ROW_TILE):
+        r1 = min(r0 + _TFD_ROW_TILE, L)
+        rows = jnp.asarray(_pad_fp(tf_chunk[r0:r1], _TFD_ROW_TILE))
+        i_g = r0 + np.arange(r1 - r0)
+        for c0 in range(r0, L, _TFD_COL_TILE):
+            if (first[r0:r1] >= 0).all():
+                break
+            c1 = min(c0 + _TFD_COL_TILE, L)
+            cols = jnp.asarray(_pad_fp(tf_chunk[c0:c1], _TFD_COL_TILE))
+            sim = np.asarray(_tfd_delta_tile(rows, cols) < thresh)
+            sim = sim[:r1 - r0, :c1 - c0]
+            valid = sim & (np.arange(c0, c1)[None, :] > i_g[:, None])
+            hit = valid.any(axis=1)
+            firsts = np.where(hit, valid.argmax(axis=1) + c0, -1)
+            undecided = first[r0:r1] < 0
+            first[r0:r1] = np.where(undecided & hit, firsts, first[r0:r1])
+    return first
+
+
 def prune_conformers_tfd(structures, quadruplets, thresh=10, tf_mat=None):
     '''
     Prune torsionally-similar structures; returns (pruned, keep_mask).
@@ -82,22 +135,17 @@ def prune_conformers_tfd(structures, quadruplets, thresh=10, tf_mat=None):
             if _l <= 1:
                 continue
 
-            sim = np.array(_tfd_sim_block(jnp.asarray(tf_mat[lo:lo + _l]),
-                                          float(thresh)))
-            np.fill_diagonal(sim, False)
-
-            # first similar successor per structure (the reference's `break`).
-            # The reference collects matches into a python SET before
-            # building the graph (numba_functions.py:180-214), and which
-            # component member survives follows the set's iteration order —
-            # reproduce that exactly.
+            # first similar successor per structure (the reference's
+            # `break`). The reference collects matches into a python SET
+            # before building the graph (numba_functions.py:180-214), and
+            # which component member survives follows the set's iteration
+            # order — reproduce that exactly.
+            first = _first_similar_successor(tf_mat[lo:lo + _l],
+                                             float(thresh))
             matches = set()
-            iu, ju = np.triu_indices(_l, k=1)
-            sim_u = sim[iu, ju]
             for i_rel in range(_l):
-                js = ju[(iu == i_rel) & sim_u]
-                if len(js):
-                    matches.add((int(i_rel), int(js[0])))
+                if first[i_rel] >= 0:
+                    matches.add((int(i_rel), int(first[i_rel])))
 
             if not matches:
                 continue

@@ -24,8 +24,10 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
+from tscode_tpu.ops.clash import compenetration_mask
 from tscode_tpu.ops.linalg import _qcp_lambda_max, rot_mat_from_pointer, \
     rotation_matrix_from_vectors
+from tscode_tpu.ops.rmsd_prune import _two_gate_hits
 
 
 def make_mesh(n_devices=None, axis_name='poses'):
@@ -35,14 +37,19 @@ def make_mesh(n_devices=None, axis_name='poses'):
     return Mesh(np.array(devices[:n]), (axis_name,))
 
 
-def _rmsd_rows(P_rows, Q_all, n_atoms):
-    '''QCP lambda-only RMSD of local rows vs all columns.'''
+def _similar_rows(P_rows, Q_all, cand, rmsd_thr):
+    '''Two-gate similarity bits (rmsd < thr AND maxdev < 2*thr, the
+    reference accept rule, rmsd_pruning.py:75-77) of local rows vs all
+    columns, via the shared QCP helpers from ops.rmsd_prune.'''
+    n_atoms = P_rows.shape[-2]
     S = jnp.einsum('ani,bnk->abik', P_rows, Q_all)
     GA = jnp.sum(P_rows * P_rows, axis=(-2, -1))[:, None]
     GB = jnp.sum(Q_all * Q_all, axis=(-2, -1))[None, :]
     lam = _qcp_lambda_max(S, GA, GB)
     msd = (GA + GB - 2.0 * lam) / n_atoms
-    return jnp.sqrt(jnp.maximum(msd, 0.0))
+    rmsd = jnp.sqrt(jnp.maximum(msd, 0.0))
+    return _two_gate_hits(rmsd, cand, rmsd_thr, n_atoms, S, lam,
+                          P_rows, Q_all)
 
 
 def sharded_screen_pipeline(mesh, rmsd_thr=0.5, clash_thresh=1.5,
@@ -58,11 +65,8 @@ def sharded_screen_pipeline(mesh, rmsd_thr=0.5, clash_thresh=1.5,
 
     def step(poses, pair_mask):
         # local clash screen
-        a2 = jnp.sum(poses * poses, axis=-1)
-        ab = jnp.einsum('bni,bmi->bnm', poses, poses)
-        d2 = jnp.maximum(a2[:, :, None] + a2[:, None, :] - 2 * ab, 0.0)
-        clash_ok = jnp.sum((d2 < clash_thresh ** 2) & pair_mask,
-                           axis=(-2, -1)) <= 0
+        clash_ok = compenetration_mask(poses, pair_mask,
+                                       thresh=clash_thresh)
 
         # cross-shard RMSD kill: gather all poses over ICI
         all_poses = jax.lax.all_gather(poses, axis_name, axis=0, tiled=True)
@@ -74,11 +78,10 @@ def sharded_screen_pipeline(mesh, rmsd_thr=0.5, clash_thresh=1.5,
         i_global = g0 + jnp.arange(n_local)
         j_global = jnp.arange(all_poses.shape[0])
 
-        rmsd = _rmsd_rows(poses, all_poses,
-                          jnp.asarray(poses.shape[1], poses.dtype))
-        similar = (rmsd < rmsd_thr) & all_ok[None, :] \
-            & (j_global[None, :] > i_global[:, None])
-        kill = jnp.any(similar, axis=1)
+        cand = all_ok[None, :] & (j_global[None, :] > i_global[:, None])
+        kill = jnp.any(_similar_rows(poses, all_poses, cand,
+                                     jnp.asarray(rmsd_thr, poses.dtype)),
+                       axis=1)
 
         keep = clash_ok & ~kill
         n_survivors = jax.lax.psum(jnp.sum(keep), axis_name)
@@ -90,7 +93,8 @@ def sharded_screen_pipeline(mesh, rmsd_thr=0.5, clash_thresh=1.5,
     return jax.jit(sharded)
 
 
-def sharded_embed_screen_step(mesh, axis_name='poses'):
+def sharded_embed_screen_step(mesh, rmsd_thr=0.5, clash_thresh=1.5,
+                              axis_name='poses'):
     '''
     The full device "step" over the mesh: each chip materializes ITS OWN
     shard of the string-embed grid (alignment rotations + spin + pose
@@ -120,10 +124,8 @@ def sharded_embed_screen_step(mesh, axis_name='poses'):
         f2 = jnp.einsum('bij,bnj->bni', R, coords2[c2]) + t[:, None, :]
         poses = jnp.concatenate([f1, f2], axis=1)
 
-        a2_ = jnp.sum(poses * poses, axis=-1)
-        ab = jnp.einsum('bni,bmi->bnm', poses, poses)
-        d2 = jnp.maximum(a2_[:, :, None] + a2_[:, None, :] - 2 * ab, 0.0)
-        clash_ok = jnp.sum((d2 < 1.5 ** 2) & pair_mask, axis=(-2, -1)) <= 0
+        clash_ok = compenetration_mask(poses, pair_mask,
+                                       thresh=clash_thresh)
 
         all_poses = jax.lax.all_gather(poses, axis_name, axis=0, tiled=True)
         all_ok = jax.lax.all_gather(clash_ok, axis_name, axis=0, tiled=True)
@@ -133,11 +135,10 @@ def sharded_embed_screen_step(mesh, axis_name='poses'):
         i_global = g0 + jnp.arange(n_local)
         j_global = jnp.arange(all_poses.shape[0])
 
-        rmsd = _rmsd_rows(poses, all_poses,
-                          jnp.asarray(poses.shape[1], poses.dtype))
-        similar = (rmsd < 0.5) & all_ok[None, :] \
-            & (j_global[None, :] > i_global[:, None])
-        keep = clash_ok & ~jnp.any(similar, axis=1)
+        cand = all_ok[None, :] & (j_global[None, :] > i_global[:, None])
+        keep = clash_ok & ~jnp.any(
+            _similar_rows(poses, all_poses, cand,
+                          jnp.asarray(rmsd_thr, poses.dtype)), axis=1)
         n_survivors = jax.lax.psum(jnp.sum(keep), axis_name)
         return poses, keep, n_survivors
 
