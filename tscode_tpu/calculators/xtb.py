@@ -9,7 +9,6 @@ RecursionError hard-exit).
 '''
 
 import os
-import shutil
 import subprocess
 
 import numpy as np
@@ -119,13 +118,23 @@ def xtb_opt(coords, atomnos, constrained_indices=None,
             if target_d is None or len(ci) != 2:
                 continue
             a, b = ci
+            # walk the pre-target from the CURRENT distance toward the
+            # final target, one recursive_stepsize per loose opt — each
+            # snap moves <= one step (the reference builds this chain
+            # through recursion depth, _xtb.py:116-163; a pre-target set
+            # one step from the FINAL target would snap the atom the
+            # whole remaining distance in one move, scrambling exactly
+            # what this mechanism exists to prevent)
             for _ in range(200):
                 d = np.linalg.norm(coords[b] - coords[a])
                 delta = d - target_d
                 if abs(delta) <= recursive_stepsize:
                     break
+                pre_t = d - recursive_stepsize * np.sign(delta)
+                vec = (coords[b] - coords[a])
+                coords[b] -= vec / np.linalg.norm(vec) * (d - pre_t)
                 pre = list(constrained_distances)
-                pre[i] = target_d + recursive_stepsize * np.sign(delta)
+                pre[i] = pre_t
                 coords, _, _ = xtb_opt(
                     coords, atomnos, constrained_indices,
                     constrained_distances=pre, method=method,
@@ -173,6 +182,10 @@ def xtb_opt(coords, atomnos, constrained_indices=None,
         else:
             energy = energy_grepper(os.path.join(cwd, f'{title}.out'),
                                     'TOTAL ENERGY', 3)
+            if energy is not None:
+                # single points report in Eh; everything this module
+                # returns is kcal/mol (reference _xtb.py:427-438)
+                energy *= EH_TO_KCAL
 
     return coords, energy, True
 
@@ -286,17 +299,29 @@ def xtb_metadyn_augmentation(coords, atomnos, constrained_indices=None,
     return np.array(structures)
 
 
+_CREST_METHOD_FLAGS = {
+    'GFN-FF': '--gfnff', 'GFNFF': '--gfnff',
+    'GFN2-XTB': '--gfn2', 'GFN2': '--gfn2',
+    'GFN2-XTB//GFN-FF': '--gfn2//gfnff', 'GFN2//GFNFF': '--gfn2//gfnff',
+}
+
+
 def crest_mtd_search(coords, atomnos, constrained_indices=None,
+                     constrained_distances=None,
                      method='GFN2-xTB//GFN-FF', solvent=None, charge=0,
                      kcal=10, ncimode=False, title='temp', procs=4,
                      **kwargs):
     '''CREST metadynamic conformational search
-    (reference _xtb.py:599-793). Returns (ensemble coords, energies).'''
+    (reference _xtb.py:599-793). Returns (ensemble coords, energies).
+    The method maps to CREST's --gfnff/--gfn2/--gfn2//gfnff flags
+    (reference :722-731) so retry-at-stabler-method works.'''
     with scratch_dir(title) as cwd:
         with open(os.path.join(cwd, f'{title}.xyz'), 'w') as f:
             write_xyz(coords, atomnos, f, title=title)
 
-        flags = ['--gfn2//gfnff', '--noreftopo', '--ewin', str(kcal)]
+        mflag = _CREST_METHOD_FLAGS.get(method.upper() if method else '',
+                                        '--gfn2//gfnff')
+        flags = [mflag, '--noreftopo', '--ewin', str(kcal)]
         if ncimode:
             flags.append('--nci')
         if charge != 0:
@@ -311,8 +336,12 @@ def crest_mtd_search(coords, atomnos, constrained_indices=None,
             cinp = '$constrain\n  force constant=1\n'
             atoms = sorted({int(i) + 1 for pair in constrained_indices
                             for i in pair})
-            for a, b in constrained_indices:
-                cinp += f'  distance: {a + 1}, {b + 1}, auto\n'
+            if constrained_distances is None:
+                constrained_distances = [None] * len(constrained_indices)
+            for (a, b), cd in zip(constrained_indices,
+                                  constrained_distances):
+                cd = 'auto' if cd is None else cd
+                cinp += f'  distance: {a + 1}, {b + 1}, {cd}\n'
             all_atoms = set(range(1, len(atomnos) + 1)) - set(atoms)
             if all_atoms:
                 ranges = ','.join(str(i) for i in sorted(all_atoms))
@@ -334,7 +363,9 @@ def crest_mtd_search(coords, atomnos, constrained_indices=None,
             try:
                 energies.append(float(comment.split()[0]) * EH_TO_KCAL)
             except (ValueError, IndexError):
-                energies.append(0.0)
+                # unparsable comment: +inf, so a bad parse can never
+                # rank that conformer as the global minimum
+                energies.append(np.inf)
         return data.atomcoords, np.array(energies)
 
 
@@ -347,25 +378,50 @@ def crest_mtd_search_operator(embedder, mol):
         raise InputError('mtd_search> requires the crest binary on PATH.')
 
     embedder.log(f'--> {mol.rootname}: CREST metadynamic search')
-    ensembles, energies = [], []
+
+    # internal pairing constraints (same letter twice on this molecule)
+    # hold through the search with their imposed distances (reference
+    # operators.py:480-544)
+    mol_id = embedder.objects.index(mol) if mol in embedder.objects else None
+    internal, internal_d = None, None
+    if mol_id is not None and mol_id in getattr(embedder, 'pairings_dict', {}):
+        pairs = [tgt for tgt in embedder.pairings_dict[mol_id].values()
+                 if isinstance(tgt, tuple)]
+        if pairs:
+            internal = np.array(pairs)
+            internal_d = [
+                embedder.get_pairing_dists_from_constrained_indices(cp)
+                for cp in pairs]
+
+    ensembles = []
     for c in range(mol.n_confs):
-        coords, conf_energies = crest_mtd_search(
+        coords, _conf_energies = crest_mtd_search(
             mol.atomcoords[c], mol.atomnos,
+            constrained_indices=internal,
+            constrained_distances=internal_d,
             solvent=embedder.options.solvent,
             charge=embedder.options.charge,
             kcal=embedder.options.kcal_thresh or 10,
             ncimode=embedder.options.crestnci,
             title=f'{mol.rootname}_mtd{c}', procs=embedder.procs)
         ensembles.append(coords)
-        energies.append(conf_energies)
 
     new_coords = np.concatenate(ensembles)
 
+    # TFD -> RMSD -> rotationally-corrected RMSD pruning of the merged
+    # ensemble (reference operators.py:563-570)
     from tscode_tpu.ops.tfd import prune_conformers_tfd
     from tscode_tpu.graphs import get_quadruplets
     quads = get_quadruplets(mol.graph)
     if len(quads):
         new_coords, _ = prune_conformers_tfd(new_coords, quads)
+    if len(new_coords) < 5e4:
+        from tscode_tpu.ops.rmsd_prune import prune_conformers_rmsd
+        new_coords, _ = prune_conformers_rmsd(new_coords, mol.atomnos)
+    if len(new_coords) < 1e3:
+        from tscode_tpu.rot_rmsd import prune_conformers_rmsd_rot_corr
+        new_coords, _ = prune_conformers_rmsd_rot_corr(
+            new_coords, mol.atomnos, mol.graph)
 
     from tscode_tpu.molecule import Molecule
     new_mol = Molecule.__new__(Molecule)

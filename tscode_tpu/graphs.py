@@ -120,9 +120,12 @@ def is_ester_o(index, graph):
     if graph.nodes[index]['atomnos'] != 8:
         return False
     nbs = neighbors(graph, index)
-    if 1 in nbs:
-        # NOTE: reproduces the reference check, which tests H by node
-        # *index* membership rather than element (graph_manipulations.py:142)
+    if any(graph.nodes[n]['atomnos'] == 1 for n in nbs):
+        # hydrogen-bearing O = acid/alcohol, not ester. The reference
+        # tests `1 in neighbors`, i.e. node INDEX 1 rather than element
+        # H (graph_manipulations.py:142) — a bug (acid OH oxygens would
+        # classify as ester unless the H happens to sit at index 1),
+        # fixed here per the project convention.
         return False
     for n in nbs:
         if graph.nodes[n]['atomnos'] == 6:
