@@ -177,3 +177,15 @@ def test_ff_double_bond_protection_term():
     assert e(prot, coords) == pytest.approx(e(plain, coords), abs=1e-9)
     gain = (e(prot, twisted) - e(plain, twisted))
     assert gain > 1.0          # the E/Z restraint resists the twist
+
+
+def test_dimer_does_not_report_minimum_as_saddle():
+    '''A structure already at a minimum (|F| < fmax, positive curvature)
+    must not come back converged=True, and must not diverge.'''
+    from tscode_tpu.saddle import dimer_saddle
+
+    start = jnp.asarray(np.array([[-1.0, 0.5, 0.0]]))   # exact minimum
+    c, e, done = dimer_saddle(start, _curved_double_well,
+                              n_steps=400, fmax=1e-4)
+    assert not bool(done)
+    assert np.all(np.abs(np.asarray(c)) < 5.0)          # bounded walk

@@ -70,6 +70,8 @@ def bend_molecule(mol, conf, pivot, threshold, max_iter=40,
     new_mol.atomcoords = mol.atomcoords.copy()
 
     i1, i2 = (int(i) for i in mol.reactive_indices[:2])
+    orb_memo = {i: float(np.linalg.norm(atom.center[0] - atom.coord))
+                for i, atom in mol.reactive_atoms[conf].items()}
     params = params_to_device(build_ff_params(
         mol.atomcoords[conf], mol.atomnos, mol.graph,
         protect_double_bonds=protect_double_bonds))
@@ -96,11 +98,16 @@ def bend_molecule(mol, conf, pivot, threshold, max_iter=40,
                          jnp.asarray(np.array([target_atoms]))))
         coords = np.asarray(relaxed[0])
 
-        # rebuild orbitals + pivots from the bent geometry
+        # rebuild orbitals + pivots from the bent geometry, keeping the
+        # ORIGINAL orbital type override (SIMPLEORBITALS) and lengths
+        # (SHRINK scaling) — the reference preserves both through
+        # orb_memo + atom.init(update=True) (ase_manipulations.py:849-858)
         new_mol.atomcoords = new_mol.atomcoords.copy()
         new_mol.atomcoords[conf] = coords
         new_mol.reactive_atoms = {}
-        new_mol.compute_orbitals()
+        new_mol.compute_orbitals(
+            override=getattr(mol, '_orbital_override', None))
+        new_mol.restore_orb_lengths(orb_memo)
         set_pivots(new_mol, suprafacial=suprafacial)
 
         current_len, p = _pivot_length(new_mol, conf, pivot_index)
@@ -113,7 +120,9 @@ def bend_molecule(mol, conf, pivot, threshold, max_iter=40,
         offset = atom_dist - current_len
 
     if not new_mol.reactive_atoms:
-        new_mol.compute_orbitals()
+        new_mol.compute_orbitals(
+            override=getattr(mol, '_orbital_override', None))
+        new_mol.restore_orb_lengths(orb_memo)
         set_pivots(new_mol, suprafacial=suprafacial)
 
     if cache is not None:

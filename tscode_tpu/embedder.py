@@ -1136,13 +1136,16 @@ class RunEmbedding(Embedder):
             pos += n_at
         params = params_to_device(merge_ff_params(params_list, offsets))
 
-        def energy(c):
-            return ff_energy(c[None], params)[0]
+        from tscode_tpu.saddle import _ff_energy_single
 
         new_structures = []
         statuses = []
         for i, structure in enumerate(self.structures):
-            c, e, ok = dimer_saddle(jnp.asarray(structure), energy)
+            # params flow through energy_args: one compiled dimer
+            # program serves every structure
+            c, e, ok = dimer_saddle(jnp.asarray(structure),
+                                    _ff_energy_single,
+                                    energy_args=(params,))
             new_structures.append(np.asarray(c))
             statuses.append(bool(ok))
             self.energies[i] = float(e)

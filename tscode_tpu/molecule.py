@@ -233,6 +233,25 @@ class Molecule:
                 self.reactive_atoms[c][i] = builder(
                     self, i, conf=c, orb_dim=orb_dim * value, **kwargs)
 
+    def restore_orb_lengths(self, lengths):
+        '''Rebuild reactive atoms imposing per-atom orbital lengths
+        (index -> A), preserving type override and leaving group — the
+        analog of the reference's orb_memo + atom.init(update=True,
+        orb_dim=...) used during bending (ase_manipulations.py:849-858).'''
+        override = getattr(self, '_orbital_override', None)
+        lg = self.attrs.get('lg')
+        for c in range(self.n_confs):
+            for i in list(self.reactive_atoms[c]):
+                want = lengths.get(i)
+                if want is None:
+                    continue
+                builder = get_atom_builder(self.graph, i, override=override)
+                kwargs = {}
+                if builder is build_sp3 and lg is not None:
+                    kwargs['leaving_group_index'] = int(lg)
+                self.reactive_atoms[c][i] = builder(
+                    self, i, conf=c, orb_dim=float(want), **kwargs)
+
     def get_r_atoms(self, c):
         return list(self.reactive_atoms[c].values())
 

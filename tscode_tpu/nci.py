@@ -107,6 +107,14 @@ def print_nci(embedder):
     embedder.log('--> Non-covalent interactions spotting')
     embedder.nci = []
 
+    if getattr(embedder, 'ids', None) is None:
+        # refine>/REFINE runs carry no molecule partition, and NCIs here
+        # are inter-fragment by definition (the reference crashes on
+        # np.cumsum(None) in the same situation — fixed to a clear skip)
+        embedder.log('    Skipped: no intermolecular partition available '
+                     'for a refine run.\n')
+        return
+
     for i, structure in enumerate(embedder.structures):
         nci, print_list = get_nci(structure, embedder.atomnos,
                                   embedder.constrained_indices[i],

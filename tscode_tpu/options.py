@@ -363,9 +363,10 @@ class OptionSetter:
         # the reference documents TS ("various scans/saddle algorithms",
         # embedder_options.py:153) but ships no setter, so the keyword
         # raises AttributeError there — a bug. Here it routes the run to
-        # first-order saddle refinement after optimization.
+        # first-order saddle refinement after optimization, with the
+        # same NOOPT-compatibility guard as SADDLE.
         options.ts = True
-        options.saddle = True
+        self.saddle(options)
 
     # ------------------------------------------------------------- driver
 

@@ -4,10 +4,11 @@ First-order saddle refinement via the dimer method.
 The reference drives saddle searches through Sella
 (ase_manipulations.py:314-346); here a calculator-agnostic dimer method
 runs on any differentiable energy (internal FF, analytic surfaces, or a
-host-callback QM gradient): the lowest curvature mode is tracked by
-rotating a dimer to minimal energy, and translation follows the force
-with the component along the mode INVERTED — converging to first-order
-saddles without a Hessian.
+host-callback QM gradient): the lowest curvature mode is found by
+SHIFTED POWER ITERATION on the finite-difference Hessian action (stable
+for arbitrarily stiff spectra, unlike a fixed-step curvature descent),
+and translation follows the force with the component along the mode
+inverted — converging to first-order saddles without a Hessian.
 '''
 
 from functools import partial
@@ -18,42 +19,81 @@ import numpy as np
 
 
 @partial(jax.jit, static_argnames=('energy_fn', 'n_steps', 'n_rot'))
-def dimer_saddle(coords, energy_fn, n_steps=300, n_rot=8, dr=1e-3,
-                 step_size=0.02, fmax=0.05):
+def dimer_saddle(coords, energy_fn, n_steps=300, n_rot=12, dr=1e-3,
+                 step_size=0.02, fmax=0.05, energy_args=()):
     '''
     coords (N, 3) -> (coords, energy, converged).
-    energy_fn: (N, 3) -> scalar, differentiable.
+    energy_fn: (N, 3, *energy_args) -> scalar, differentiable.
+    energy_args is a TRACED pytree — pass per-call parameters (FF
+    tables) through it instead of closures, so one compiled program
+    serves every structure (remote compiles cost 5-30 s each).
+
+    Convergence requires BOTH |F| < fmax and negative curvature along
+    the tracked mode — a minimum (|F| ~ 0 but all curvatures positive)
+    is never reported as a saddle; instead the dimer climbs out of it
+    along the softest mode.
     '''
-    grad_fn = jax.grad(energy_fn)
+    grad_fn = jax.grad(lambda c: energy_fn(c, *energy_args))
 
     def force(c):
         return -grad_fn(c)
 
-    key_init = coords / jnp.maximum(jnp.linalg.norm(coords), 1.0)
+    n = coords.shape[0]
 
-    def rotate_mode(c, v):
-        '''Approximate lowest mode by minimizing dimer energy: iterate
-        v <- normalized (F(c + dr v) - F(c - dr v)) projection steps.'''
-        def body(v, _):
-            f_plus = force(c + dr * v)
-            f_minus = force(c - dr * v)
-            df = (f_plus - f_minus) / (2 * dr)       # ~ -H @ v
-            # steepest descent on curvature: rotate v toward df
-            v_new = v + 0.5 * (df - jnp.sum(df * v) * v)
-            v_new = v_new / jnp.maximum(jnp.linalg.norm(v_new), 1e-12)
-            return v_new, None
-        v, _ = jax.lax.scan(body, v, None, length=n_rot)
+    def project(v):
+        # rigid translations are exact zero modes of any pairwise
+        # energy; keep the mode search orthogonal to them (skipped for
+        # single-point analytic surfaces, which are not translation
+        # invariant)
+        if n > 1:
+            v = v - jnp.mean(v, axis=0, keepdims=True)
         return v
+
+    def hv(c, v):
+        return -(force(c + dr * v) - force(c - dr * v)) / (2 * dr)
+
+    def normalize(v):
+        return v / jnp.maximum(jnp.linalg.norm(v), 1e-12)
+
+    def lowest_mode(c, v):
+        '''Shifted power iteration: v <- normalize((sigma I - H) v)
+        converges to the most-negative-curvature mode for any sigma
+        above lambda_max; a few plain power steps estimate lambda_max.'''
+        def pow_body(u, _):
+            w = project(hv(c, u))
+            return normalize(w), None
+        u, _ = jax.lax.scan(pow_body, v, None, length=4)
+        amax = jnp.abs(jnp.sum(u * hv(c, u)))
+        sigma = 1.1 * amax + 1.0
+
+        def shift_body(vv, _):
+            w = project(sigma * vv - hv(c, vv))
+            return normalize(w), None
+        v, _ = jax.lax.scan(shift_body, v, None, length=n_rot)
+        curv = jnp.sum(v * hv(c, v))
+        return v, curv
 
     def body(state, _):
         c, v, done = state
-        v = rotate_mode(c, v)
+        v, curv = lowest_mode(c, v)
         f = force(c)
-        f_par = jnp.sum(f * v) * v
-        f_eff = f - 2.0 * f_par                       # invert along mode
+        f_along = jnp.sum(f * v)
+        f_par = f_along * v
 
+        # negative curvature: standard dimer translation (force with the
+        # mode component inverted). Positive curvature near a stationary
+        # point (|F| small, e.g. starting at a minimum): climb the
+        # softest mode — reversed parallel force plus a gentle kick so
+        # an exact minimum still moves. Positive curvature with a LARGE
+        # force means the climb is running up a wall with no saddle on
+        # this mode; fall back to the inverted-force step, which keeps
+        # the walker bounded near the stationary region instead of
+        # diverging (convergence still honestly reports False).
         fmax_now = jnp.max(jnp.linalg.norm(f, axis=-1))
-        done_new = done | (fmax_now < fmax)
+        climbing = (curv >= 0.0) & (fmax_now < 10.0 * fmax)
+        f_eff = jnp.where(climbing, -f_par + fmax * v, f - 2.0 * f_par)
+
+        done_new = done | ((fmax_now < fmax) & (curv < 0.0))
 
         step = step_size * f_eff
         max_disp = jnp.max(jnp.linalg.norm(step, axis=-1))
@@ -61,20 +101,30 @@ def dimer_saddle(coords, energy_fn, n_steps=300, n_rot=8, dr=1e-3,
         c_new = jnp.where(done_new, c, c + step)
         return (c_new, v, done_new), None
 
-    v0 = jnp.ones_like(coords)
-    v0 = v0 / jnp.linalg.norm(v0)
+    # deterministic pseudo-random initial mode, orthogonal to rigid
+    # translations (an all-ones v0 would BE a translation zero mode and
+    # carry no curvature information)
+    v0 = jnp.sin(jnp.arange(n * 3, dtype=coords.dtype) * 12.9898
+                 + 4.1414).reshape(n, 3)
+    v0 = normalize(project(v0))
+
     (c, _, done), _ = jax.lax.scan(body, (coords, v0, False), None,
                                    length=n_steps)
-    return c, energy_fn(c), done
+    return c, energy_fn(c, *energy_args), done
+
+
+def _ff_energy_single(c, params):
+    from tscode_tpu.ff import ff_energy
+    return ff_energy(c[None], params)[0]
 
 
 def saddle_refine_structure(coords, atomnos, graph, fmax=0.05):
-    '''Refine one structure to a first-order saddle on the internal FF.'''
-    from tscode_tpu.ff import build_ff_params, ff_energy, params_to_device
+    '''Refine one structure to a first-order saddle on the internal FF.
+    The FF tables flow through energy_args, so every structure shares
+    one compiled dimer program.'''
+    from tscode_tpu.ff import build_ff_params, params_to_device
     params = params_to_device(build_ff_params(coords, atomnos, graph))
 
-    def energy(c):
-        return ff_energy(c[None], params)[0]
-
-    c, e, done = dimer_saddle(jnp.asarray(coords), energy, fmax=fmax)
+    c, e, done = dimer_saddle(jnp.asarray(coords), _ff_energy_single,
+                              fmax=fmax, energy_args=(params,))
     return np.asarray(c), float(e), bool(done)

@@ -30,6 +30,19 @@ except ImportError:          # pragma: no cover
     _HAS_MPL = False
 
 
+def _ff_spring_energy(c, p, prs, tgt):
+    # module-level so fire_minimize_batch's jit (static energy_fn keyed
+    # by identity) compiles ONCE for the whole scan, not per point
+    from tscode_tpu.ff import ff_energy
+    from tscode_tpu.optimizers import spring_energy
+    return ff_energy(c, p) + spring_energy(c, prs, tgt, k=50.0)
+
+
+def _ff_only_energy(c, p):
+    from tscode_tpu.ff import ff_energy
+    return ff_energy(c, p)
+
+
 def _relax_point(embedder, mol, coords, pair=None, pair_dist=None,
                  dihedral=None, dihedral_angle=None):
     '''One constrained relaxation: external calculator when present,
@@ -91,20 +104,14 @@ def _relax_point(embedder, mol, coords, pair=None, pair_dist=None,
     if pair is not None:
         pairs = jnp.asarray(np.array([pair]))
         targets = jnp.asarray(np.array([pair_dist]))
-
-        def energy_fn(c, p, prs, tgt):
-            return ff_energy(c, p) + spring_energy(c, prs, tgt, k=50.0)
-
         relaxed, e, _ = fire_minimize_batch(
-            jnp.asarray(work)[None], energy_fn, n_steps=200, fmax=0.05,
-            freeze_mask=freeze, energy_args=(params, pairs, targets))
+            jnp.asarray(work)[None], _ff_spring_energy, n_steps=200,
+            fmax=0.05, freeze_mask=freeze,
+            energy_args=(params, pairs, targets))
     else:
-        def energy_fn(c, p):
-            return ff_energy(c, p)
-
         relaxed, e, _ = fire_minimize_batch(
-            jnp.asarray(work)[None], energy_fn, n_steps=200, fmax=0.05,
-            freeze_mask=freeze, energy_args=(params,))
+            jnp.asarray(work)[None], _ff_only_energy, n_steps=200,
+            fmax=0.05, freeze_mask=freeze, energy_args=(params,))
 
     return np.asarray(relaxed[0]), float(e[0])
 
