@@ -28,9 +28,6 @@ K_REP = 50.0        # kcal/mol at full overlap
 K_DIH = 30.0        # kcal/mol/rad^2 (double-bond E/Z protection)
 REP_SCALE = 0.85    # fraction of summed covalent radii where repulsion starts
 
-_EMPTY_QUADS = np.zeros((0, 4), dtype=int)
-
-
 @dataclass
 class FFParams:
     '''Static parameter set for one topology (padded-batch friendly).'''
@@ -45,7 +42,9 @@ class FFParams:
 
     def __post_init__(self):
         if self.dihedrals is None:
-            self.dihedrals = _EMPTY_QUADS
+            # fresh per instance — a shared module-level empty array
+            # would alias every FFParams against in-place mutation
+            self.dihedrals = np.zeros((0, 4), dtype=int)
             self.dihedral_t0 = np.zeros(0)
 
 
@@ -61,7 +60,8 @@ def build_ff_params(coords0, atomnos, graph, protect_double_bonds=False):
     atomnos = np.asarray(atomnos)
     n = len(atomnos)
 
-    bonds = np.array([(a, b) for a, b in graph.edges if a != b], dtype=int)
+    bonds = np.array([(a, b) for a, b in graph.edges if a != b],
+                     dtype=int).reshape(-1, 2)   # (0, 2) when bond-less
     bond_r0 = np.linalg.norm(coords0[bonds[:, 0]] - coords0[bonds[:, 1]],
                              axis=1) if len(bonds) else np.zeros(0)
 
@@ -95,7 +95,7 @@ def build_ff_params(coords0, atomnos, graph, protect_double_bonds=False):
     nb_r0 = REP_SCALE * (radii[nb_pairs[:, 0]] + radii[nb_pairs[:, 1]]) \
         if len(nb_pairs) else np.zeros(0)
 
-    dihedrals, dihedral_t0 = _EMPTY_QUADS, np.zeros(0)
+    dihedrals, dihedral_t0 = np.zeros((0, 4), dtype=int), np.zeros(0)
     if protect_double_bonds:
         from tscode_tpu.torsions import get_double_bonds_indices
         quads = []

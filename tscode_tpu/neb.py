@@ -167,8 +167,12 @@ def neb_forces(chain, energy_fn, k_spring=1.0, climbing=False):
 def _neb_relax(chain, energy_fn, n_steps, k_spring, dt0, fmax, climbing):
     '''FIRE relaxation of the whole band (endpoints frozen).'''
     def body(state, _):
-        c, v, dt, alpha, n_pos = state
+        c, v, dt, alpha, n_pos, done = state
         f = neb_forces(c, energy_fn, k_spring=k_spring, climbing=climbing)
+
+        # convergence: largest per-atom NEB force under fmax freezes the
+        # band (remaining scan steps become no-ops)
+        done = done | (jnp.max(jnp.linalg.norm(f, axis=-1)) < fmax)
 
         power = jnp.sum(f * v)
         f_norm = jnp.sqrt(jnp.sum(f * f))
@@ -191,12 +195,13 @@ def _neb_relax(chain, energy_fn, n_steps, k_spring, dt0, fmax, climbing):
         # the band integrator prone to runaway otherwise
         max_disp = jnp.max(jnp.linalg.norm(step, axis=-1))
         scale = jnp.minimum(1.0, 0.05 / jnp.maximum(max_disp, 1e-12))
-        step = step * scale
-        v_capped = v_stepped * scale
-        return (c + step, v_capped, dt_new, alpha_new, n_pos_new), None
+        step = jnp.where(done, 0.0, step * scale)
+        v_capped = jnp.where(done, 0.0, v_stepped * scale)
+        return (c + step, v_capped, dt_new, alpha_new, n_pos_new, done), None
 
     init = (chain, jnp.zeros_like(chain), jnp.asarray(dt0),
-            jnp.asarray(0.1), jnp.asarray(0, dtype=jnp.int32))
+            jnp.asarray(0.1), jnp.asarray(0, dtype=jnp.int32),
+            jnp.asarray(False))
     (chain, *_), _ = jax.lax.scan(body, init, None, length=n_steps)
     return chain
 
@@ -213,6 +218,11 @@ def run_neb(start, end, energy_fn, n_images=7, k_spring=1.0,
         # (ase_manipulations.py:411)
         chain = idpp_interpolate(start, end, n_images)
     chain = jnp.asarray(chain)
+    if chain.shape[0] < 3:
+        from tscode_tpu.errors import InputError
+        raise InputError(
+            f'NEB needs at least 3 images (got {chain.shape[0]}): '
+            f'a band without interior images cannot relax a path.')
 
     chain = _neb_relax(chain, energy_fn, climb_after, k_spring, dt0,
                        fmax, False)

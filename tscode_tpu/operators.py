@@ -115,6 +115,17 @@ def _neb_operator(embedder, mol, name):
     if n == 2:
         chain = None
         start, end = aligned[0], aligned[-1]
+    elif n == 3:
+        # ends + TS guess: two IDPP half-bands THROUGH the guess
+        # (reference ase_manipulations.py:413-426), so the band has
+        # `images` movable resolution instead of one interior image
+        from tscode_tpu.neb import idpp_interpolate
+        images = max(int(images), 5)
+        half = images // 2 + 1
+        chain = np.concatenate([
+            idpp_interpolate(aligned[0], aligned[1], half),
+            idpp_interpolate(aligned[1], aligned[2], images - half + 1)[1:]])
+        start, end = aligned[0], aligned[-1]
     else:
         # user-provided chain becomes the starting band
         chain = aligned
@@ -179,7 +190,3 @@ def _pka_operator(embedder, mol, name):
     pka_routine(mol.name, embedder)
     return mol
 
-
-def _not_implemented(embedder, mol, name):
-    raise InputError(
-        f'Operator {name}> is not wired up yet in tscode_tpu.')

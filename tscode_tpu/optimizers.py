@@ -84,10 +84,15 @@ def fire_minimize_batch(coords, energy_fn, n_steps=500, dt0=0.05,
         # semi-implicit Euler step
         v_stepped = v_new + dt_new[:, None, None] * f
         step = dt_new[:, None, None] * v_stepped
-        # cap the displacement per step for stability
+        # cap the displacement per step for stability, rescaling the
+        # VELOCITY by the same factor (an uncapped velocity would keep
+        # integrating upward while positions are clamped, distorting the
+        # FIRE mixing term on stiff starts)
         max_disp = jnp.max(jnp.linalg.norm(step, axis=-1),
                            axis=-1)[:, None, None]
-        step = step * jnp.minimum(1.0, 0.2 / jnp.maximum(max_disp, 1e-12))
+        scale = jnp.minimum(1.0, 0.2 / jnp.maximum(max_disp, 1e-12))
+        step = step * scale
+        v_stepped = v_stepped * scale
 
         fmax_now = jnp.max(jnp.linalg.norm(f, axis=-1), axis=-1)    # (B,)
         newly_done = fmax_now < fmax

@@ -101,9 +101,15 @@ def clean_directory(to_remove=()):
             os.remove(name)
         except FileNotFoundError:
             pass
+    import shutil as _shutil
     for name in os.listdir():
         if name.split('.')[0] == 'temp':
-            os.remove(name)
+            if os.path.isdir(name):
+                # scratch DIRECTORIES named temp* (the reference falls
+                # back to rmtree here too, utils.py:73-88)
+                _shutil.rmtree(name, ignore_errors=True)
+            else:
+                os.remove(name)
         elif name.startswith('temp_') and os.path.isfile(name):
             os.remove(name)
 

@@ -97,14 +97,15 @@ def frequencies(coords, atomnos, energy_fn, project=True):
     return np.asarray(freqs), n_imag
 
 
-def frequencies_batch(coords_batch, atomnos, energy_fn, project=True):
-    '''vmapped frequencies over a (B, N, 3) batch — one device program
-    computes every Hessian. Returns (freqs (B, 3N), n_imag (B,)).'''
-    coords_batch = jnp.asarray(coords_batch, dtype=jnp.float64)
-    masses = jnp.asarray(MASSES[np.asarray(atomnos)],
-                         dtype=coords_batch.dtype)
+import functools
 
-    def one(c):
+
+@functools.lru_cache(maxsize=32)
+def _freqs_batch_program(energy_fn, project):
+    '''Jitted vmapped frequency program, cached per (energy_fn, project)
+    so repeated batches reuse the compiled executable (jit keys on
+    function identity — a fresh closure per call would recompile).'''
+    def one(c, masses):
         h = mass_weighted_hessian(energy_fn, c, masses)
         h = 0.5 * (h + h.T)
         if project:
@@ -114,7 +115,16 @@ def frequencies_batch(coords_batch, atomnos, energy_fn, project=True):
         f = jnp.sign(evals) * _FREQ_FACTOR * jnp.sqrt(jnp.abs(evals))
         return jnp.where(jnp.abs(f) < 1.0, 0.0, f)
 
-    freqs = jax.jit(jax.vmap(one))(coords_batch)
+    return jax.jit(jax.vmap(one, in_axes=(0, None)))
+
+
+def frequencies_batch(coords_batch, atomnos, energy_fn, project=True):
+    '''vmapped frequencies over a (B, N, 3) batch — one device program
+    computes every Hessian. Returns (freqs (B, 3N), n_imag (B,)).'''
+    coords_batch = jnp.asarray(coords_batch, dtype=jnp.float64)
+    masses = jnp.asarray(MASSES[np.asarray(atomnos)],
+                         dtype=coords_batch.dtype)
+    freqs = _freqs_batch_program(energy_fn, project)(coords_batch, masses)
     return np.asarray(freqs), np.asarray(jnp.sum(freqs < -1e-3, axis=1))
 
 
