@@ -336,20 +336,24 @@ def main():
     device_rate = total / elapsed
 
     key = f'string-{N_CONFS}x{N_CONFS}x{N_ANGLES}-n{NOISE}-s{BASE_SAMPLE}'
-    baseline_rate = None
+    cache = {}
     if os.path.isfile(BASELINE_CACHE):
         try:
-            cached = json.load(open(BASELINE_CACHE))
-            if cached.get('key') == key:
-                baseline_rate = cached['rate']
+            cache = json.load(open(BASELINE_CACHE))
+            if 'key' in cache:          # migrate the old single-entry form
+                cache = {cache['key']: {'rate': cache['rate'],
+                                        'n': cache.get('n'),
+                                        'seconds': cache.get('seconds')}}
         except Exception:
-            pass
+            cache = {}
+    baseline_rate = cache.get(key, {}).get('rate')
     if baseline_rate is None:
         n_base, t_base = run_cpu_baseline(*mols)
         baseline_rate = n_base / t_base
+        cache[key] = {'rate': baseline_rate, 'n': n_base,
+                      'seconds': t_base}
         with open(BASELINE_CACHE, 'w') as f:
-            json.dump({'key': key, 'rate': baseline_rate,
-                       'n': n_base, 'seconds': t_base}, f)
+            json.dump(cache, f)
 
     result = {
         'metric': (f'poses/sec through embed+clash+RMSD-prune '
