@@ -403,3 +403,53 @@ def test_rmsd_prune_mid_regime_banded(monkeypatch):
     assert int(n_act) == want.sum()
     # the duplicates actually got pruned
     assert want.sum() < n
+
+
+def test_tfd_tiled_prune_matches_sequential_replica():
+    '''The tiled first-successor TFD prune (fixed-shape device tiles,
+    Q-axis scan) must reproduce the sequential bucketed loop exactly at
+    a size spanning multiple row/col tiles.'''
+    import jax.numpy as jnp
+    import networkx as nx
+
+    from tscode_tpu.ops.tfd import (K_SCHEDULE, prune_conformers_tfd,
+                                    torsion_fingerprints)
+
+    rng = np.random.default_rng(1)
+    base = rng.normal(size=(80, 12, 3))
+    dups = np.repeat(base, 4, axis=0) + rng.normal(size=(320, 12, 3)) * 1e-4
+    quads = np.stack([rng.choice(12, 4, replace=False) for _ in range(8)])
+
+    _, mask = prune_conformers_tfd(dups, quads, thresh=10)
+    tf = np.asarray(torsion_fingerprints(jnp.asarray(dups),
+                                         quads.astype(np.int32)))
+
+    n = len(dups)
+    want = np.ones(n, dtype=bool)
+    for k in K_SCHEDULE:
+        num_active = int(np.count_nonzero(want))
+        if not (k == 1 or 5 * k < num_active):
+            continue
+        d = int(n // k)
+        for step in range(int(k)):
+            lo = d * step
+            hi = num_active if step == k - 1 else int(d * (step + 1))
+            if hi - lo <= 1:
+                continue
+            matches = set()
+            for i in range(hi - lo):
+                for j in range(i + 1, hi - lo):
+                    delta = np.abs(tf[lo + i] - tf[lo + j])
+                    delta = np.abs(delta - (delta > 180) * 360.0)
+                    if delta.sum() < 10:
+                        matches.add((i, j))
+                        break
+            if not matches:
+                continue
+            g = nx.Graph(matches)
+            for group in (tuple(g.subgraph(c).nodes)
+                          for c in nx.connected_components(g)):
+                for i in set(group) - {group[0]}:
+                    want[i + lo] = False
+
+    np.testing.assert_array_equal(mask, want)
