@@ -119,3 +119,53 @@ def test_single_scan_no_cumulative_plot(tmp_path):
     _run_scan(tmp_path, 'NOOPT\nscan> HCOOH.xyz 1 4\n', 'dscan3',
               ('HCOOH.xyz',))
     assert not list(tmp_path.glob('*cumulative*.svg'))
+
+
+def test_dihedral_scan_peak_refinement(tmp_path, monkeypatch):
+    '''Peak detection + 1-degree fine re-scan + TS-guess output, driven
+    by an analytic 2-fold torsion potential patched into _relax_point
+    (the internal FF has no torsion terms, so real peaks need this).'''
+    import jax.numpy as jnp
+
+    from tscode_tpu.ops.linalg import dihedral as dihedral_fn
+
+    def fake_relax(embedder, mol, coords, pair=None, pair_dist=None,
+                   dihedral=None, dihedral_angle=None):
+        # impose the requested dihedral exactly, energy = 2-fold cosine
+        from tscode_tpu.rot_rmsd import _rotate
+        from tscode_tpu.torsions import get_rotation_mask
+        i1, i2, i3, i4 = dihedral
+        cur = float(np.asarray(dihedral_fn(
+            jnp.asarray(coords[[i1, i2, i3, i4]]))))
+        mask = get_rotation_mask(mol.graph, tuple(dihedral))
+        cand = _rotate(coords, tuple(dihedral), dihedral_angle - cur, mask)
+        ach = float(np.asarray(dihedral_fn(
+            jnp.asarray(cand[[i1, i2, i3, i4]]))))
+        if abs((ach - dihedral_angle + 180) % 360 - 180) > 1e-3:
+            cand = _rotate(coords, tuple(dihedral), cur - dihedral_angle,
+                           mask)
+            ach = float(np.asarray(dihedral_fn(
+                jnp.asarray(cand[[i1, i2, i3, i4]]))))
+        # barrier maxima at 90/270 degrees, 12 kcal/mol tall
+        energy = 6.0 * (1 - np.cos(np.radians(2 * ach - 180.0)))
+        return cand, energy
+
+    monkeypatch.setattr('tscode_tpu.scans._relax_point', fake_relax)
+    _run_scan(tmp_path, 'NOOPT\nscan> C2F2H4.xyz 3 0 1 5\n', 'tspeak',
+              ('C2F2H4.xyz',))
+
+    out = tmp_path / 'C2F2H4_TSs_guesses.xyz'
+    assert out.exists(), 'fine scan produced no TS guesses'
+    lines = out.read_text().splitlines()
+    titles = [ln for ln in lines if 'TS guess' in ln]
+    assert 1 <= len(titles) <= 2          # one per 2-fold barrier
+    log = (tmp_path / 'tscode_tspeak.log').read_text()
+    assert 'refined to' in log
+    # the refined peaks sit at the analytic maxima: E - E(start) is
+    # identical for both 2-fold barriers and close to the 12 kcal/mol
+    # amplitude minus the starting-angle offset
+    import re
+    rel_es = [float(re.search(r'Rel. E = ([-\d.]+)', t).group(1))
+              for t in titles]
+    assert all(abs(e - rel_es[0]) < 0.2 for e in rel_es)
+    assert all(e > 6.0 for e in rel_es)
