@@ -395,8 +395,7 @@ def crest_mtd_search_operator(embedder, mol):
 
     ensembles = []
     for c in range(mol.n_confs):
-        coords, _conf_energies = crest_mtd_search(
-            mol.atomcoords[c], mol.atomnos,
+        kwargs = dict(
             constrained_indices=internal,
             constrained_distances=internal_d,
             solvent=embedder.options.solvent,
@@ -404,6 +403,18 @@ def crest_mtd_search_operator(embedder, mol):
             kcal=embedder.options.kcal_thresh or 10,
             ncimode=embedder.options.crestnci,
             title=f'{mol.rootname}_mtd{c}', procs=embedder.procs)
+        try:
+            coords, _conf_energies = crest_mtd_search(
+                mol.atomcoords[c], mol.atomnos, **kwargs)
+        except subprocess.CalledProcessError:
+            # structure-level fault tolerance: retry at plain GFN2-XTB,
+            # slower but more stable (reference operators.py:531-546)
+            embedder.log('    Metadynamics run failed with '
+                         'GFN2-XTB//GFN-FF, retrying with just GFN2-XTB '
+                         '(slower but more stable)')
+            coords, _conf_energies = crest_mtd_search(
+                mol.atomcoords[c], mol.atomnos, method='GFN2-XTB',
+                **kwargs)
         ensembles.append(coords)
 
     new_coords = np.concatenate(ensembles)
