@@ -171,3 +171,49 @@ def test_dynamic_energy_thr():
     # only 1/100 under 10 -> widen until >= 10% survive
     thr = dynamic_energy_thr(rel2, 10)
     assert thr > 50
+
+
+def test_gaussian_input_writes_charge(tmp_path):
+    '''The reference swallows charge via **kwargs and always writes the
+    neutral species (_gaussian.py:26-92) — fixed; pin the fix.'''
+    from tscode_tpu.calculators.gaussian import write_gaussian_input
+
+    path = tmp_path / 'job.com'
+    write_gaussian_input(str(path), np.zeros((2, 3)), np.array([6, 8]),
+                        charge=-1, constrained_indices=np.array([[0, 1]]))
+    text = path.read_text()
+    assert '-1 1' in text
+    assert 'B 1 2 F' in text
+
+
+def test_mopac_input_writes_charge(tmp_path):
+    from tscode_tpu.calculators.mopac import write_mopac_input
+
+    path = tmp_path / 'job.mop'
+    write_mopac_input(str(path), np.zeros((2, 3)) + np.arange(2)[:, None],
+                      np.array([6, 8]), charge=-1)
+    assert 'CHARGE=-1' in path.read_text()
+
+
+def test_crest_method_flag_mapping():
+    from tscode_tpu.calculators.xtb import _CREST_METHOD_FLAGS
+
+    assert _CREST_METHOD_FLAGS['GFN-FF'] == '--gfnff'
+    assert _CREST_METHOD_FLAGS['GFN2-XTB'] == '--gfn2'
+    assert _CREST_METHOD_FLAGS['GFN2-XTB//GFN-FF'] == '--gfn2//gfnff'
+
+
+def test_xtb_single_point_converts_to_kcal(tmp_path, monkeypatch):
+    '''opt=False single points return kcal/mol like every other energy
+    of the module (the Eh leak is fixed).'''
+    import tscode_tpu.calculators.xtb as xtb_mod
+
+    def fake_check_call(cmd, **kw):
+        return 0
+    monkeypatch.setattr(xtb_mod.subprocess, 'check_call', fake_check_call)
+    monkeypatch.setattr(xtb_mod, 'energy_grepper',
+                        lambda *a, **k: -10.0)   # Eh
+    coords, energy, ok = xtb_mod.xtb_opt(
+        np.zeros((2, 3)) + np.arange(2)[:, None], np.array([1, 1]),
+        opt=False, title='sp_test')
+    assert energy == pytest.approx(-10.0 * 627.5096080305927)
