@@ -155,7 +155,11 @@ def _neb_operator(embedder, mol, name):
 
 def _mep_relax_operator(embedder, mol, name):
     '''mep_relax>: relax a user-provided image chain
-    (reference operators.py:107-150, mep_relaxer.py).'''
+    (reference operators.py:107-150, mep_relaxer.py). The reference runs
+    a bond-locked "safe" DyNEB pass before the free pass; the internal
+    FF surface is graph-restrained by construction, so every pass here
+    is inherently the safe pass — with an external calculator wired into
+    the band energy the same two-pass structure would apply.'''
     return _neb_operator(embedder, mol, name)
 
 
