@@ -217,3 +217,38 @@ def test_xtb_single_point_converts_to_kcal(tmp_path, monkeypatch):
         np.zeros((2, 3)) + np.arange(2)[:, None], np.array([1, 1]),
         opt=False, title='sp_test')
     assert energy == pytest.approx(-10.0 * 627.5096080305927)
+
+
+def test_xtb_free_energy_parses_canned_ohess(tmp_path, monkeypatch):
+    '''--ohess free energy: parse the TOTAL FREE ENERGY line from canned
+    output, converted to kcal/mol (reference _xtb.py:440-512; its
+    duplicate shadowed definition at :359 is a noted reference bug).'''
+    import tscode_tpu.calculators.xtb as xtb_mod
+
+    canned = (
+        '          | TOTAL ENERGY              -26.425182959 Eh   |\n'
+        '          | TOTAL ENTHALPY            -26.325000000 Eh   |\n'
+        '          | TOTAL FREE ENERGY         -26.358221000 Eh   |\n')
+
+    def fake_check_call(cmd, stdout=None, stderr=None, cwd=None, **kw):
+        stdout.write(canned)
+        return 0
+
+    monkeypatch.setattr(xtb_mod.subprocess, 'check_call', fake_check_call)
+    g = xtb_mod.xtb_get_free_energy(
+        np.zeros((2, 3)) + np.arange(2)[:, None], np.array([1, 1]),
+        title='fe_test')
+    assert g == pytest.approx(-26.358221 * EH_TO_KCAL, rel=1e-9)
+
+
+def test_parse_xtb_scoord(tmp_path):
+    from tscode_tpu.calculators.xtb import parse_xtb_scoord
+
+    path = tmp_path / 'scoord.1'
+    path.write_text('$coord\n'
+                    '  0.0  0.0  0.0  c\n'
+                    '  1.88972612  0.0  0.0  h\n'
+                    '$end\n')
+    coords = parse_xtb_scoord(str(path))
+    assert coords.shape == (2, 3)
+    assert coords[1, 0] == pytest.approx(1.0, abs=1e-6)   # 1 Bohr -> ~0.529*... 
