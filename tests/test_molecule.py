@@ -215,3 +215,56 @@ def test_molecule_centering_and_repr():
     np.testing.assert_allclose(mol.atomcoords.mean(axis=(0, 1)), 0, atol=1e-12)
     mol.compute_orbitals()
     assert 'sp2' in repr(mol)
+
+
+def _write_mol(tmp_path, name, atoms):
+    path = tmp_path / name
+    lines = [str(len(atoms)), 'synthetic']
+    for sym, x, y, z in atoms:
+        lines.append(f'{sym} {x} {y} {z}')
+    path.write_text('\n'.join(lines) + '\n')
+    return str(path)
+
+
+def test_imine_orbital(tmp_path):
+    '''CH2=NH nitrogen -> Imine type: one lobe in-plane opposite the
+    substituent bisector (reference reactive_atoms_classes Imine).'''
+    path = _write_mol(tmp_path, 'imine.xyz', [
+        ('C', 0.0, 0.0, 0.0), ('N', 1.28, 0.0, 0.0),
+        ('H', -0.55, 0.93, 0.0), ('H', -0.55, -0.93, 0.0),
+        ('H', 1.86, 0.84, 0.0)])
+    mol = Molecule(path, reactive_indices=[1])
+    mol.compute_orbitals()
+    atom = mol.get_r_atoms(0)[0]
+    assert 'Imine' in str(atom)
+    assert len(atom.center) >= 1
+    # lobe stays in the molecular plane (z = 0)
+    assert all(abs(c[2]) < 1e-6 for c in atom.center)
+
+
+def test_sp_carbon_orbital(tmp_path):
+    '''H-C#N carbon (2 neighbors, linear) -> sp type with two collinear
+    lobes perpendicular... rather along the axis complement.'''
+    path = _write_mol(tmp_path, 'hcn.xyz', [
+        ('H', -1.06, 0.0, 0.0), ('C', 0.0, 0.0, 0.0),
+        ('N', 1.15, 0.0, 0.0)])
+    mol = Molecule(path, reactive_indices=[1])
+    mol.compute_orbitals()
+    atom = mol.get_r_atoms(0)[0]
+    assert 'sp' in str(atom).lower()
+
+
+def test_metal_orbital(tmp_path):
+    '''A bonded alkali/metal center -> Metal type, 4 ringed lobes
+    (reference reactive_atoms_classes Metal).'''
+    path = _write_mol(tmp_path, 'liOH2.xyz', [
+        ('Li', 0.0, 0.0, 0.0), ('O', 1.9, 0.0, 0.0),
+        ('H', 2.45, 0.78, 0.0), ('H', 2.45, -0.78, 0.0)])
+    mol = Molecule(path, reactive_indices=[0])
+    mol.compute_orbitals()
+    atom = mol.get_r_atoms(0)[0]
+    assert 'Metal' in str(atom)
+    assert len(atom.center) == 4
+    # lobes sit away from the ligand (positive projection opposite O)
+    for c in atom.center:
+        assert np.linalg.norm(c - mol.atomcoords[0][0]) > 0.1

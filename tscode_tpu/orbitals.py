@@ -397,8 +397,18 @@ def build_metal(mol, i, conf=0, orb_dim=None):
     others = mol.atomcoords[conf][nbs]
     v1 = others[0] - coord
 
-    nb_of_nb = neighbors(mol.graph, nbs[0])[0]
-    v2 = mol.atomcoords[conf][nb_of_nb] - coord
+    # neighbor-of-neighbor EXCLUDING the metal itself: the reference
+    # takes neighbors(ligand)[0] blindly (reactive_atoms_classes.py:561),
+    # which can be the metal and makes v2 parallel to v1 (NaN lobes) —
+    # a latent reference bug, fixed here. A terminal ligand (no other
+    # neighbor) falls back to an arbitrary perpendicular.
+    nb_nbs = [n for n in neighbors(mol.graph, nbs[0]) if n != i]
+    if nb_nbs:
+        v2 = mol.atomcoords[conf][nb_nbs[0]] - coord
+    else:
+        helper = np.array([1.0, 0.0, 0.0]) if abs(v1[0]) < 0.9 * \
+            np.linalg.norm(v1) else np.array([0.0, 1.0, 0.0])
+        v2 = np.cross(v1, helper)
     orb_vec = _norm(_rot_about(np.cross(v1, v2), 120) @ v1)
 
     orb_vecs = np.array([_rot_about(v1, angle) @ orb_vec
