@@ -252,3 +252,40 @@ def test_parse_xtb_scoord(tmp_path):
     coords = parse_xtb_scoord(str(path))
     assert coords.shape == (2, 3)
     assert coords[1, 0] == pytest.approx(1.0, abs=1e-6)   # 1 Bohr -> ~0.529*... 
+
+
+def test_opt_operator_threads_internal_constraints(tmp_path, monkeypatch):
+    '''opt> passes internal constraints (same letter twice on one
+    molecule) and their imposed distances into every conformer
+    optimization (reference operators.py:237-239).'''
+    import shutil
+
+    seen = []
+
+    def fake_optimize(coords, atomnos, calculator, constrained_indices=None,
+                      constrained_distances=None, **kw):
+        seen.append((None if constrained_indices is None
+                     else np.asarray(constrained_indices).tolist(),
+                     constrained_distances))
+        return np.asarray(coords), -1.0, True
+
+    monkeypatch.setattr('tscode_tpu.calculators.dispatch.optimize',
+                        fake_optimize)
+
+    from tscode_tpu.embedder import Embedder
+    fix = os.path.join(os.path.dirname(__file__), 'fixtures')
+    shutil.copy(os.path.join(fix, 'HCOOH.xyz'), tmp_path)
+    shutil.copy(os.path.join(fix, 'C2H4.xyz'), tmp_path)
+    inp = tmp_path / 'input.txt'
+    inp.write_text('NOOPT CALC=XTB DIST(a=2.1)\n'
+                   'opt> HCOOH.xyz 1a 4a 2\nC2H4.xyz 0\n')
+    cwd = os.getcwd()
+    try:
+        Embedder(str(inp), stamp='optconstr')
+    finally:
+        os.chdir(cwd)
+
+    assert seen, 'opt> never called optimize'
+    idx, dists = seen[0]
+    assert idx == [[1, 4]]
+    assert dists == [2.1]

@@ -391,7 +391,11 @@ class Embedder:
                     else r_index
                 for r_i in indices:
                     for c in range(mol.n_confs):
-                        if r_i in mol.reactive_atoms[c]:
+                        # .get: internal-constraint indices are not
+                        # reactive indices and carry no orbital objects
+                        # (reference uses the same guarded lookup,
+                        # embedder.py:531-536)
+                        if r_i in mol.reactive_atoms.get(c, {}):
                             builder = get_atom_builder(mol.graph, r_i)
                             mol.reactive_atoms[c][r_i] = builder(
                                 mol, r_i, conf=c, orb_dim=dist / 2)
