@@ -115,3 +115,35 @@ def test_check_keyword_writes_hypermolecules_and_exits(tmp_path):
         os.chdir(cwd)
     assert (tmp_path / 'C2H4_hypermolecule.xyz').exists()
     assert (tmp_path / 'CH3Cl_hypermolecule.xyz').exists()
+
+
+def test_keyword_presets_and_values(tmp_path):
+    '''DEEP presets, NEWBONDS, ROTRANGE, SOLVENT synonym mapping, LET,
+    CONFS in one parse (reference embedder_options.py setters).'''
+    emb = _make_embedder(
+        tmp_path,
+        'NOOPT DEEP NEWBONDS=2 ROTRANGE=30 SOLVENT=etoh LET CONFS=17\n'
+        'C2H4.xyz 0\nCH3Cl.xyz 0\n', stamp='parsekw')
+    o = emb.options
+    assert o.rmsd == 0.1                 # DEEP preset
+    assert o.max_clashes == 1            # DEEP loosens clashes
+    assert o.max_newbonds == 2
+    assert o.rotation_range == 30
+    assert o.solvent == 'ethanol'        # synonym resolved
+    assert o.let is True
+    assert o.max_confs == 17
+
+
+def test_unknown_keyword_raises(tmp_path):
+    import shutil
+
+    for name in ('C2H4.xyz', 'CH3Cl.xyz'):
+        shutil.copy(os.path.join(FIX, name), tmp_path)
+    inp = tmp_path / 'input.txt'
+    inp.write_text('NOOPT FROBNICATE\nC2H4.xyz 0\nCH3Cl.xyz 0\n')
+    cwd = os.getcwd()
+    try:
+        with pytest.raises(SyntaxError):
+            Embedder(str(inp), stamp='parsebad')
+    finally:
+        os.chdir(cwd)
