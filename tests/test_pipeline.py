@@ -202,3 +202,18 @@ def test_multiembed_end_to_end(tmp_path):
     assert all(n == natoms for n, _ in frames)
     log = (d / 'tscode_e2e_multi.log').read_text()
     assert 'Multiembed' in log
+
+
+def test_run_report_written(tmp_path):
+    '''A machine-readable per-stage report sits beside the log.'''
+    import json
+
+    run, d = _run(tmp_path, 'NOOPT\nC2H4.xyz 0\nCH3Cl.xyz 0\n', 'e2e_rep')
+    report_path = d / f'tscode_report_{run.stamp}.json'
+    assert report_path.exists()
+    report = json.loads(report_path.read_text())
+    stages = [s['stage'] for s in report['stages']]
+    assert 'generate_candidates' in stages
+    assert 'similarity_refining' in stages
+    assert report['final_structures'] == len(run.structures)
+    assert all(s['seconds'] >= 0 for s in report['stages'])

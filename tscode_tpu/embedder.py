@@ -749,7 +749,34 @@ class Embedder:
                         rmsd_value = f'{float(r):.2f} A'
                     self.log(f'> Candidate {str(i + 1):2}  :  {energy:.2f} '
                              f'kcal/mol  :  {rmsd_value}')
+        self.write_run_report()
         self.logfile.close()
+
+    def write_run_report(self):
+        '''Machine-readable run summary: per-stage timings and survivor
+        counts, final energetics, warnings. Written whenever stages ran.'''
+        timings = getattr(self, 'stage_timings', None)
+        if not timings:
+            return
+        import json
+        report = {
+            'stamp': self.stamp,
+            'embed': getattr(self, 'embed', None),
+            'total_seconds': round(
+                time.perf_counter() - self.t_start_run, 3),
+            'stages': timings,
+            'final_structures': int(len(getattr(self, 'structures', ()))),
+            'warnings': len(getattr(self, 'warnings', ())),
+        }
+        energies = getattr(self, 'energies', None)
+        if energies is not None and len(energies):
+            rel = np.asarray(energies) - float(np.min(energies))
+            report['rel_energies_kcal'] = [round(float(e), 3)
+                                           for e in rel[:100]]
+        path = f'tscode_report_{self.stamp}.json'
+        with open(path, 'w') as f:
+            json.dump(report, f, indent=1)
+        self.log(f'--> Wrote run report to {path}', p=False)
 
     def run(self, resume_from=None):
         '''Run the pipeline on a copy of this embedder's state.'''
@@ -760,6 +787,31 @@ class Embedder:
         except Exception as e:
             logging.exception(e)
             raise
+
+
+def _timed_stage(fn):
+    '''Record (stage, wall seconds, structures in/out) on the run — the
+    machine-readable counterpart of the reference's per-stage log lines
+    (embedder.py:1418,1530-1534), dumped as tscode_report_<stamp>.json
+    at termination.'''
+    def wrapper(self, *args, **kwargs):
+        t0 = time.perf_counter()
+        before = len(getattr(self, 'structures', ()) if
+                     getattr(self, 'structures', None) is not None else ())
+        out = fn(self, *args, **kwargs)
+        after = len(getattr(self, 'structures', ()) if
+                    getattr(self, 'structures', None) is not None else ())
+        if not hasattr(self, 'stage_timings'):
+            self.stage_timings = []
+        self.stage_timings.append({
+            'stage': fn.__name__,
+            'seconds': round(time.perf_counter() - t0, 3),
+            'structures_in': int(before),
+            'structures_out': int(after)})
+        return out
+    wrapper.__name__ = fn.__name__
+    wrapper.__doc__ = fn.__doc__
+    return wrapper
 
 
 class RunEmbedding(Embedder):
@@ -798,6 +850,7 @@ class RunEmbedding(Embedder):
 
     # ---------------------------------------------------------- pipeline
 
+    @_timed_stage
     def generate_candidates(self):
         '''(reference embedder.py:1136-1177)'''
         if self.embed == 'refine':
@@ -844,6 +897,7 @@ class RunEmbedding(Embedder):
         if self.options.debug:
             self.dump_status('generate_candidates')
 
+    @_timed_stage
     def compenetration_refining(self):
         '''(reference embedder.py:1230-1266)'''
         if self.embed not in ('string', 'cyclical', 'monomolecular'):
@@ -879,6 +933,7 @@ class RunEmbedding(Embedder):
         self.energies = np.full(len(self.structures), 1e10)
         self.exit_status = np.zeros(len(self.structures), dtype=bool)
 
+    @_timed_stage
     def fitness_refining(self, threshold=5, verbose=False):
         '''(reference embedder.py:1268-1308): discard structures whose
         summed absolute deviation from the imposed pairing distances
@@ -907,6 +962,7 @@ class RunEmbedding(Embedder):
         self.log()
         self.zero_candidates_check()
 
+    @_timed_stage
     def similarity_refining(self, tfd=True, moi=True, rmsd=True,
                             verbose=False):
         '''(reference embedder.py:1310-1388): TFD -> MOI(<=500) ->
@@ -1028,6 +1084,7 @@ class RunEmbedding(Embedder):
 
     # ---------------------------------------------- augmentation stages
 
+    @_timed_stage
     def metadynamics_augmentation(self):
         '''XTB MTD sampling around every candidate
         (reference embedder.py:1858-1891).'''
@@ -1119,6 +1176,7 @@ class RunEmbedding(Embedder):
             if null_runs == 2:
                 break
 
+    @_timed_stage
     def saddle_refining(self):
         '''First-order saddle refinement of every candidate via the dimer
         method on the internal FF (reference embedder.py:1985-2051 uses
@@ -1163,6 +1221,7 @@ class RunEmbedding(Embedder):
 
     # ------------------------------------------------- optimization hooks
 
+    @_timed_stage
     def force_field_refining(self, conv_thr='tight',
                              only_fixed_constraints=False,
                              prevent_scrambling=False):
@@ -1171,6 +1230,7 @@ class RunEmbedding(Embedder):
                            only_fixed_constraints=only_fixed_constraints,
                            prevent_scrambling=prevent_scrambling)
 
+    @_timed_stage
     def optimization_refining(self, conv_thr='tight', maxiter=None,
                               only_fixed_constraints=False):
         from tscode_tpu.optimization import optimization_refine
