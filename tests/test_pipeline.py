@@ -217,3 +217,35 @@ def test_run_report_written(tmp_path):
     assert 'similarity_refining' in stages
     assert report['final_structures'] == len(run.structures)
     assert all(s['seconds'] >= 0 for s in report['stages'])
+
+
+def test_multiconformer_cyclical_scale(tmp_path):
+    '''8x8 conformer cyclical embed: 27k candidate grid through the full
+    pipeline, exercising block chunking/padding at real ensemble scale.'''
+    from tscode_tpu.io_xyz import read_xyz, write_xyz
+
+    rng = np.random.default_rng(0)
+    for name in ('C2H4.xyz', 'CH3Cl.xyz'):
+        data = read_xyz(os.path.join(FIX, name))
+        base = data.atomcoords[0]
+        with open(tmp_path / name, 'w') as f:
+            for c in range(8):
+                write_xyz(base + rng.normal(size=base.shape) * 0.1,
+                          data.atomnos, f, title=f'conf{c}')
+
+    inp = tmp_path / 'input.txt'
+    inp.write_text('NOOPT RIGID DIST(a=2.2,b=2.3)\n'
+                   'C2H4.xyz 0a 3b\nCH3Cl.xyz 0a 4b\n')
+    cwd = os.getcwd()
+    try:
+        emb = Embedder(str(inp), stamp='e2e_scale')
+        run = emb.run()
+    finally:
+        os.chdir(cwd)
+
+    assert len(run.structures) > 20
+    # every surviving pose satisfies both imposed distances loosely
+    for pose, cons in zip(run.structures[:10], run.constrained_indices[:10]):
+        for (i, j) in cons:
+            d = np.linalg.norm(pose[i] - pose[j])
+            assert 1.0 < d < 4.0, (i, j, d)
