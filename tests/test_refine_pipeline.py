@@ -1,0 +1,70 @@
+'''Full refinement pipeline (FF pre-opt/loose/tight + semiempirical
+loose/tight) driven end-to-end with a canned xtb — the production path
+that normally requires external binaries (reference
+embedder.py:1390-1829).'''
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from tscode_tpu.embedder import Embedder
+
+FIX = os.path.join(os.path.dirname(__file__), 'fixtures')
+
+
+def _fake_xtb_opt(coords, atomnos, constrained_indices=None,
+                  constrained_distances=None, method=None, **kw):
+    '''Deterministic stand-in: tiny contraction toward the centroid plus
+    an energy keyed on the geometry so sorting is stable.'''
+    coords = np.asarray(coords, dtype=float)
+    out = coords * 0.999 + coords.mean(axis=0) * 0.001
+    energy = float(np.sum(out ** 2)) * 0.01
+    return out, energy, True
+
+
+def _fake_xtb_pre_opt(coords, atomnos, graphs=None, **kw):
+    return _fake_xtb_opt(coords, atomnos)
+
+
+def test_full_refinement_pipeline_with_canned_xtb(tmp_path, monkeypatch):
+    monkeypatch.setattr('tscode_tpu.calculators.xtb.xtb_opt',
+                        _fake_xtb_opt)
+    monkeypatch.setattr('tscode_tpu.calculators.xtb.xtb_pre_opt',
+                        _fake_xtb_pre_opt)
+
+    for name in ('C2H4.xyz', 'CH3Cl.xyz'):
+        shutil.copy(os.path.join(FIX, name), tmp_path)
+    inp = tmp_path / 'input.txt'
+    inp.write_text('CALC=XTB FFCALC=XTB FFOPT=ON ONLYREFINED KCAL=50\n'
+                   'C2H4.xyz 0\nCH3Cl.xyz 0\n')
+    cwd = os.getcwd()
+    try:
+        emb = Embedder(str(inp), stamp='refine_e2e')
+        assert emb.options.optimization
+        assert emb.options.ff_opt
+        run = emb.run()
+    finally:
+        os.chdir(cwd)
+
+    assert len(run.structures) > 0
+    # energies populated and sorted ascending by the final sort
+    rel = run.energies - run.energies.min()
+    assert np.all(np.diff(rel) >= -1e-9)
+    # every survivor passed the canned optimizer
+    assert run.exit_status.astype(bool).all()
+
+    log = (tmp_path / 'tscode_refine_e2e.log').read_text()
+    assert 'Structure optimization (loose)' in log
+    assert 'Structure optimization (tight)' in log
+    # checkpoint artifacts from both levels
+    assert (tmp_path / 'tscode_checkpoint_refine_e2e.xyz').exists() or \
+        (tmp_path / 'tscode_poses_refine_e2e.xyz').exists()
+
+    import json
+    report = json.loads(
+        (tmp_path / 'tscode_report_refine_e2e.json').read_text())
+    stages = [s['stage'] for s in report['stages']]
+    assert 'force_field_refining' in stages
+    assert 'optimization_refining' in stages
