@@ -68,3 +68,47 @@ def test_full_refinement_pipeline_with_canned_xtb(tmp_path, monkeypatch):
     stages = [s['stage'] for s in report['stages']]
     assert 'force_field_refining' in stages
     assert 'optimization_refining' in stages
+
+
+def test_resume_after_mid_refinement_crash(tmp_path, monkeypatch):
+    '''An xtb crash mid-FF-refinement leaves the pruned-stage
+    checkpoint; resuming with a working calculator completes the run
+    without regenerating or re-pruning.'''
+    calls = {'n': 0}
+
+    def crashing_xtb(coords, atomnos, **kw):
+        calls['n'] += 1
+        raise RuntimeError('xtb exploded')
+
+    monkeypatch.setattr('tscode_tpu.calculators.xtb.xtb_opt', crashing_xtb)
+    monkeypatch.setattr('tscode_tpu.calculators.xtb.xtb_pre_opt',
+                        crashing_xtb)
+
+    for name in ('C2H4.xyz', 'CH3Cl.xyz'):
+        shutil.copy(os.path.join(FIX, name), tmp_path)
+    inp = tmp_path / 'input.txt'
+    inp.write_text('CALC=XTB FFCALC=XTB FFOPT=ON\n'
+                   'C2H4.xyz 0\nCH3Cl.xyz 0\n')
+    cwd = os.getcwd()
+    try:
+        emb = Embedder(str(inp), stamp='crash1')
+        with pytest.raises(Exception):
+            emb.run()
+        pkl = tmp_path / 'tscode_resume_crash1.pkl'
+        assert pkl.exists(), 'no checkpoint before the crash'
+
+        # second attempt: calculator fixed, resume from the checkpoint
+        monkeypatch.setattr('tscode_tpu.calculators.xtb.xtb_opt',
+                            _fake_xtb_opt)
+        monkeypatch.setattr('tscode_tpu.calculators.xtb.xtb_pre_opt',
+                            _fake_xtb_pre_opt)
+        emb2 = Embedder(str(inp), stamp='crash2')
+        run = emb2.run(resume_from=str(pkl))
+    finally:
+        os.chdir(cwd)
+
+    assert len(run.structures) > 0
+    assert run.exit_status.astype(bool).all()
+    log = (tmp_path / 'tscode_crash2.log').read_text()
+    assert 'Resumed' in log
+    assert 'Performing string embed' not in log     # generation skipped
