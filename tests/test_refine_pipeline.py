@@ -112,3 +112,30 @@ def test_resume_after_mid_refinement_crash(tmp_path, monkeypatch):
     log = (tmp_path / 'tscode_crash2.log').read_text()
     assert 'Resumed' in log
     assert 'Performing string embed' not in log     # generation skipped
+
+
+def test_saddle_refining_stage(tmp_path, monkeypatch):
+    '''SADDLE: every optimized candidate goes through the dimer
+    refinement on the internal FF (reference embedder.py:1985-2051 uses
+    Sella + the QM calculator).'''
+    monkeypatch.setattr('tscode_tpu.calculators.xtb.xtb_opt',
+                        _fake_xtb_opt)
+    monkeypatch.setattr('tscode_tpu.calculators.xtb.xtb_pre_opt',
+                        _fake_xtb_pre_opt)
+
+    for name in ('C2H4.xyz', 'CH3Cl.xyz'):
+        shutil.copy(os.path.join(FIX, name), tmp_path)
+    inp = tmp_path / 'input.txt'
+    inp.write_text('CALC=XTB FFOPT=OFF SADDLE\n'
+                   'C2H4.xyz 0\nCH3Cl.xyz 0\n')
+    cwd = os.getcwd()
+    try:
+        emb = Embedder(str(inp), stamp='sad_e2e')
+        run = emb.run()
+    finally:
+        os.chdir(cwd)
+
+    log = (tmp_path / 'tscode_sad_e2e.log').read_text()
+    assert 'Saddle refinement' in log
+    assert (tmp_path / f'tscode_saddle_{run.stamp}.xyz').exists()
+    assert np.isfinite(run.structures).all()
