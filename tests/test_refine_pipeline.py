@@ -139,3 +139,38 @@ def test_saddle_refining_stage(tmp_path, monkeypatch):
     assert 'Saddle refinement' in log
     assert (tmp_path / f'tscode_saddle_{run.stamp}.xyz').exists()
     assert np.isfinite(run.structures).all()
+
+
+def test_mtd_augmentation_stage(tmp_path, monkeypatch):
+    '''MTD keyword: each candidate is augmented with metadynamics
+    conformers between FF and SE refinement (reference
+    embedder.py:1858-1891).'''
+    monkeypatch.setattr('tscode_tpu.calculators.xtb.xtb_opt',
+                        _fake_xtb_opt)
+    monkeypatch.setattr('tscode_tpu.calculators.xtb.xtb_pre_opt',
+                        _fake_xtb_pre_opt)
+
+    def fake_metadyn(coords, atomnos, constrained_indices=None,
+                     new_structures=5, title='x', **kw):
+        rng = np.random.default_rng(0)
+        return np.asarray(coords)[None] + rng.normal(
+            size=(new_structures,) + np.asarray(coords).shape) * 0.02
+
+    monkeypatch.setattr(
+        'tscode_tpu.calculators.xtb.xtb_metadyn_augmentation',
+        fake_metadyn)
+
+    for name in ('C2H4.xyz', 'CH3Cl.xyz'):
+        shutil.copy(os.path.join(FIX, name), tmp_path)
+    inp = tmp_path / 'input.txt'
+    inp.write_text('CALC=XTB FFOPT=OFF MTD\nC2H4.xyz 0\nCH3Cl.xyz 0\n')
+    cwd = os.getcwd()
+    try:
+        emb = Embedder(str(inp), stamp='mtd_e2e')
+        run = emb.run()
+    finally:
+        os.chdir(cwd)
+
+    log = (tmp_path / 'tscode_mtd_e2e.log').read_text()
+    assert 'Metadynamics augmentation completed' in log
+    assert len(run.structures) > 0
