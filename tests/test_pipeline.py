@@ -249,3 +249,14 @@ def test_multiconformer_cyclical_scale(tmp_path):
         for (i, j) in cons:
             d = np.linalg.norm(pose[i] - pose[j])
             assert 1.0 < d < 4.0, (i, j, d)
+
+
+def test_debug_keyword_writes_stage_dumps(tmp_path):
+    '''DEBUG: hypermolecule files + per-stage structure/energy/constraint
+    dumps and the state pickle (reference embedder.py:1179-1228).'''
+    run, d = _run(tmp_path, 'NOOPT DEBUG\nC2H4.xyz 0\nCH3Cl.xyz 0\n',
+                  'e2e_dbg')
+    assert (d / 'C2H4_hypermolecule.xyz').exists()
+    dumps = list(d.glob('*_structures.xyz'))
+    assert dumps, 'no stage structure dumps written'
+    assert list(d.glob('*_constraints.dat'))
