@@ -260,3 +260,58 @@ def test_debug_keyword_writes_stage_dumps(tmp_path):
     dumps = list(d.glob('*_structures.xyz'))
     assert dumps, 'no stage structure dumps written'
     assert list(d.glob('*_constraints.dat'))
+
+
+def test_neb_operator_two_structures(tmp_path):
+    '''neb> with reagent+product frames: IDPP band + CI-NEB on the
+    internal FF, MEP and TS-guess artifacts written.'''
+    from tscode_tpu.io_xyz import read_xyz, write_xyz
+
+    data = read_xyz(os.path.join(FIX, 'HCOOH.xyz'))
+    base = data.atomcoords[0]
+    # product: OH proton moved toward the carbonyl O (toy rearrangement)
+    prod = base.copy()
+    prod[4] = base[1] + (base[4] - base[1]) * 0.4
+    with open(tmp_path / 'ends.xyz', 'w') as f:
+        write_xyz(base, data.atomnos, f, title='reagent')
+        write_xyz(prod, data.atomnos, f, title='product')
+
+    inp = tmp_path / 'input.txt'
+    inp.write_text('NOOPT IMAGES=7\nneb> ends.xyz\n')
+    cwd = os.getcwd()
+    try:
+        emb = Embedder(str(inp), stamp='nebop')
+        emb.run()
+    finally:
+        os.chdir(cwd)
+
+    assert (tmp_path / 'ends_MEP.xyz').exists()
+    assert (tmp_path / 'ends_NEB_TS.xyz').exists()
+    frames = _read_frames(tmp_path / 'ends_MEP.xyz')
+    assert len(frames) == 7
+
+
+def test_neb_operator_three_structures_interpolates_through_guess(tmp_path):
+    from tscode_tpu.io_xyz import read_xyz, write_xyz
+
+    data = read_xyz(os.path.join(FIX, 'HCOOH.xyz'))
+    base = data.atomcoords[0]
+    mid = base + 0.1
+    end = base + 0.2
+    with open(tmp_path / 'chain3.xyz', 'w') as f:
+        for s, t in ((base, 'r'), (mid, 'ts'), (end, 'p')):
+            write_xyz(s, data.atomnos, f, title=t)
+
+    inp = tmp_path / 'input.txt'
+    inp.write_text('NOOPT IMAGES=9\nneb> chain3.xyz\n')
+    cwd = os.getcwd()
+    try:
+        emb = Embedder(str(inp), stamp='nebop3')
+        emb.run()
+    finally:
+        os.chdir(cwd)
+
+    frames = _read_frames(tmp_path / 'chain3_MEP.xyz')
+    # 3 structures expand into the requested image count (half-bands
+    # through the TS guess), not a 3-image band
+    assert len(frames) == 9

@@ -6,6 +6,8 @@ Each operator takes and returns a Molecule. Operators that require
 external binaries raise a clear error when those are unavailable.
 '''
 
+import numpy as np
+
 from tscode_tpu.errors import InputError
 
 
