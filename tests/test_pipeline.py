@@ -315,3 +315,22 @@ def test_neb_operator_three_structures_interpolates_through_guess(tmp_path):
     # 3 structures expand into the requested image count (half-bands
     # through the TS guess), not a 3-image band
     assert len(frames) == 9
+
+
+def test_saddle_operator_writes_artifact(tmp_path):
+    run, d = _run(tmp_path, 'NOOPT\nsaddle> HCOOH.xyz\n', 'sadop',
+                  files=('HCOOH.xyz',))
+    assert (d / 'HCOOH_saddle.xyz').exists()
+    log = (d / 'tscode_sadop.log').read_text()
+    assert 'dimer saddle refinement' in log
+
+
+def test_csearch_operator_replaces_ensemble(tmp_path):
+    '''csearch> on 1,2-difluoroethane (one rotable C-C bond): the
+    molecule's ensemble is replaced by torsional conformers.'''
+    run, d = _run(tmp_path, 'NOOPT\ncsearch> C2F2H4.xyz 3 5\n', 'csop',
+                  files=('C2F2H4.xyz',))
+    mol = run.objects[0]
+    assert mol.n_confs >= 2           # systematic rotation found rotamers
+    log = (d / 'tscode_csop.log').read_text()
+    assert 'CSearch' in log
