@@ -10,7 +10,6 @@ and fragments are concatenated along the atom axis.
 
 import numpy as np
 
-from tscode_tpu.ops.linalg import cartesian_product  # re-export for embeds
 import jax.numpy as jnp
 
 

@@ -30,7 +30,7 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from tscode_tpu.ops.rmsd_prune import (K_SCHEDULE, _FINISH_MAX,
+from tscode_tpu.ops.rmsd_prune import (_FINISH_MAX,
                                        _finish_body, _inplace_ks,
                                        _pair_kill_core, _pow2)
 

@@ -16,8 +16,6 @@ over an ICI mesh with `shard_map`:
  * survivor accounting reduces with psum.
 '''
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

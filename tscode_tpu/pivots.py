@@ -9,7 +9,7 @@ embeds) and applies the suprafacial / sigmastar filters.
 
 import numpy as np
 
-from tscode_tpu.embeds.common import cartesian_product
+from tscode_tpu.ops.linalg import cartesian_product
 from tscode_tpu.molecule import Pivot
 
 

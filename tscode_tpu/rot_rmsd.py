@@ -17,7 +17,6 @@ evaluated with closed-form Kabsch on small heavy-atom slices.
 import networkx as nx
 import numpy as np
 
-from tscode_tpu.graphs import neighbors  # noqa: F401 (API surface)
 from tscode_tpu.torsions import (get_double_bonds_indices,
                                  get_hydrogen_bonds, get_rotation_mask,
                                  get_torsions, _is_nondummy)

@@ -23,13 +23,13 @@ import networkx as nx
 import numpy as np
 
 from tscode_tpu.errors import SegmentedGraphError
-from tscode_tpu.graphs import (find_paths, get_phenyl_ids, get_quadruplets,
+from tscode_tpu.graphs import (get_phenyl_ids, get_quadruplets,
                                get_sp_n, graphize, is_amide_n, is_ester_o,
                                is_sp_n, neighbors)
 from tscode_tpu.molecule import align_structures
 from tscode_tpu.ops.linalg import cartesian_product, rot_mat_from_pointer
 from tscode_tpu.ops.tfd import prune_conformers_tfd
-from tscode_tpu.pt import COVALENT_RADII, SYMBOLS
+from tscode_tpu.pt import SYMBOLS
 from tscode_tpu.utils import flatten, time_to_string
 
 
