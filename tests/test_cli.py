@@ -49,3 +49,12 @@ def test_concurrency_benchmark(tmp_path):
     r = _run_cli(['CH3Cl.xyz', '-b'], cwd=str(tmp_path))
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert 'benchmark' in r.stdout.lower()
+
+
+def test_installation_smoke_runs(tmp_path):
+    '''-t: the installation smoke suite (4 hermetic embed inputs as
+    subprocess runs, reference tests.py:21-149) completes cleanly.'''
+    r = _run_cli(['-t'], cwd=str(tmp_path), timeout=580)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    assert 'All tests passed' in r.stdout
+    assert r.stdout.count(' ok ') >= 4 or r.stdout.count('ok') >= 4
