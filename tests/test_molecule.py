@@ -268,3 +268,36 @@ def test_metal_orbital(tmp_path):
     # lobes sit away from the ligand (positive projection opposite O)
     for c in atom.center:
         assert np.linalg.norm(c - mol.atomcoords[0][0]) > 0.1
+
+
+def test_ketene_orbital_subtype(tmp_path):
+    '''H2C=C=O terminal oxygen -> ketene 'p+p' subtype: 4 lobes ringed
+    about the C=O axis (reference reactive_atoms_classes.py:300-320).'''
+    path = _write_mol(tmp_path, 'ketene.xyz', [
+        ('O', 0.0, 0.0, 0.0), ('C', 1.16, 0.0, 0.0),
+        ('C', 2.47, 0.0, 0.0),
+        ('H', 3.02, 0.93, 0.0), ('H', 3.02, -0.93, 0.0)])
+    mol = Molecule(path, reactive_indices=[0])
+    mol.compute_orbitals()
+    atom = mol.get_r_atoms(0)[0]
+    assert 'p+p' in str(atom) or len(atom.center) == 4
+    assert len(atom.center) == 4
+    # lobes orthogonal to the O=C axis
+    axis = mol.atomcoords[0][1] - mol.atomcoords[0][0]
+    for c in atom.center:
+        v = c - mol.atomcoords[0][0]
+        cosang = abs(v @ axis) / (np.linalg.norm(v) * np.linalg.norm(axis))
+        assert cosang < 0.3, cosang
+
+
+def test_alkoxide_orbital_subtype(tmp_path):
+    '''Methoxide-like O on an sp3 carbon -> 'trilobe' (3 lobes staggered
+    against the carbon substituents).'''
+    path = _write_mol(tmp_path, 'methoxide.xyz', [
+        ('O', 0.0, 0.0, 0.0), ('C', 1.40, 0.0, 0.0),
+        ('H', 1.80, 1.03, 0.0), ('H', 1.80, -0.51, 0.89),
+        ('H', 1.80, -0.51, -0.89)])
+    mol = Molecule(path, reactive_indices=[0])
+    mol.compute_orbitals()
+    atom = mol.get_r_atoms(0)[0]
+    assert len(atom.center) == 3
