@@ -453,3 +453,26 @@ def test_tfd_tiled_prune_matches_sequential_replica():
                     want[i + lo] = False
 
     np.testing.assert_array_equal(mask, want)
+
+
+def test_mid_regime_band_equivalence():
+    '''The wide tier-2 band must reproduce the tier-1 banded passes
+    exactly whenever both fit (same kills, same order semantics).'''
+    from tscode_tpu.ops.rmsd_prune import (_MID2_BAND, _MID_BAND,
+                                           _mid_body)
+
+    rng = np.random.default_rng(0)
+    n = 8000                  # k=200 -> clean 40-wide chunks, no tail run
+    base = rng.normal(size=(n // 8, 4, 3)) * 3
+    hs0 = np.repeat(base, 8, axis=0) + rng.normal(size=(n, 4, 3)) * 0.02
+    hs = jnp.asarray(hs0 - hs0.mean(axis=1, keepdims=True))
+    alive = jnp.ones(n, dtype=bool)
+    thr = jnp.asarray(0.5, hs.dtype)
+
+    a1, ok1, _ = _mid_body(hs, alive, jnp.asarray(n, jnp.int32), thr,
+                           s_mid=8192, band=_MID_BAND)
+    a2, ok2, _ = _mid_body(hs, alive, jnp.asarray(n, jnp.int32), thr,
+                           s_mid=8192, band=_MID2_BAND)
+    assert bool(ok1) and bool(ok2)
+    assert bool(jnp.array_equal(a1, a2))
+    assert int(a1.sum()) == 1000          # 8 near-duplicates per survivor

@@ -781,7 +781,20 @@ def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128):
             valid = a_rows[:, :, None] & a_cols[:, None, :] & \
                 (col_pos[:, None, :] > row_pos[:, :, None]) & \
                 (c_rows[:, :, None] == c_cols[:, None, :])
-            kill = _pair_kill_rect(blocks, win, valid, rmsd_thr)
+            # row-group scan bounds the pair-tensor footprint: a dense
+            # (T, tile, W, 3, 3) correlation tensor at wide bands and
+            # 1M-row pools would need tens of GB — each scanned group
+            # holds only (G, tile, W, ...) live
+            budget = max(1, (1 << 22) // (tile * W))
+            G = 1
+            while G * 2 <= min(T, budget):     # largest pow2 divisor of T
+                G *= 2
+            kill = jax.lax.map(
+                lambda args: _pair_kill_rect(args[0], args[1], args[2],
+                                             rmsd_thr),
+                (blocks.reshape(T // G, G, tile, N, 3),
+                 win.reshape(T // G, G, W, N, 3),
+                 valid.reshape(T // G, G, tile, W))).reshape(T, tile)
             return a & ~kill.reshape(s_mid)
 
         ran = eligible & fits & ok
@@ -841,6 +854,20 @@ def _device_schedule(hs, alive, rmsd_thr, n, s_pad):
         alive = jax.lax.cond(20 * k < active, body, lambda al: al, alive)
         active = jnp.sum(alive)
 
+    # tier-2 banded mid regime for VERY large survivor sets (wide band,
+    # heavier windows): included in the program only for pools that can
+    # need it, so the standard-bench executable is untouched. Runs the
+    # early high-k passes banded until actives fit the tier-1 regime.
+    if n > 16 * _MID_MAX:
+        s_mid2 = _pow2(n, floor=_MID2_BAND)
+        need_mid2 = active > _MID_MAX
+        alive, _, _ = jax.lax.cond(
+            need_mid2,
+            lambda al: _mid_body(hs, al, jnp.asarray(n, jnp.int32),
+                                 rmsd_thr, s_mid=s_mid2, band=_MID2_BAND),
+            lambda al: (al, True, False), alive)
+        active = jnp.sum(alive)
+
     # banded mid regime: shrink oversized survivor sets on device when
     # every eligible chunk's actives fit the band (may complete the
     # whole schedule itself by running k=1 banded)
@@ -889,6 +916,11 @@ _FINISH_ROW_TILE = 256
 # block. The mid_done plumbing is kept for future band tuning.
 _MID_MAX = 16384
 _MID_BAND = 128
+
+# tier-2 band for pools past 16*_MID_MAX actives (wider look-ahead
+# windows, ~9x the pair work per pass — only worth it when the host
+# fallback alternative costs a full re-embed + host-orchestrated prune)
+_MID2_BAND = 1024
 
 
 def warmup_prune_kernels(n_atoms, dtype=np.float32, stream_sizes=(1024,),
