@@ -1,5 +1,6 @@
 '''Golden tests for the screening kernels: clash, TFD, MOI, RMSD-prune.'''
 
+import jax.numpy as jnp
 import numpy as np
 
 import oracles
