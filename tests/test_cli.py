@@ -57,4 +57,4 @@ def test_installation_smoke_runs(tmp_path):
     r = _run_cli(['-t'], cwd=str(tmp_path), timeout=580)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     assert 'All tests passed' in r.stdout
-    assert r.stdout.count(' ok ') >= 4 or r.stdout.count('ok') >= 4
+    assert r.stdout.count(' ok ') >= 4

@@ -769,14 +769,22 @@ class Embedder:
             'warnings': len(getattr(self, 'warnings', ())),
         }
         energies = getattr(self, 'energies', None)
-        if energies is not None and len(energies):
+        if energies is not None and len(energies) and \
+                np.max(energies - np.min(energies)) > 0:
+            # same sentinel guard as the termination table: all-1e10
+            # placeholder energies (NOOPT runs) are "never computed",
+            # not "all isoenergetic"
             rel = np.asarray(energies) - float(np.min(energies))
             report['rel_energies_kcal'] = [round(float(e), 3)
                                            for e in rel[:100]]
         path = f'tscode_report_{self.stamp}.json'
-        with open(path, 'w') as f:
-            json.dump(report, f, indent=1)
-        self.log(f'--> Wrote run report to {path}', p=False)
+        try:
+            with open(path, 'w') as f:
+                json.dump(report, f, indent=1)
+            self.log(f'--> Wrote run report to {path}', p=False)
+        except OSError as e:
+            # never fail a completed run at termination over telemetry
+            self.log(f'--> Could not write run report: {e}', p=False)
 
     def run(self, resume_from=None):
         '''Run the pipeline on a copy of this embedder's state.'''

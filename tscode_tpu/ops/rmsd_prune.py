@@ -717,19 +717,24 @@ def _pair_kill_rect(Pr, Qc, valid, rmsd_thr):
     return jnp.any((gate1 & ~ambiguous) | hit2, axis=2)
 
 
-def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128):
+def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128,
+              stop_below=None):
     '''
     Banded mid-regime passes: actives are compacted once (order
     preserved, so same-chunk actives sit in contiguous runs); each
     eligible pass whose largest run fits `band` evaluates its
-    same-chunk pairs as dense (tile, tile+band) window blocks built by
-    reshape+concat — no gathers, no conds per block. Passes only run
-    while actives still exceed the finish block (_finish_body handles
-    the rest, in order). Returns (alive', ok): ok=False means an
-    eligible pass could not run banded — the caller must NOT run later
-    passes on device (order matters); host fallback resumes safely
-    because re-running earlier passes is a no-op.
+    same-chunk pairs as (tile, tile+band) window blocks BUILT PER ROW
+    GROUP inside a lax.map — every live tensor is O(G*tile*W), never
+    O(S*W), so wide bands stay within HBM at million-row pools. Passes
+    only run while actives still exceed `stop_below` (the finish block
+    or, for the wide tier-2 band, the tier-1 regime — narrower bands
+    handle the shrunken set cheaper). Returns (alive', ok): ok=False
+    means an eligible pass could not run banded — the caller must NOT
+    run later passes on device (order matters); host fallback resumes
+    safely because re-running earlier passes is a no-op.
     '''
+    if stop_below is None:
+        stop_below = _FINISH_MAX        # defined below (module constants)
     n_pool = hs.shape[0]
     N = hs.shape[1]
     idx = jnp.nonzero(alive, size=s_mid, fill_value=n_pool)[0]
@@ -740,29 +745,29 @@ def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128):
     m = -(-band // tile)                               # look-ahead tiles
     W = (m + 1) * tile
 
-    def windows(x, fill):
-        '''(S, ...) -> (T, W, ...): each tile plus its m successors.'''
-        blocks_ = x.reshape((T, tile) + x.shape[1:])
-        parts = [blocks_]
-        for s in range(1, m + 1):
-            pad = jnp.full((s, tile) + x.shape[1:], fill, x.dtype)
-            parts.append(jnp.concatenate([blocks_[s:], pad], axis=0))
-        return jnp.concatenate(parts, axis=1)
-
-    blocks = sub.reshape(T, tile, N, 3)
-    win = windows(sub, 0)                              # (T, W, N, 3)
+    # row-group size: bound each group's pair tensors, keep T divisible
+    budget = max(1, (1 << 22) // (tile * W))
+    G = 1
+    while G * 2 <= budget and T % (G * 2) == 0:
+        G *= 2
+    n_groups = T // G
+    Gtile = G * tile
+    pad_tail = m * tile
 
     pos = jnp.arange(s_mid, dtype=jnp.int32)
-    row_pos = pos.reshape(T, tile)                     # global positions
-    col_pos = row_pos[:, :1] + jnp.arange(W, dtype=jnp.int32)[None, :]
-
     ks = jnp.asarray([int(k) for k in K_SCHEDULE], jnp.int32)
+
+    def local_windows(x, fill):
+        '''((G+m)*tile, ...) col span -> (G, W, ...) windows.'''
+        blocks_ = x.reshape((G + m, tile) + x.shape[1:])
+        parts = [blocks_[s:s + G] for s in range(m + 1)]
+        return jnp.concatenate(parts, axis=1)
 
     def one_pass(i, state):
         a, ok, ran_k1 = state
         k = ks[i]
         active = jnp.sum(a)
-        eligible = ((k == 1) | (20 * k < active)) & (active > _FINISH_MAX)
+        eligible = ((k == 1) | (20 * k < active)) & (active > stop_below)
 
         cs = jnp.maximum(n // k, 1)
         chunk = jnp.minimum(idx // cs, k - 1)
@@ -773,29 +778,43 @@ def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128):
         fits = max_run <= band
 
         def run(a):
-            a_rows = a.reshape(T, tile)
-            a_cols = windows(a, False)
-            c_rows = chunk.reshape(T, tile)
-            c_cols = windows(chunk, -1)
+            sub_ext = jnp.concatenate(
+                [sub, jnp.zeros((pad_tail, N, 3), sub.dtype)])
+            a_ext = jnp.concatenate([a, jnp.zeros(pad_tail, bool)])
+            c_ext = jnp.concatenate(
+                [chunk, jnp.full(pad_tail, -1, chunk.dtype)])
 
-            valid = a_rows[:, :, None] & a_cols[:, None, :] & \
-                (col_pos[:, None, :] > row_pos[:, :, None]) & \
-                (c_rows[:, :, None] == c_cols[:, None, :])
-            # row-group scan bounds the pair-tensor footprint: a dense
-            # (T, tile, W, 3, 3) correlation tensor at wide bands and
-            # 1M-row pools would need tens of GB — each scanned group
-            # holds only (G, tile, W, ...) live
-            budget = max(1, (1 << 22) // (tile * W))
-            G = 1
-            while G * 2 <= min(T, budget):     # largest pow2 divisor of T
-                G *= 2
-            kill = jax.lax.map(
-                lambda args: _pair_kill_rect(args[0], args[1], args[2],
-                                             rmsd_thr),
-                (blocks.reshape(T // G, G, tile, N, 3),
-                 win.reshape(T // G, G, W, N, 3),
-                 valid.reshape(T // G, G, tile, W))).reshape(T, tile)
-            return a & ~kill.reshape(s_mid)
+            def group_body(g):
+                start = g * Gtile
+                rows = jax.lax.dynamic_slice_in_dim(
+                    sub_ext, start, Gtile).reshape(G, tile, N, 3)
+                span = jax.lax.dynamic_slice_in_dim(
+                    sub_ext, start, Gtile + pad_tail)
+                wincols = local_windows(span, 0.0)     # (G, W, N, 3)
+
+                a_rows = jax.lax.dynamic_slice_in_dim(
+                    a_ext, start, Gtile).reshape(G, tile)
+                a_cols = local_windows(jax.lax.dynamic_slice_in_dim(
+                    a_ext, start, Gtile + pad_tail), False)
+                c_rows = jax.lax.dynamic_slice_in_dim(
+                    c_ext, start, Gtile).reshape(G, tile)
+                c_cols = local_windows(jax.lax.dynamic_slice_in_dim(
+                    c_ext, start, Gtile + pad_tail), -1)
+
+                row_pos = (start + jnp.arange(
+                    Gtile, dtype=jnp.int32)).reshape(G, tile)
+                # window columns start at each row tile's first position
+                col_pos = row_pos[:, :1] + \
+                    jnp.arange(W, dtype=jnp.int32)[None, :]
+
+                valid = a_rows[:, :, None] & a_cols[:, None, :] & \
+                    (col_pos[:, None, :] > row_pos[:, :, None]) & \
+                    (c_rows[:, :, None] == c_cols[:, None, :])
+                return _pair_kill_rect(rows, wincols, valid, rmsd_thr)
+
+            kill = jax.lax.map(group_body,
+                               jnp.arange(n_groups)).reshape(s_mid)
+            return a & ~kill
 
         ran = eligible & fits & ok
         a = jax.lax.cond(ran, run, lambda a: a, a)
@@ -864,7 +883,8 @@ def _device_schedule(hs, alive, rmsd_thr, n, s_pad):
         alive, _, _ = jax.lax.cond(
             need_mid2,
             lambda al: _mid_body(hs, al, jnp.asarray(n, jnp.int32),
-                                 rmsd_thr, s_mid=s_mid2, band=_MID2_BAND),
+                                 rmsd_thr, s_mid=s_mid2, band=_MID2_BAND,
+                                 stop_below=_MID_MAX),
             lambda al: (al, True, False), alive)
         active = jnp.sum(alive)
 
