@@ -29,9 +29,16 @@ from tscode_tpu.ops.rmsd_prune import _two_gate_hits
 
 
 def make_mesh(n_devices=None, axis_name='poses'):
-    '''Mesh over the first n devices (all by default).'''
+    '''Mesh over the first n devices (all by default). Raises when fewer
+    than n_devices exist — a silently smaller mesh would invalidate any
+    multi-chip scaling claim downstream.'''
     devices = jax.devices()
     n = n_devices or len(devices)
+    if len(devices) < n:
+        raise RuntimeError(
+            f'requested a {n}-device mesh but only {len(devices)} '
+            f'device(s) are visible — force a virtual mesh '
+            f'(--xla_force_host_platform_device_count) or lower n_devices')
     return Mesh(np.array(devices[:n]), (axis_name,))
 
 

@@ -74,6 +74,20 @@ def _tr_rot_projector(coords, masses):
     return jnp.eye(3 * n) - q @ q.T
 
 
+def _require_x64():
+    '''Vibrational analysis is f64-only: without x64, JAX silently
+    downcasts the mass-weighted Hessian to f32, whose eigensolve can
+    report spurious near-zero imaginary modes that corrupt n_imag and
+    g_corr. Callers on an f32 accelerator backend must route these
+    computations through a CPU-x64 process (as tests/conftest.py and
+    the operator paths do).'''
+    if not jax.config.jax_enable_x64:
+        raise RuntimeError(
+            'vibrational analysis requires jax_enable_x64 (f32 Hessian '
+            'eigensolves produce spurious imaginary modes); enable x64 '
+            'or run this stage on the CPU backend')
+
+
 def frequencies(coords, atomnos, energy_fn, project=True):
     '''Harmonic frequencies of one structure.
 
@@ -82,6 +96,7 @@ def frequencies(coords, atomnos, energy_fn, project=True):
     ~0 and are zeroed. Mirrors the contract of the reference's ase_vib
     (ase_manipulations.py:348-380) without the per-displacement loop.
     '''
+    _require_x64()
     coords = jnp.asarray(coords, dtype=jnp.float64)
     masses = jnp.asarray(MASSES[np.asarray(atomnos)], dtype=coords.dtype)
     h = mass_weighted_hessian(energy_fn, coords, masses)
@@ -121,6 +136,7 @@ def _freqs_batch_program(energy_fn, project):
 def frequencies_batch(coords_batch, atomnos, energy_fn, project=True):
     '''vmapped frequencies over a (B, N, 3) batch — one device program
     computes every Hessian. Returns (freqs (B, 3N), n_imag (B,)).'''
+    _require_x64()
     coords_batch = jnp.asarray(coords_batch, dtype=jnp.float64)
     masses = jnp.asarray(MASSES[np.asarray(atomnos)],
                          dtype=coords_batch.dtype)
@@ -190,10 +206,18 @@ def thermochemistry(freqs_cm, atomnos, coords, temperature=298.15,
             'h_corr': h_corr, 's': s_tot, 'g_corr': g_corr}
 
 
-def ff_free_energy(coords, atomnos, energy_fn, temperature=298.15):
+def ff_free_energy(coords, atomnos, energy_fn, temperature=298.15,
+                   symmetry_number=1):
     '''Electronic (FF) energy + RRHO Gibbs correction — the hermetic
-    analog of xtb_get_free_energy for calculator-free runs.'''
+    analog of xtb_get_free_energy for calculator-free runs.
+
+    symmetry_number: external rotational symmetry sigma. Defaults to 1
+    (no detection is attempted); for symmetric molecules the caller
+    should supply it — omitting sigma drops the -R*T*ln(sigma) term
+    from the rotational entropy (~0.4 kcal/mol at sigma=2, 298 K)
+    that the reference's `xtb --ohess` free energies include.'''
     freqs, n_imag = frequencies(coords, atomnos, energy_fn)
-    thermo = thermochemistry(freqs, atomnos, coords, temperature)
+    thermo = thermochemistry(freqs, atomnos, coords, temperature,
+                             symmetry_number=symmetry_number)
     e_el = float(energy_fn(jnp.asarray(coords, dtype=jnp.float64)))
     return e_el + thermo['g_corr'], n_imag
