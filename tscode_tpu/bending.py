@@ -29,6 +29,51 @@ def _bend_energy(c, params, pairs, targets):
     return ff_energy(c, params) + spring_energy(c, pairs, targets, k=20.0)
 
 
+def _relax_with_gradient(coords, gradient_fn, pair, target, k=20.0,
+                         n_steps=50, fmax=0.05, dt0=0.05):
+    '''Host FIRE relaxation on an external (E, grad) callback plus the
+    reactive-pair spring — the QM-force form of the bend step (the
+    reference runs the same shape through ASE optimizers with spring
+    constraints, ase_manipulations.py:683-866). Returns coords.'''
+    c = np.asarray(coords, dtype=float).copy()
+    i1, i2 = pair
+    v = np.zeros_like(c)
+    dt, alpha, n_pos = dt0, 0.1, 0
+
+    def total_force(x):
+        g = gradient_fn(x)[1]
+        delta = x[i1] - x[i2]
+        d = max(np.linalg.norm(delta), 1e-12)
+        # d/dx of k*(d - target)^2
+        sg = 2.0 * k * (d - target) * delta / d
+        g = g.copy()
+        g[i1] += sg
+        g[i2] -= sg
+        return -g
+
+    for _ in range(n_steps):
+        f = total_force(c)
+        if np.max(np.linalg.norm(f, axis=-1)) < fmax:
+            break
+        power = float(np.sum(f * v))
+        if power > 0:
+            v = ((1 - alpha) * v + alpha * f * np.linalg.norm(v)
+                 / max(np.linalg.norm(f), 1e-12))
+            n_pos += 1
+            if n_pos > 5:
+                dt = min(dt * 1.1, dt0 * 4)
+                alpha *= 0.99
+        else:
+            v[:] = 0.0
+            dt *= 0.5
+            alpha, n_pos = 0.1, 0
+        v = v + dt * f
+        step = dt * v
+        max_disp = float(np.max(np.linalg.norm(step, axis=-1)))
+        c = c + step * min(1.0, 0.1 / max(max_disp, 1e-12))
+    return c
+
+
 def bend_key(mol, pivot, threshold, conf=0):
     '''Cache key for one (conformer geometry, pivot, target) bend — the
     reference keys on the CONFORMER's coordinate sum
@@ -48,7 +93,7 @@ def _pivot_length(mol, conf, pivot_index):
 def bend_molecule(mol, conf, pivot, threshold, max_iter=40,
                   fix_angles=False, cache=None, suprafacial=False,
                   protect_double_bonds=False, logfunction=None,
-                  title='bend'):
+                  title='bend', gradient_fn=None):
     '''
     Bend `mol`'s conformer `conf` until the pivot between the two
     reactive-atom orbitals is <= threshold (A). Returns a NEW Molecule
@@ -92,11 +137,18 @@ def bend_molecule(mol, conf, pivot, threshold, max_iter=40,
         target_piv = max(threshold, current_len - 0.3)
         target_atoms = target_piv + offset
 
-        relaxed, _, _ = fire_minimize_batch(
-            jnp.asarray(coords)[None], _bend_energy, n_steps=300, fmax=0.05,
-            energy_args=(params, pairs,
-                         jnp.asarray(np.array([target_atoms]))))
-        coords = np.asarray(relaxed[0])
+        if gradient_fn is not None:
+            # external QM surface: host FIRE on the (E, grad) callback
+            # + the same reactive-pair spring
+            coords = _relax_with_gradient(coords, gradient_fn,
+                                          (i1, i2), target_atoms)
+        else:
+            relaxed, _, _ = fire_minimize_batch(
+                jnp.asarray(coords)[None], _bend_energy, n_steps=300,
+                fmax=0.05,
+                energy_args=(params, pairs,
+                             jnp.asarray(np.array([target_atoms]))))
+            coords = np.asarray(relaxed[0])
 
         # rebuild orbitals + pivots from the bent geometry, keeping the
         # ORIGINAL orbital type override (SIMPLEORBITALS) and lengths

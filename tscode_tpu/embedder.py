@@ -856,6 +856,20 @@ class RunEmbedding(Embedder):
             self.log_warnings()
             raise ZeroCandidatesError()
 
+    def _mesh(self, n_items=None):
+        '''The device mesh the pipeline shards over, or None. With
+        n_items given, also applies the size gate (mesh_wants) so tiny
+        ensembles skip collective overhead — TSCODE_MESH=1 forces the
+        sharded paths at any size (identity tests, driver dryrun).'''
+        from tscode_tpu.parallel.sharding import get_default_mesh, \
+            mesh_wants
+        mesh = get_default_mesh()
+        if mesh is None:
+            return None
+        if n_items is not None and not mesh_wants(n_items):
+            return None
+        return mesh
+
     # ---------------------------------------------------------- pipeline
 
     @_timed_stage
@@ -868,7 +882,8 @@ class RunEmbedding(Embedder):
         if self.embed == 'string':
             structures, constrained = string_embed(
                 self.objects[0], self.objects[1], self.systematic_angles,
-                clash_thresh=self.options.clash_thresh, log=self.log)
+                clash_thresh=self.options.clash_thresh, log=self.log,
+                mesh=self._mesh())
             self.structures = structures
             self.constrained_indices = constrained
 
@@ -921,10 +936,18 @@ class RunEmbedding(Embedder):
                 n = self.structures.shape[1]
                 pm = ~np.eye(n, dtype=bool)
                 thresh = 0.5
-            mask = np.asarray(clash_ops.compenetration_mask(
-                jnp.asarray(self.structures), jnp.asarray(pm),
-                thresh=thresh,
-                max_clashes=self.options.max_clashes))
+            mesh = self._mesh(len(self.structures))
+            if mesh is not None:
+                from tscode_tpu.parallel.sharding import \
+                    sharded_compenetration_mask
+                mask = sharded_compenetration_mask(
+                    self.structures, pm, mesh, thresh=thresh,
+                    max_clashes=self.options.max_clashes)
+            else:
+                mask = np.asarray(clash_ops.compenetration_mask(
+                    jnp.asarray(self.structures), jnp.asarray(pm),
+                    thresh=thresh,
+                    max_clashes=self.options.max_clashes))
             self.apply_mask(('structures', 'constrained_indices'), mask)
             t_end = time.perf_counter()
 
@@ -987,7 +1010,8 @@ class RunEmbedding(Embedder):
             quadruplets = get_quadruplets(self.embed_graph)
             if len(quadruplets) > 0:
                 self.structures, mask = tfd_ops.prune_conformers_tfd(
-                    self.structures, quadruplets)
+                    self.structures, quadruplets,
+                    mesh=self._mesh(len(self.structures)))
                 self.apply_mask(attr, mask)
                 if False in mask:
                     self.log(f'Discarded {np.count_nonzero(~mask)} structures '
@@ -998,7 +1022,8 @@ class RunEmbedding(Embedder):
             before3 = len(self.structures)
             t_start = time.perf_counter()
             self.structures, mask = moi_ops.prune_by_moment_of_inertia(
-                self.structures, self.atomnos)
+                self.structures, self.atomnos,
+                mesh=self._mesh(len(self.structures)))
             self.apply_mask(attr, mask)
             if before3 > len(self.structures):
                 self.log(f'Discarded {np.count_nonzero(~mask)} candidates '
@@ -1009,7 +1034,8 @@ class RunEmbedding(Embedder):
             before1 = len(self.structures)
             t_start = time.perf_counter()
             self.structures, mask = rmsd_ops.prune_conformers_rmsd(
-                self.structures, self.atomnos, rmsd_thr=self.options.rmsd)
+                self.structures, self.atomnos, rmsd_thr=self.options.rmsd,
+                mesh=self._mesh(len(self.structures)))
             self.apply_mask(attr, mask)
             if before1 > len(self.structures):
                 self.log(f'Discarded {np.count_nonzero(~mask)} candidates '

@@ -746,13 +746,17 @@ def cyclical_embed_nonrigid(embedder, max_norm_delta=5):
                         if len(mol.reactive_indices) > 1 and not \
                                 mol.graph.has_edge(*sorted(
                                     int(x) for x in mol.reactive_indices[:2])):
+                            from tscode_tpu.operators import \
+                                qm_gradient_source
                             mols[i] = bend_molecule(
                                 mol, conf_ids[i], pivots[i], target,
                                 cache=cache,
                                 suprafacial=embedder.options.suprafacial,
                                 protect_double_bonds=embedder.options
                                 .double_bond_protection,
-                                logfunction=embedder.log)
+                                logfunction=embedder.log,
+                                gradient_fn=qm_gradient_source(
+                                    embedder, mol))
                     try:
                         pivots = [mols[m].pivots[conf_ids[m]][qi[m]]
                                   for m in range(n_mols)]
@@ -777,13 +781,15 @@ def cyclical_embed_nonrigid(embedder, max_norm_delta=5):
                             int(x) for x in mol.reactive_indices[:2])):
                         continue
                     maxval = norms[index - 1] + norms[index - 2]
+                    from tscode_tpu.operators import qm_gradient_source
                     mols[index] = bend_molecule(
                         mol, conf_ids[index], pivots[index],
                         0.9 * float(maxval), cache=cache,
                         suprafacial=embedder.options.suprafacial,
                         protect_double_bonds=embedder.options
                         .double_bond_protection,
-                        logfunction=embedder.log)
+                        logfunction=embedder.log,
+                        gradient_fn=qm_gradient_source(embedder, mol))
                     try:
                         pivots = [mols[m].pivots[conf_ids[m]][qi[m]]
                                   for m in range(n_mols)]

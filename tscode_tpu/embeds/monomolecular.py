@@ -28,6 +28,7 @@ def monomolecular_embed(embedder):
         for p, pivot in enumerate(mol.pivots[c]):
             # bend until within 1 A of the target orbital meeting distance
             target = 1.0
+            from tscode_tpu.operators import qm_gradient_source
             bent = bend_molecule(
                 mol, c, pivot, target, cache=cache,
                 suprafacial=embedder.options.suprafacial,
@@ -35,7 +36,8 @@ def monomolecular_embed(embedder):
                 protect_double_bonds=embedder.options
                 .double_bond_protection,
                 logfunction=embedder.log,
-                title=f'{mol.rootname} - pivot {p}')
+                title=f'{mol.rootname} - pivot {p}',
+                gradient_fn=qm_gradient_source(embedder, mol))
             for conformer in bent.atomcoords:
                 structures.append(conformer)
 

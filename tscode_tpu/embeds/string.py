@@ -11,6 +11,8 @@ prefix scan over generated poses) replays on host from the
 device-computed fingerprints.
 '''
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -60,8 +62,28 @@ def _pairwise_d2(poses):
     return jnp.maximum(a2[..., :, None] + a2[..., None, :] - 2.0 * ab, 0.0)
 
 
+@functools.lru_cache(maxsize=8)
+def _string_chunk_sharded(mesh, axis_name='poses'):
+    '''shard_map form of _string_chunk over the pose (grid) axis: each
+    device materializes and screens ITS OWN slice of the chunk — the
+    molecule tensors are replicated (small), the grid index arrays are
+    sharded, and no collective is needed (the TFD novelty filter is a
+    host-side sequential replay either way). Bit-identical outputs.'''
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:                 # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    rep, sh = P(None), P(axis_name)
+    fn = shard_map(_string_chunk.__wrapped__, mesh=mesh,
+                   in_specs=(rep,) * 9 + (sh,) * 5 + (P(),),
+                   out_specs=(sh, sh, sh))
+    return jax.jit(fn)
+
+
 def string_embed(mol1, mol2, angles, clash_thresh=1.5, tfd_thresh=10,
-                 log=print, chunk=_CHUNK):
+                 log=print, chunk=_CHUNK, mesh=None):
     '''
     Generate string-embed poses for two single-reactive-atom molecules.
 
@@ -69,6 +91,10 @@ def string_embed(mol1, mol2, angles, clash_thresh=1.5, tfd_thresh=10,
     systematic_angles, reference embedder.py:735).
     Returns (poses (B, N1+N2, 3) float64, constrained_indices (B, 1, 2)).
     Raises ZeroCandidatesError when nothing survives, like the reference.
+
+    mesh: optional jax.sharding.Mesh — when given and the grid is large
+    enough (parallel.sharding.mesh_wants), every chunk is materialized
+    and clash-screened sharded over the pose axis.
     '''
     ids = (mol1.n_atoms, mol2.n_atoms)
     r1 = int(mol1.reactive_indices[0])
@@ -93,6 +119,14 @@ def string_embed(mol1, mol2, angles, clash_thresh=1.5, tfd_thresh=10,
     total = len(c1g)
     log(f'--> Performing string embed ({total} candidates)')
 
+    chunk_fn = _string_chunk
+    if mesh is not None and mesh.devices.size > 1:
+        from tscode_tpu.parallel.sharding import mesh_wants
+        if mesh_wants(total):
+            n_dev = mesh.devices.size
+            chunk = -(-chunk // n_dev) * n_dev     # divisible shards
+            chunk_fn = _string_chunk_sharded(mesh)
+
     pair_mask = jnp.asarray(cross_fragment_pair_mask(ids))
     dev = dict(coords1=jnp.asarray(mol1.atomcoords),
                coords2=jnp.asarray(mol2.atomcoords),
@@ -109,9 +143,13 @@ def string_embed(mol1, mol2, angles, clash_thresh=1.5, tfd_thresh=10,
         hi = min(lo + chunk, total)
         pad = chunk - (hi - lo)
         sl = lambda g: jnp.asarray(np.pad(g[lo:hi], (0, pad), mode='edge'))
-        poses, ok, tfps = _string_chunk(
-            **dev, c1=sl(c1g), c2=sl(c2g), a1=sl(a1g), a2=sl(a2g),
-            ai=sl(aig), clash_thresh=float(clash_thresh))
+        # positional call: shard_map-wrapped programs take no kwargs
+        poses, ok, tfps = chunk_fn(
+            dev['coords1'], dev['coords2'], dev['centers1'], dev['vecs1'],
+            dev['centers2'], dev['vecs2'], dev['pair_mask'],
+            dev['quadruplets'], dev['angles'],
+            sl(c1g), sl(c2g), sl(a1g), sl(a2g), sl(aig),
+            jnp.asarray(float(clash_thresh)))
         ok = np.asarray(ok)[:hi - lo]
         tfps = np.asarray(tfps)[:hi - lo]
         if all_tfps is None:

@@ -129,14 +129,16 @@ def _tangents(chain, energies):
     return tang / jnp.maximum(norm, 1e-12)
 
 
-def neb_forces(chain, energy_fn, k_spring=1.0, climbing=False):
+def band_forces(chain, energies, grad, k_spring=1.0, climbing=False):
     '''
-    NEB force on every image: true force perpendicular to the tangent +
-    spring force along it; the highest image climbs when requested.
-    chain (I, N, 3) -> forces (I, N, 3) with zeroed endpoints.
+    Pure band-math composition (jittable): given per-image energies and
+    TRUE-potential gradients — from jax.grad of a differentiable surface
+    or from an external QM callback — assemble the NEB force on every
+    image: true force perpendicular to the tangent + spring force along
+    it; the highest image climbs when requested.
+    chain (I, N, 3), energies (I,), grad (I, N, 3)
+    -> forces (I, N, 3) with zeroed endpoints.
     '''
-    energies = energy_fn(chain)
-    grad = jax.grad(lambda c: jnp.sum(energy_fn(c)))(chain)
     true_force = -grad
 
     tang = _tangents(chain, energies)                       # (I-2, N, 3)
@@ -163,47 +165,123 @@ def neb_forces(chain, energy_fn, k_spring=1.0, climbing=False):
     return out.at[1:-1].set(neb_f)
 
 
+def neb_forces(chain, energy_fn, k_spring=1.0, climbing=False):
+    '''NEB forces on a DIFFERENTIABLE surface: energies and gradients
+    via energy_fn/jax.grad, then the shared band composition.'''
+    energies = energy_fn(chain)
+    grad = jax.grad(lambda c: jnp.sum(energy_fn(c)))(chain)
+    return band_forces(chain, energies, grad, k_spring=k_spring,
+                       climbing=climbing)
+
+
+def _fire_band_update(state, f, dt0, fmax):
+    '''One FIRE step of the band given precomputed NEB forces `f`.
+    Shared by the fused differentiable-surface scan and the
+    host-callback (external QM) loop — identical integrator either way.'''
+    c, v, dt, alpha, n_pos, done = state
+
+    # convergence: largest per-atom NEB force under fmax freezes the
+    # band (remaining steps become no-ops)
+    done = done | (jnp.max(jnp.linalg.norm(f, axis=-1)) < fmax)
+
+    power = jnp.sum(f * v)
+    f_norm = jnp.sqrt(jnp.sum(f * f))
+    v_norm = jnp.sqrt(jnp.sum(v * v))
+    v_mixed = (1 - alpha) * v + alpha * f * v_norm / jnp.maximum(f_norm, 1e-12)
+
+    uphill = power <= 0.0
+    v_new = jnp.where(uphill, 0.0, v_mixed)
+    n_pos_new = jnp.where(uphill, 0, n_pos + 1)
+    grow = n_pos_new > 5
+    dt_new = jnp.where(uphill, dt * 0.5,
+                       jnp.where(grow, jnp.minimum(dt * 1.1, dt0 * 4),
+                                 dt))
+    alpha_new = jnp.where(uphill, 0.1,
+                          jnp.where(grow, alpha * 0.99, alpha))
+
+    v_stepped = v_new + dt_new * f
+    step = dt_new * v_stepped
+    # conservative displacement cap: stiff bonded potentials make
+    # the band integrator prone to runaway otherwise
+    max_disp = jnp.max(jnp.linalg.norm(step, axis=-1))
+    scale = jnp.minimum(1.0, 0.05 / jnp.maximum(max_disp, 1e-12))
+    step = jnp.where(done, 0.0, step * scale)
+    v_capped = jnp.where(done, 0.0, v_stepped * scale)
+    return (c + step, v_capped, dt_new, alpha_new, n_pos_new, done)
+
+
+def _fire_init(chain, dt0):
+    return (chain, jnp.zeros_like(chain), jnp.asarray(dt0),
+            jnp.asarray(0.1), jnp.asarray(0, dtype=jnp.int32),
+            jnp.asarray(False))
+
+
 @partial(jax.jit, static_argnames=('energy_fn', 'n_steps', 'climbing'))
 def _neb_relax(chain, energy_fn, n_steps, k_spring, dt0, fmax, climbing):
     '''FIRE relaxation of the whole band (endpoints frozen).'''
     def body(state, _):
-        c, v, dt, alpha, n_pos, done = state
-        f = neb_forces(c, energy_fn, k_spring=k_spring, climbing=climbing)
+        f = neb_forces(state[0], energy_fn, k_spring=k_spring,
+                       climbing=climbing)
+        return _fire_band_update(state, f, dt0, fmax), None
 
-        # convergence: largest per-atom NEB force under fmax freezes the
-        # band (remaining scan steps become no-ops)
-        done = done | (jnp.max(jnp.linalg.norm(f, axis=-1)) < fmax)
-
-        power = jnp.sum(f * v)
-        f_norm = jnp.sqrt(jnp.sum(f * f))
-        v_norm = jnp.sqrt(jnp.sum(v * v))
-        v_mixed = (1 - alpha) * v + alpha * f * v_norm / jnp.maximum(f_norm, 1e-12)
-
-        uphill = power <= 0.0
-        v_new = jnp.where(uphill, 0.0, v_mixed)
-        n_pos_new = jnp.where(uphill, 0, n_pos + 1)
-        grow = n_pos_new > 5
-        dt_new = jnp.where(uphill, dt * 0.5,
-                           jnp.where(grow, jnp.minimum(dt * 1.1, dt0 * 4),
-                                     dt))
-        alpha_new = jnp.where(uphill, 0.1,
-                              jnp.where(grow, alpha * 0.99, alpha))
-
-        v_stepped = v_new + dt_new * f
-        step = dt_new * v_stepped
-        # conservative displacement cap: stiff bonded potentials make
-        # the band integrator prone to runaway otherwise
-        max_disp = jnp.max(jnp.linalg.norm(step, axis=-1))
-        scale = jnp.minimum(1.0, 0.05 / jnp.maximum(max_disp, 1e-12))
-        step = jnp.where(done, 0.0, step * scale)
-        v_capped = jnp.where(done, 0.0, v_stepped * scale)
-        return (c + step, v_capped, dt_new, alpha_new, n_pos_new, done), None
-
-    init = (chain, jnp.zeros_like(chain), jnp.asarray(dt0),
-            jnp.asarray(0.1), jnp.asarray(0, dtype=jnp.int32),
-            jnp.asarray(False))
-    (chain, *_), _ = jax.lax.scan(body, init, None, length=n_steps)
+    (chain, *_), _ = jax.lax.scan(body, _fire_init(chain, dt0), None,
+                                  length=n_steps)
     return chain
+
+
+@partial(jax.jit, static_argnames=('climbing',))
+def _band_step(state, energies, grad, k_spring, dt0, fmax, climbing):
+    '''One jitted band step from externally-supplied energies/gradients
+    (the QM-callback path): band composition + FIRE update on device.'''
+    f = band_forces(state[0], energies, grad, k_spring=k_spring,
+                    climbing=climbing)
+    return _fire_band_update(state, f, dt0, fmax)
+
+
+def run_neb_callback(start, end, grad_chain_fn, n_images=7, k_spring=1.0,
+                     n_steps=100, climb_after=50, dt0=0.01, fmax=0.05,
+                     chain=None):
+    '''
+    Climbing-image NEB on a NON-differentiable surface: per step, one
+    `grad_chain_fn(chain) -> (energies (I,), grads (I, N, 3))` callback
+    (e.g. xtb --grad subprocesses, one per image, dispatched
+    concurrently) supplies the true potential; tangents, projections,
+    springs, the climbing inversion and the FIRE update all run as one
+    jitted device program. The in-process analog of the reference's
+    ASE DyNEB + external calculator (ase_manipulations.py:382-526).
+    Returns (chain (I, N, 3), energies (I,), ts_index).
+    '''
+    if chain is None:
+        chain = idpp_interpolate(start, end, n_images)
+    chain = jnp.asarray(chain)
+    if chain.shape[0] < 3:
+        from tscode_tpu.errors import InputError
+        raise InputError(
+            f'NEB needs at least 3 images (got {chain.shape[0]}): '
+            f'a band without interior images cannot relax a path.')
+
+    state = _fire_init(chain, dt0)
+    energies = None
+    for step in range(n_steps):
+        energies, grads = grad_chain_fn(np.asarray(state[0]))
+        # climb only after the pre-relax phase AND when an interior
+        # barrier exists (same guard as the differentiable path)
+        climbing = bool(
+            step >= climb_after
+            and np.max(energies[1:-1])
+            > max(energies[0], energies[-1]) + 1e-6)
+        state = _band_step(state, jnp.asarray(energies),
+                           jnp.asarray(grads),
+                           jnp.asarray(k_spring, chain.dtype),
+                           jnp.asarray(dt0, chain.dtype),
+                           jnp.asarray(fmax, chain.dtype), climbing)
+        if bool(state[5]):              # converged: stop paying QM calls
+            break
+
+    final = np.asarray(state[0])
+    energies, _ = grad_chain_fn(final)
+    ts_index = int(1 + np.argmax(energies[1:-1]))
+    return final, np.asarray(energies), ts_index
 
 
 def run_neb(start, end, energy_fn, n_images=7, k_spring=1.0,

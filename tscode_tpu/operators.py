@@ -83,6 +83,30 @@ def _mtd_operator(embedder, mol, name):
     return crest_mtd_search_operator(embedder, mol)
 
 
+def qm_gradient_source(embedder, mol, chain=False):
+    '''(energy, gradient) callback resolved from the run's calculator
+    and theory level — the analog of get_ase_calc resolution
+    (reference ase_manipulations.py:123-214). Returns None when no
+    gradient-capable calculator is available, in which case the
+    procedures fall back to the internal FF surface.
+    chain=True returns the batched per-image form for NEB bands.'''
+    from tscode_tpu.settings import XTB_AVAILABLE
+    if embedder.options.calculator != 'XTB' or not XTB_AVAILABLE:
+        return None
+    from tscode_tpu.calculators.gradients import (make_chain_gradient_fn,
+                                                  make_gradient_fn)
+    from tscode_tpu.settings import DEFAULT_LEVELS
+    make = make_chain_gradient_fn if chain else make_gradient_fn
+    return make(
+        mol.atomnos,
+        calculator='XTB',
+        method=embedder.options.theory_level or DEFAULT_LEVELS['XTB'],
+        solvent=embedder.options.solvent,
+        charge=embedder.options.charge,
+        procs=getattr(embedder, 'procs', None) or 1,
+        maxthreads=getattr(embedder, 'threads', None) or 4)
+
+
 def _make_ff_energy(mol):
     '''Batched FF energy closure for one topology (neb/saddle drivers).'''
     from tscode_tpu.ff import build_ff_params, ff_energy, params_to_device
@@ -134,11 +158,19 @@ def _neb_operator(embedder, mol, name):
         start, end = aligned[0], aligned[-1]
         images = n
 
-    embedder.log(f'--> {mol.rootname}: CI-NEB with {images} images '
-                 f'(internal FF surface'
-                 f'{"" if embedder.options.calculator is None else ", calculator refinement pending"})')
-    chain, energies, ts = run_neb(start, end, energy, n_images=images,
-                                  chain=chain)
+    qm_grad = qm_gradient_source(embedder, mol, chain=True)
+    if qm_grad is not None:
+        from tscode_tpu.neb import run_neb_callback
+        embedder.log(f'--> {mol.rootname}: CI-NEB with {images} images '
+                     f'({embedder.options.calculator} '
+                     f'{embedder.options.theory_level} forces)')
+        chain, energies, ts = run_neb_callback(
+            start, end, qm_grad, n_images=images, chain=chain)
+    else:
+        embedder.log(f'--> {mol.rootname}: CI-NEB with {images} images '
+                     f'(internal FF surface)')
+        chain, energies, ts = run_neb(start, end, energy, n_images=images,
+                                      chain=chain)
 
     with open(f'{mol.rootname}_MEP.xyz', 'w') as f:
         for i, (s, e) in enumerate(zip(chain, energies)):
@@ -171,10 +203,19 @@ def _saddle_operator(embedder, mol, name):
     from tscode_tpu.io_xyz import write_xyz
     from tscode_tpu.saddle import saddle_refine_structure
 
-    embedder.log(f'--> {mol.rootname}: dimer saddle refinement '
-                 f'(internal FF surface)')
-    coords, energy, done = saddle_refine_structure(
-        mol.atomcoords[0], mol.atomnos, mol.graph)
+    qm_grad = qm_gradient_source(embedder, mol)
+    if qm_grad is not None:
+        from tscode_tpu.saddle import dimer_saddle_callback
+        embedder.log(f'--> {mol.rootname}: dimer saddle refinement '
+                     f'({embedder.options.calculator} '
+                     f'{embedder.options.theory_level} forces)')
+        coords, energy, done = dimer_saddle_callback(
+            mol.atomcoords[0], qm_grad)
+    else:
+        embedder.log(f'--> {mol.rootname}: dimer saddle refinement '
+                     f'(internal FF surface)')
+        coords, energy, done = saddle_refine_structure(
+            mol.atomcoords[0], mol.atomnos, mol.graph)
     with open(f'{mol.rootname}_saddle.xyz', 'w') as f:
         write_xyz(coords, mol.atomnos, f,
                   title=f'Saddle structure - E = {float(energy):.2f} '

@@ -21,20 +21,30 @@ def _moments_batch(structures, masses):
     return get_inertia_moments(structures, masses)
 
 
-def moi_similarity_matrix(structures, masses, max_deviation=1e-2):
+def moi_similarity_matrix(structures, masses, max_deviation=1e-2,
+                          mesh=None):
     '''
     (B, B) bool: pair (i, j) similar when all three relative moment
     deviations |m_i - m_j| / m_i are below max_deviation (note the
     asymmetric denominator, faithful to algebra.py:188-205).
+
+    mesh: optional Mesh — the per-structure moment computation shards
+    over the structure axis (parallel/sharding.sharded_moments).
     '''
-    moments = _moments_batch(jnp.asarray(structures), jnp.asarray(masses))
+    if mesh is not None and mesh.devices.size > 1:
+        from tscode_tpu.parallel.sharding import sharded_moments
+        moments = jnp.asarray(sharded_moments(structures, masses, mesh))
+    else:
+        moments = _moments_batch(jnp.asarray(structures),
+                                 jnp.asarray(masses))
     mi = moments[:, None, :]
     mj = moments[None, :, :]
     rel = jnp.abs(mi - mj) / mi
     return np.array(jnp.all(rel < max_deviation, axis=-1))
 
 
-def prune_by_moment_of_inertia(structures, atomnos, max_deviation=1e-2):
+def prune_by_moment_of_inertia(structures, atomnos, max_deviation=1e-2,
+                               mesh=None):
     '''
     Returns (pruned_structures, keep_mask). Heavy atoms only, like the
     reference. Edge set: each structure links to its FIRST similar
@@ -51,7 +61,8 @@ def prune_by_moment_of_inertia(structures, atomnos, max_deviation=1e-2):
     if n <= 1:
         return structures, np.ones(n, dtype=bool)
 
-    sim = moi_similarity_matrix(heavy_structures, heavy_masses, max_deviation)
+    sim = moi_similarity_matrix(heavy_structures, heavy_masses,
+                                max_deviation, mesh=mesh)
     np.fill_diagonal(sim, False)
 
     matches = []

@@ -269,13 +269,17 @@ def rmsd_similarity_matrix(structures, rmsd_thr, row_tile=_ROW_TILE):
     return sim
 
 
-def prune_conformers_rmsd(structures, atomnos, rmsd_thr=0.5):
+def prune_conformers_rmsd(structures, atomnos, rmsd_thr=0.5, mesh=None):
     '''
     Remove similar structures; returns (pruned, keep_mask). Reproduces
     the reference's k-bucket schedule and keep/kill semantics
     (rmsd_pruning.py:164-206): per pass, structure i dies when any
     later structure j of the same chunk, active at pass start, has
     rmsd < thr and maxdev < 2*thr.
+
+    mesh: optional jax.sharding.Mesh — runs the identical-semantics
+    SPMD whole-schedule pruner sharded over the pose axis
+    (parallel/prune.py) instead of the single-device path.
     '''
     structures = np.asarray(structures)
     atomnos = np.asarray(atomnos)
@@ -285,6 +289,12 @@ def prune_conformers_rmsd(structures, atomnos, rmsd_thr=0.5):
 
     heavy = atomnos != 1
     heavy_structures = np.ascontiguousarray(structures[:, heavy])
+
+    if mesh is not None and mesh.devices.size > 1:
+        from tscode_tpu.parallel.prune import sharded_prune_rmsd
+        mask = sharded_prune_rmsd(heavy_structures, mesh,
+                                  rmsd_thr=rmsd_thr)
+        return structures[mask], mask
 
     # on accelerator backends with sizable ensembles, the per-pass host
     # orchestration below pays one dispatch+pull round trip per pass —

@@ -100,7 +100,8 @@ def _first_similar_successor(tf_chunk, thresh):
     return first
 
 
-def prune_conformers_tfd(structures, quadruplets, thresh=10, tf_mat=None):
+def prune_conformers_tfd(structures, quadruplets, thresh=10, tf_mat=None,
+                         mesh=None):
     '''
     Prune torsionally-similar structures; returns (pruned, keep_mask).
     Faithful to the reference's bucketed loop (numba_functions.py:142-232):
@@ -110,6 +111,10 @@ def prune_conformers_tfd(structures, quadruplets, thresh=10, tf_mat=None):
      * within a chunk, each structure contributes an edge to its FIRST
        similar successor only; connected components keep their first node.
     The O(n^2 Q) similarity math runs on device; bookkeeping stays host-side.
+
+    mesh: optional jax.sharding.Mesh — the quadratic first-similar-
+    successor search shards its row axis over the mesh (identical
+    results; parallel/sharding.sharded_first_similar_successor).
     '''
     structures = np.asarray(structures)
     n = len(structures)
@@ -140,8 +145,14 @@ def prune_conformers_tfd(structures, quadruplets, thresh=10, tf_mat=None):
             # before building the graph (numba_functions.py:180-214), and
             # which component member survives follows the set's iteration
             # order — reproduce that exactly.
-            first = _first_similar_successor(tf_mat[lo:lo + _l],
-                                             float(thresh))
+            if mesh is not None and mesh.devices.size > 1 and _l > 1:
+                from tscode_tpu.parallel.sharding import \
+                    sharded_first_similar_successor
+                first = sharded_first_similar_successor(
+                    tf_mat[lo:lo + _l], float(thresh), mesh)
+            else:
+                first = _first_similar_successor(tf_mat[lo:lo + _l],
+                                                 float(thresh))
             matches = set()
             for i_rel in range(_l):
                 if first[i_rel] >= 0:

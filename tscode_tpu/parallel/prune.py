@@ -28,7 +28,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:                                    # jax >= 0.8 top-level export
+    from jax import shard_map
+    _NOCHECK = {'check_vma': False}
+except ImportError:                     # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+    _NOCHECK = {'check_rep': False}
 
 from tscode_tpu.ops.rmsd_prune import (_FINISH_MAX,
                                        _finish_body, _inplace_ks,
@@ -45,6 +50,7 @@ def _back_perm(n_dev):
     return [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
 
+@functools.lru_cache(maxsize=64)
 def make_sharded_prune(mesh, n, n_pool, axis_name='poses'):
     '''
     Build the jitted SPMD whole-schedule pruner for ensemble length `n`
@@ -167,7 +173,7 @@ def make_sharded_prune(mesh, n, n_pool, axis_name='poses'):
         step, mesh=mesh,
         in_specs=(P(axis_name), P(axis_name), P()),
         out_specs=(P(axis_name), P(), P()),
-        check_rep=False)
+        **_NOCHECK)
     return jax.jit(sharded)
 
 

@@ -16,16 +16,167 @@ over an ICI mesh with `shard_map`:
  * survivor accounting reduces with psum.
 '''
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:                                    # jax >= 0.8 top-level export
+    from jax import shard_map
+except ImportError:                     # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from tscode_tpu.ops.clash import compenetration_mask
 from tscode_tpu.ops.linalg import _qcp_lambda_max, rot_mat_from_pointer, \
     rotation_matrix_from_vectors
 from tscode_tpu.ops.rmsd_prune import _two_gate_hits
+
+
+def get_default_mesh(axis_name='poses'):
+    '''The mesh the production pipeline shards over: all visible
+    devices, or None when only one device exists or TSCODE_DISABLE_MESH
+    is set. Cached per device count (mesh construction is cheap but the
+    jitted programs built on it are keyed by mesh identity).'''
+    import os
+    if os.environ.get('TSCODE_DISABLE_MESH') == '1':
+        return None
+    devices = jax.devices()
+    if len(devices) < 2:
+        return None
+    key = (len(devices), axis_name)
+    mesh = _MESH_CACHE.get(key)
+    if mesh is None:
+        mesh = Mesh(np.array(devices), (axis_name,))
+        _MESH_CACHE[key] = mesh
+    return mesh
+
+
+_MESH_CACHE = {}
+
+
+def mesh_wants(n_items, threshold=4096):
+    '''Auto-activation rule for sharded stage variants: shard when the
+    workload is big enough to amortize collective overhead, or always
+    when TSCODE_MESH=1 forces it (used by the multi-chip identity tests
+    and the driver dryrun, where tiny shapes must still exercise the
+    sharded code path).'''
+    import os
+    if os.environ.get('TSCODE_MESH') == '1':
+        return True
+    return n_items >= threshold
+
+
+def _pad_rows(arr, mult):
+    '''Pad axis 0 up to a multiple of `mult` (edge-repeat keeps padded
+    rows numerically harmless). Returns (padded, n_real).'''
+    n = len(arr)
+    n_pad = -(-n // mult) * mult
+    if n_pad == n:
+        return arr, n
+    pad_width = [(0, n_pad - n)] + [(0, 0)] * (arr.ndim - 1)
+    return np.pad(arr, pad_width, mode='edge'), n
+
+
+@functools.lru_cache(maxsize=None)
+def _compenetration_program(mesh, axis_name, thresh, max_clashes):
+    def step(poses, pair_mask):
+        return compenetration_mask(poses, pair_mask, thresh=thresh,
+                                   max_clashes=max_clashes)
+    sharded = shard_map(step, mesh=mesh,
+                        in_specs=(P(axis_name), P(None, None)),
+                        out_specs=P(axis_name))
+    return jax.jit(sharded)
+
+
+def sharded_compenetration_mask(poses, pair_mask, mesh, thresh=1.5,
+                                max_clashes=0, axis_name='poses'):
+    '''compenetration_mask sharded over the pose axis — embarrassingly
+    parallel, bit-identical to the single-device op. Returns (B,) bool
+    numpy.'''
+    poses = np.asarray(poses)
+    padded, n = _pad_rows(poses, mesh.devices.size)
+    fn = _compenetration_program(mesh, axis_name, float(thresh),
+                                 int(max_clashes))
+    mask = fn(jnp.asarray(padded), jnp.asarray(np.asarray(pair_mask)))
+    return np.asarray(mask)[:n]
+
+
+@functools.lru_cache(maxsize=None)
+def _moments_program(mesh, axis_name):
+    from tscode_tpu.ops.linalg import get_inertia_moments
+
+    def step(structures, masses):
+        return get_inertia_moments(structures, masses)
+    sharded = shard_map(step, mesh=mesh,
+                        in_specs=(P(axis_name), P(None)),
+                        out_specs=P(axis_name))
+    return jax.jit(sharded)
+
+
+def sharded_moments(structures, masses, mesh, axis_name='poses'):
+    '''Principal inertia moments sharded over the structure axis.
+    Returns (B, 3) numpy.'''
+    structures = np.asarray(structures)
+    padded, n = _pad_rows(structures, mesh.devices.size)
+    fn = _moments_program(mesh, axis_name)
+    moments = fn(jnp.asarray(padded), jnp.asarray(np.asarray(masses)))
+    return np.asarray(moments)[:n]
+
+
+@functools.lru_cache(maxsize=None)
+def _tfd_first_successor_program(mesh, axis_name):
+    '''Rows sharded, columns replicated: each device finds, for its row
+    slice, the first later column within `thresh` wrapped-L1 TFD. The
+    row/column index bookkeeping uses GLOBAL indices so the result is
+    identical to the sequential tile scan.'''
+    def step(tf_rows, tf_all, thresh):
+        n_local = tf_rows.shape[0]
+        g0 = jax.lax.axis_index(axis_name) * n_local
+        i_global = g0 + jnp.arange(n_local)
+
+        # accumulate the wrapped-L1 sum over torsions with a scan so the
+        # live tensor is (n_local, L), never (n_local, L, Q)
+        def body(acc, q_cols):
+            a_q, b_q = q_cols
+            d = jnp.abs(a_q[:, None] - b_q[None, :])
+            return acc + jnp.abs(d - (d > 180) * 360.0), None
+        acc0 = jnp.zeros((n_local, tf_all.shape[0]), dtype=tf_rows.dtype)
+        # the scan carry must be 'varying' over the mesh axis like the
+        # body output; derive it from tf_rows (free after fusion)
+        acc0 = acc0 + tf_rows[:, :1] * 0
+        dist, _ = jax.lax.scan(body, acc0, (tf_rows.T, tf_all.T))
+        sim = dist < thresh
+        j = jnp.arange(tf_all.shape[0])
+        valid = sim & (j[None, :] > i_global[:, None])
+        hit = jnp.any(valid, axis=1)
+        first = jnp.where(hit, jnp.argmax(valid, axis=1), -1)
+        return first
+
+    sharded = shard_map(step, mesh=mesh,
+                        in_specs=(P(axis_name), P(None, None), P()),
+                        out_specs=P(axis_name))
+    return jax.jit(sharded)
+
+
+def sharded_first_similar_successor(tf_chunk, thresh, mesh,
+                                    axis_name='poses'):
+    '''Mesh-parallel form of ops.tfd._first_similar_successor: for each
+    fingerprint row i, the smallest j > i with wrapped-L1 < thresh, or
+    -1. Fingerprints are small (L x Q f32) so the column copy is
+    replicated; the quadratic delta work is what gets sharded.'''
+    tf_chunk = np.asarray(tf_chunk)
+    n_dev = mesh.devices.size
+    padded, n = _pad_rows(tf_chunk, n_dev)
+    if len(padded) > n:
+        # edge-padded rows would alias the last real row and "find"
+        # themselves; poison padded rows instead
+        padded = padded.copy()
+        padded[n:] = 1.0e9
+    fn = _tfd_first_successor_program(mesh, axis_name)
+    first = fn(jnp.asarray(padded), jnp.asarray(padded),
+               jnp.asarray(thresh, padded.dtype))
+    return np.asarray(first)[:n].astype(np.int64)
 
 
 def make_mesh(n_devices=None, axis_name='poses'):

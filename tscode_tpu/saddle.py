@@ -113,6 +113,63 @@ def dimer_saddle(coords, energy_fn, n_steps=300, n_rot=12, dr=1e-3,
     return c, energy_fn(c, *energy_args), done
 
 
+def dimer_saddle_callback(coords, gradient_fn, n_steps=60, n_rot=8,
+                          dr=1e-3, step_size=0.02, fmax=0.05):
+    '''
+    Host-loop dimer for NON-differentiable surfaces (external QM):
+    `gradient_fn(coords (N,3)) -> (energy, grad (N,3))` — e.g. one
+    `xtb --grad` subprocess per call (calculators/gradients.py). Same
+    shifted-power-iteration mode tracking and translation rule as the
+    jitted `dimer_saddle`, with a trimmed rotation budget because every
+    Hessian action costs two QM calls. The in-process analog of the
+    reference's Sella saddle with an ASE calculator
+    (ase_manipulations.py:314-346).
+    Returns (coords, energy, converged).
+    '''
+    c = np.asarray(coords, dtype=float).copy()
+    n = len(c)
+
+    def force(x):
+        return -gradient_fn(x)[1]
+
+    def project(v):
+        return v - v.mean(axis=0, keepdims=True) if n > 1 else v
+
+    def normalize(v):
+        return v / max(np.linalg.norm(v), 1e-12)
+
+    def hv(x, v):
+        return -(force(x + dr * v) - force(x - dr * v)) / (2 * dr)
+
+    def lowest_mode(x, v):
+        for _ in range(2):                      # lambda_max estimate
+            v = normalize(project(hv(x, v)))
+        sigma = 1.1 * abs(np.sum(v * hv(x, v))) + 1.0
+        for _ in range(n_rot):
+            v = normalize(project(sigma * v - hv(x, v)))
+        return v, float(np.sum(v * hv(x, v)))
+
+    v = normalize(project(np.sin(
+        np.arange(n * 3, dtype=float) * 12.9898 + 4.1414).reshape(n, 3)))
+    done = False
+    for _ in range(n_steps):
+        v, curv = lowest_mode(c, v)
+        f = force(c)
+        f_par = np.sum(f * v) * v
+        fmax_now = float(np.max(np.linalg.norm(f, axis=-1)))
+        if fmax_now < fmax and curv < 0.0:
+            done = True
+            break
+        climbing = curv >= 0.0 and fmax_now < 10.0 * fmax
+        f_eff = (-f_par + fmax * v) if climbing else (f - 2.0 * f_par)
+        step = step_size * f_eff
+        max_disp = float(np.max(np.linalg.norm(step, axis=-1)))
+        c = c + step * min(1.0, 0.1 / max(max_disp, 1e-12))
+
+    energy = float(gradient_fn(c)[0])
+    return c, energy, done
+
+
 def _ff_energy_single(c, params):
     from tscode_tpu.ff import ff_energy
     return ff_energy(c[None], params)[0]
