@@ -23,10 +23,30 @@ from tscode_tpu.optimizers import fire_minimize_batch, spring_energy
 from tscode_tpu.pivots import set_pivots
 
 
-def _bend_energy(c, params, pairs, targets):
+_BEND_BOND_K = 2000.0   # kcal/mol/A^2: near-rigid bonds during bending
+
+
+def _bend_energy(c, params, pairs, targets, k):
     '''FF + reactive-pair spring; module-level so the jitted FIRE program
-    is compiled once and reused across bend iterations and molecules.'''
-    return ff_energy(c, params) + spring_energy(c, pairs, targets, k=20.0)
+    is compiled once and reused across bend iterations and molecules.
+    k is TRACED: the bend loop escalates it when progress stalls (the
+    reference's OrbitalSpring uses a hard k=1000 from the start,
+    ase_manipulations.py:539; here stiffening is adaptive so easy bends
+    stay gentle on the frame).
+
+    Bonds are additionally stiffened to _BEND_BOND_K: the reference
+    bends under a FixInternals bond CONSTRAINT (exact lengths,
+    ase_manipulations.py:595-634), so the deformation must go into
+    angles/dihedrals, never into covalent stretches.'''
+    from tscode_tpu.ff import K_BOND
+    e = ff_energy(c, params) + spring_energy(c, pairs, targets, k=k)
+    bonds, bond_r0 = params[0], params[1]
+    if bonds.shape[0]:
+        d = jnp.linalg.norm(c[..., bonds[:, 0], :]
+                            - c[..., bonds[:, 1], :], axis=-1)
+        e = e + (_BEND_BOND_K - K_BOND) * jnp.sum((d - bond_r0) ** 2,
+                                                  axis=-1)
+    return e
 
 
 def _relax_with_gradient(coords, gradient_fn, pair, target, k=20.0,
@@ -130,9 +150,28 @@ def bend_molecule(mol, conf, pivot, threshold, max_iter=40,
     atom_dist = float(np.linalg.norm(coords[i1] - coords[i2]))
     offset = atom_dist - current_len
 
+    # adaptive spring: start gentle, stiffen when the pivot stops
+    # moving (spring/FF equilibrium short of the target); the
+    # reference's OrbitalSpring is hard (k=1000) from the first step
+    k_spring, k_max = 20.0, 1000.0
+    prev_len = None
+
     for it in range(max_iter):
         if current_len <= threshold:
             break
+        if prev_len is not None and abs(prev_len - current_len) < 0.01:
+            if k_spring >= k_max:
+                # stuck at max stiffness: stop, like the reference's
+                # STUCK break (ase_manipulations.py:793-800) — the
+                # embed uses whatever the bend achieved
+                if logfunction:
+                    logfunction(f'{title}: bend stuck at pivot length '
+                                f'{current_len:.2f} A (target '
+                                f'{threshold:.2f} A)')
+                break
+            k_spring = min(k_spring * 4.0, k_max)
+        prev_len = current_len
+
         # step the atom-pair target toward the pivot goal
         target_piv = max(threshold, current_len - 0.3)
         target_atoms = target_piv + offset
@@ -141,13 +180,15 @@ def bend_molecule(mol, conf, pivot, threshold, max_iter=40,
             # external QM surface: host FIRE on the (E, grad) callback
             # + the same reactive-pair spring
             coords = _relax_with_gradient(coords, gradient_fn,
-                                          (i1, i2), target_atoms)
+                                          (i1, i2), target_atoms,
+                                          k=k_spring)
         else:
             relaxed, _, _ = fire_minimize_batch(
                 jnp.asarray(coords)[None], _bend_energy, n_steps=300,
                 fmax=0.05,
                 energy_args=(params, pairs,
-                             jnp.asarray(np.array([target_atoms]))))
+                             jnp.asarray(np.array([target_atoms])),
+                             jnp.asarray(k_spring)))
             coords = np.asarray(relaxed[0])
 
         # rebuild orbitals + pivots from the bent geometry, keeping the
@@ -176,6 +217,17 @@ def bend_molecule(mol, conf, pivot, threshold, max_iter=40,
             override=getattr(mol, '_orbital_override', None))
         new_mol.restore_orb_lengths(orb_memo)
         set_pivots(new_mol, suprafacial=suprafacial)
+
+    # scramble check: the reference accepts at most ONE new bond (the
+    # approaching reactive termini) and reverts to the input molecule
+    # otherwise (ase_manipulations.py:829-834)
+    from tscode_tpu.utils import molecule_check
+    if not molecule_check(mol.atomcoords[conf], new_mol.atomcoords[conf],
+                          mol.atomnos, max_newbonds=1):
+        if logfunction:
+            logfunction(f'{title}: bending scrambled the structure; '
+                        f'reverting to the unbent molecule')
+        new_mol = mol
 
     if cache is not None:
         cache[key] = new_mol
