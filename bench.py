@@ -62,12 +62,17 @@ def build_workload():
     return mols
 
 
-@functools.partial(__import__('jax').jit, static_argnames=('n_angles',))
+@functools.partial(__import__('jax').jit,
+                   static_argnames=('n_angles', 'pallas_pairs'))
 def _embed_clash_all(coords1, coords2, centers1, vecs1, centers2, vecs2,
-                     pair_mask, angles, n_angles):
+                     pair_mask, angles, n_angles, pallas_pairs=None):
     '''Whole-grid string embed + clash screen in ONE device program.
     Grid indices are decoded on device from a flat arange — no index
-    transfers. Returns (poses, clash_ok), both device-resident.'''
+    transfers. Returns (poses, clash_ok), both device-resident.
+    pallas_pairs: STATIC cross-fragment (i, j) tuple — when given, the
+    clash screen runs the Pallas lane-layout kernel fused into this
+    program instead of the XLA matmul form (accelerator backends;
+    ops/clash.use_pallas_clash decides).'''
     import jax.numpy as jnp
     from tscode_tpu.ops.linalg import (rot_mat_from_pointer,
                                        rotation_matrix_from_vectors)
@@ -100,18 +105,24 @@ def _embed_clash_all(coords1, coords2, centers1, vecs1, centers2, vecs2,
     f2 = jnp.einsum('bij,bnj->bni', R, coords2[c2]) + t[:, None, :]
     poses = jnp.concatenate([f1, f2], axis=1)
 
-    a2 = jnp.sum(poses * poses, axis=-1)
-    ab = jnp.einsum('bni,bmi->bnm', poses, poses)
-    d2 = jnp.maximum(a2[:, :, None] + a2[:, None, :] - 2.0 * ab, 0.0)
-    clash_ok = jnp.sum((d2 < 1.5 * 1.5) & pair_mask, axis=(-2, -1)) <= 0
+    if pallas_pairs is not None:
+        from tscode_tpu.ops.pallas.clash import clash_ok_traced
+        clash_ok = clash_ok_traced(poses, pallas_pairs, 1.5)
+    else:
+        a2 = jnp.sum(poses * poses, axis=-1)
+        ab = jnp.einsum('bni,bmi->bnm', poses, poses)
+        d2 = jnp.maximum(a2[:, :, None] + a2[:, None, :] - 2.0 * ab, 0.0)
+        clash_ok = jnp.sum((d2 < 1.5 * 1.5) & pair_mask,
+                           axis=(-2, -1)) <= 0
     return poses, clash_ok
 
 
 @functools.partial(
     __import__('jax').jit,
-    static_argnames=('n_angles', 'n_ok', 's_pool'))
+    static_argnames=('n_angles', 'n_ok', 's_pool', 'pallas_pairs'))
 def _pipeline_fused(coords1, coords2, centers1, vecs1, centers2, vecs2,
-                    pair_mask, angles, heavy_idx, n_angles, n_ok, s_pool):
+                    pair_mask, angles, heavy_idx, n_angles, n_ok, s_pool,
+                    pallas_pairs=None):
     '''The ENTIRE pipeline as one device program: embed grid -> clash ->
     survivor compaction -> whole-schedule RMSD prune. The pruned
     ensemble stays device-resident (as it would feeding a downstream
@@ -125,7 +136,7 @@ def _pipeline_fused(coords1, coords2, centers1, vecs1, centers2, vecs2,
 
     poses, ok = _embed_clash_all.__wrapped__(
         coords1, coords2, centers1, vecs1, centers2, vecs2,
-        pair_mask, angles, n_angles)
+        pair_mask, angles, n_angles, pallas_pairs=pallas_pairs)
     B = poses.shape[0]
     n_ok_dev = jnp.sum(ok)
 
@@ -180,8 +191,17 @@ def run_device_pipeline(mol1, mol2):
     _ = float(jnp.sum(jnp.ones(8)))
     vlog('device link warm')
 
+    # backend A/B policy: Pallas lane-layout clash kernel on
+    # accelerators, XLA matmul form on CPU (override with
+    # TSCODE_USE_PALLAS_CLASH=0/1)
+    from tscode_tpu.ops.clash import static_pairs, use_pallas_clash
+    pallas_pairs = (static_pairs(cross_fragment_pair_mask(ids))
+                    if use_pallas_clash() else None)
+    vlog(f'clash kernel: {"pallas" if pallas_pairs else "xla"}')
+
     # warmup compile of the embed program
-    poses, ok = _embed_clash_all(*args, n_angles=N_ANGLES)
+    poses, ok = _embed_clash_all(*args, n_angles=N_ANGLES,
+                                 pallas_pairs=pallas_pairs)
     poses.block_until_ready()
     B = poses.shape[0]
     vlog(f'embed program compiled, B={B}')
@@ -193,7 +213,8 @@ def run_device_pipeline(mol1, mol2):
     heavy_idx = jnp.asarray(heavy)
     fused_args = args + (heavy_idx,)
     keep, stats = _pipeline_fused(
-        *fused_args, n_angles=N_ANGLES, n_ok=n_ok_warm, s_pool=pool_pad)
+        *fused_args, n_angles=N_ANGLES, n_ok=n_ok_warm, s_pool=pool_pad,
+        pallas_pairs=pallas_pairs)
     keep.block_until_ready()
     stats = np.asarray(stats)
     assert stats[1] == n_ok_warm
@@ -209,7 +230,7 @@ def run_device_pipeline(mol1, mol2):
         t0 = time.perf_counter()
         keep, stats = _pipeline_fused(
             *fused_args, n_angles=N_ANGLES, n_ok=n_ok_warm,
-            s_pool=pool_pad)
+            s_pool=pool_pad, pallas_pairs=pallas_pairs)
         stats = np.asarray(stats)                 # single host pull
         if not stats[2]:
             # survivors exceeded the single-program finish block:
@@ -217,7 +238,8 @@ def run_device_pipeline(mol1, mol2):
             # (timed — the fallback is part of the honest pipeline)
             from tscode_tpu.ops.rmsd_prune import \
                 prune_conformers_rmsd_device
-            poses2, ok2 = _embed_clash_all(*args, n_angles=N_ANGLES)
+            poses2, ok2 = _embed_clash_all(*args, n_angles=N_ANGLES,
+                                           pallas_pairs=pallas_pairs)
             idx2 = jnp.nonzero(ok2, size=pool_pad, fill_value=B)[0]
             hs2 = poses2[jnp.clip(idx2, 0, B - 1)][:, heavy_idx]
             mask = prune_conformers_rmsd_device(

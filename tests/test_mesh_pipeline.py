@@ -66,6 +66,39 @@ def test_full_pipeline_mesh_identity(tmp_path):
     np.testing.assert_array_equal(single, sharded)
 
 
+def test_multiembed_pipeline_mesh_identity(tmp_path):
+    '''multiembed route: unlike string/cyclical, its RunEmbedding DOES
+    run the compenetration_refining stage, so this covers the sharded
+    compenetration path inside the production pipeline too.'''
+    results = {}
+    for env_key in ('TSCODE_DISABLE_MESH', 'TSCODE_MESH'):
+        workdir = str(tmp_path / env_key.lower())
+        os.makedirs(workdir)
+        for name in ('HCOOH.xyz', 'C2H4.xyz'):
+            shutil.copy(os.path.join(FIX, name), workdir)
+        inp = os.path.join(workdir, 'input.txt')
+        with open(inp, 'w') as f:
+            f.write('NOOPT RIGID\nHCOOH.xyz 0 1 3\nC2H4.xyz 0 1\n')
+        cwd = os.getcwd()
+        old = {k: os.environ.pop(k, None)
+               for k in ('TSCODE_MESH', 'TSCODE_DISABLE_MESH')}
+        os.environ[env_key] = '1'
+        try:
+            emb = Embedder(inp, stamp=f'memb_{env_key[-4:].lower()}')
+            run = emb.run()
+            assert run.embed == 'multiembed'
+            results[env_key] = np.array(run.structures)
+        finally:
+            os.chdir(cwd)
+            os.environ.pop(env_key, None)
+            for k, v in old.items():
+                if v is not None:
+                    os.environ[k] = v
+    assert len(results['TSCODE_DISABLE_MESH']) > 0
+    np.testing.assert_array_equal(results['TSCODE_DISABLE_MESH'],
+                                  results['TSCODE_MESH'])
+
+
 def test_sharded_compenetration_matches():
     import jax
     from tscode_tpu.ops.clash import (compenetration_mask,

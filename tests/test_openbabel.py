@@ -1,0 +1,79 @@
+'''OpenBabel FF adapter (calculators/openbabel.py) — canned-output
+tests, mirroring the reference's _openbabel.py:27-148 contract. No
+obabel binary or bindings exist in this image; the CLI path is
+exercised through a faked subprocess like the other adapters.'''
+
+import os
+
+import numpy as np
+import pytest
+
+import tscode_tpu.calculators.openbabel as ob_mod
+from tscode_tpu.errors import InputError
+
+FIX = os.path.join(os.path.dirname(__file__), 'fixtures')
+
+
+def test_method_validation():
+    with pytest.raises(InputError, match='force fields'):
+        ob_mod.openbabel_opt(np.zeros((2, 3)), np.array([6, 6]),
+                             method='B3LYP')
+
+
+def test_stepwise_distance_walk_reaches_target():
+    structure = np.array([[0.0, 0.0, 0.0], [3.0, 0.0, 0.0]])
+    out = ob_mod._stepwise_distance_walk(structure, [(0, 1)], [1.5])
+    assert np.linalg.norm(out[1] - out[0]) == pytest.approx(1.5)
+    # first atom never moves (only the second walks)
+    np.testing.assert_array_equal(out[0], structure[0])
+
+
+def test_cli_path_canned(monkeypatch):
+    from tscode_tpu.io_xyz import read_xyz, write_xyz
+
+    mol = read_xyz(os.path.join(FIX, 'HCOOH.xyz'))
+    shifted = mol.atomcoords[0] + 0.01
+
+    def fake_check_call(cmd, stdout=None, stderr=None, cwd=None, **kw):
+        assert '--minimize' in cmd and '--ff' in cmd
+        outname = cmd[cmd.index('-O') + 1]
+        with open(outname, 'w') as f:
+            write_xyz(shifted, mol.atomnos, f, title='minimized')
+        return 0
+
+    monkeypatch.setattr(ob_mod, '_have_ob_bindings', lambda: False)
+    monkeypatch.setattr(ob_mod.subprocess, 'check_call', fake_check_call)
+    coords, energy, success = ob_mod.openbabel_opt(
+        mol.atomcoords[0], mol.atomnos, method='UFF')
+    np.testing.assert_allclose(coords, shifted, atol=1e-5)
+    assert energy is None and success
+
+
+def test_cli_path_rejects_constraints(monkeypatch):
+    monkeypatch.setattr(ob_mod, '_have_ob_bindings', lambda: False)
+    with pytest.raises(InputError, match='bindings'):
+        ob_mod.openbabel_opt(np.zeros((2, 3)), np.array([6, 6]),
+                             constrained_indices=[(0, 1)])
+
+
+def test_scramble_check_flags_broken_geometry(monkeypatch):
+    '''check=True: an optimizer output that tears the molecule apart is
+    reported as unsuccessful.'''
+    from tscode_tpu.graphs import graphize
+    from tscode_tpu.io_xyz import read_xyz, write_xyz
+
+    mol = read_xyz(os.path.join(FIX, 'HCOOH.xyz'))
+    graph = graphize(mol.atomcoords[0], mol.atomnos)
+    exploded = mol.atomcoords[0] * 3.0
+
+    def fake_check_call(cmd, stdout=None, stderr=None, cwd=None, **kw):
+        outname = cmd[cmd.index('-O') + 1]
+        with open(outname, 'w') as f:
+            write_xyz(exploded, mol.atomnos, f, title='exploded')
+        return 0
+
+    monkeypatch.setattr(ob_mod, '_have_ob_bindings', lambda: False)
+    monkeypatch.setattr(ob_mod.subprocess, 'check_call', fake_check_call)
+    _, _, success = ob_mod.openbabel_opt(
+        mol.atomcoords[0], mol.atomnos, check=True, graphs=[graph])
+    assert not success

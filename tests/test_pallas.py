@@ -58,3 +58,45 @@ def test_pallas_clash_max_clashes():
             p.astype(float), ids=np.array(ids), max_clashes=mc)
             for p in poses], dtype=bool)
         np.testing.assert_array_equal(got, want)
+
+
+def test_clash_ok_traced_matches_xla_and_pads():
+    '''The jit-fusable Pallas clash (production screen path): traced
+    threshold, internal padding to the pose block, identical accept
+    mask to the XLA matmul form.'''
+    from tscode_tpu.ops.clash import compenetration_mask, static_pairs
+    from tscode_tpu.ops.pallas.clash import clash_ok_traced
+
+    ids = (5, 6)
+    poses = rng.normal(size=(137, 11, 3)).astype(np.float32) * 2.2
+    pm = cross_fragment_pair_mask(ids)
+    want = np.asarray(compenetration_mask(jnp.asarray(poses),
+                                          jnp.asarray(pm), thresh=1.5))
+    got = np.asarray(clash_ok_traced(jnp.asarray(poses), static_pairs(pm),
+                                     jnp.asarray(1.5)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_string_embed_pallas_path_identical(tmp_path, monkeypatch):
+    '''string_embed with TSCODE_USE_PALLAS_CLASH=1 (interpret mode on
+    CPU) produces the identical ensemble to the XLA screen.'''
+    import os
+
+    from tscode_tpu.embeds.string import string_embed
+    from tscode_tpu.molecule import Molecule
+
+    fix = os.path.join(os.path.dirname(__file__), 'fixtures')
+    results = {}
+    for flag in ('0', '1'):
+        monkeypatch.setenv('TSCODE_USE_PALLAS_CLASH', flag)
+        mols = []
+        for name in ('C2H4.xyz', 'CH3Cl.xyz'):
+            m = Molecule(os.path.join(fix, name), reactive_indices=[0])
+            m.compute_orbitals()
+            mols.append(m)
+        poses, constrained = string_embed(
+            mols[0], mols[1], np.linspace(0.0, 350.0, 36),
+            log=lambda *a, **k: None)
+        results[flag] = poses
+    assert len(results['0']) > 0
+    np.testing.assert_array_equal(results['0'], results['1'])

@@ -21,6 +21,13 @@ def ensure_backend(prefer=None, quiet=False):
     global _initialized
     import jax
 
+    if prefer is None:
+        # the deployment sitecustomize re-points jax_platforms to the
+        # accelerator AT REGISTRATION TIME, overriding the env var — a
+        # JAX_PLATFORMS=cpu process would still try (and, on a wedged
+        # tunnel, hang) to initialize the accelerator unless the config
+        # is re-asserted here, after that registration
+        prefer = os.environ.get('JAX_PLATFORMS') or None
     if prefer is not None:
         jax.config.update('jax_platforms', prefer)
 

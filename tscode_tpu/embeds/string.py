@@ -27,13 +27,16 @@ from tscode_tpu.ops.tfd import is_new_structure_lru, torsion_fingerprints
 _CHUNK = 4096
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=('pallas_pairs',))
 def _string_chunk(coords1, coords2, centers1, vecs1, centers2, vecs2,
                   pair_mask, quadruplets, angles,
-                  c1, c2, a1, a2, ai, clash_thresh):
+                  c1, c2, a1, a2, ai, clash_thresh, pallas_pairs=None):
     '''
     One grid chunk: index arrays (B,) -> poses (B, N, 3), clash accept
     (B,) bool, torsion fingerprints (B, Q) f32.
+    pallas_pairs: STATIC cross-fragment pair tuple — routes the clash
+    screen through the Pallas lane-layout kernel (accelerator backends,
+    ops/clash.use_pallas_clash policy) instead of the XLA matmul form.
     '''
     p1 = centers1[c1, a1]                       # (B, 3) target lobe
     p2 = centers2[c2, a2]
@@ -48,9 +51,13 @@ def _string_chunk(coords1, coords2, centers1, vecs1, centers2, vecs2,
 
     poses = materialize_two_mol(coords1, coords2, c1, c2, R, t)
 
-    d2 = _pairwise_d2(poses)
-    clash_ok = jnp.sum((d2 < clash_thresh * clash_thresh) & pair_mask,
-                       axis=(-2, -1)) <= 0
+    if pallas_pairs is not None:
+        from tscode_tpu.ops.pallas.clash import clash_ok_traced
+        clash_ok = clash_ok_traced(poses, pallas_pairs, clash_thresh)
+    else:
+        d2 = _pairwise_d2(poses)
+        clash_ok = jnp.sum((d2 < clash_thresh * clash_thresh) & pair_mask,
+                           axis=(-2, -1)) <= 0
 
     tfps = torsion_fingerprints(poses, quadruplets)
     return poses, clash_ok, tfps
@@ -119,6 +126,12 @@ def string_embed(mol1, mol2, angles, clash_thresh=1.5, tfd_thresh=10,
     total = len(c1g)
     log(f'--> Performing string embed ({total} candidates)')
 
+    # backend A/B policy for the clash screen (Pallas on accelerators);
+    # the mesh-sharded variant keeps the XLA form inside shard_map
+    from tscode_tpu.ops.clash import static_pairs, use_pallas_clash
+    pallas_pairs = (static_pairs(cross_fragment_pair_mask(ids))
+                    if use_pallas_clash() else None)
+
     chunk_fn = _string_chunk
     if mesh is not None and mesh.devices.size > 1:
         from tscode_tpu.parallel.sharding import mesh_wants
@@ -144,12 +157,17 @@ def string_embed(mol1, mol2, angles, clash_thresh=1.5, tfd_thresh=10,
         pad = chunk - (hi - lo)
         sl = lambda g: jnp.asarray(np.pad(g[lo:hi], (0, pad), mode='edge'))
         # positional call: shard_map-wrapped programs take no kwargs
-        poses, ok, tfps = chunk_fn(
+        pos_args = (
             dev['coords1'], dev['coords2'], dev['centers1'], dev['vecs1'],
             dev['centers2'], dev['vecs2'], dev['pair_mask'],
             dev['quadruplets'], dev['angles'],
             sl(c1g), sl(c2g), sl(a1g), sl(a2g), sl(aig),
             jnp.asarray(float(clash_thresh)))
+        if chunk_fn is _string_chunk and pallas_pairs is not None:
+            poses, ok, tfps = chunk_fn(*pos_args,
+                                       pallas_pairs=pallas_pairs)
+        else:
+            poses, ok, tfps = chunk_fn(*pos_args)
         ok = np.asarray(ok)[:hi - lo]
         tfps = np.asarray(tfps)[:hi - lo]
         if all_tfps is None:

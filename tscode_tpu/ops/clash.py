@@ -9,8 +9,29 @@ squared distances for a whole padded pose batch at once in matmul form
 Early exits disappear; the semantics (pass/fail per pose) are identical.
 '''
 
+import os
+
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def use_pallas_clash():
+    '''Backend policy for the clash screen: the Pallas lane-layout
+    kernel on accelerator backends (A/B-measured on the chip — see
+    BASELINE.md "Pallas vs XLA"), the XLA matmul form on CPU.
+    TSCODE_USE_PALLAS_CLASH=0/1 overrides.'''
+    env = os.environ.get('TSCODE_USE_PALLAS_CLASH')
+    if env is not None:
+        return env == '1'
+    return jax.default_backend() not in ('cpu',)
+
+
+def static_pairs(pair_mask):
+    '''STATIC (hashable) cross-fragment pair tuple from a host-side
+    pair mask — the Pallas kernel unrolls over it at trace time.'''
+    return tuple((int(i), int(j))
+                 for i, j in zip(*np.nonzero(np.asarray(pair_mask))))
 
 
 def pairwise_dist2(A, B):

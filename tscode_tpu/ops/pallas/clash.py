@@ -45,6 +45,11 @@ def _clash_call(coords_t, pairs, thresh, max_clashes, interpret):
     N = coords_t.shape[0]
     B = coords_t.shape[2]
     bp = min(_POSE_BLOCK, B)
+    if B % bp:
+        raise ValueError(
+            f'pose count {B} is not a multiple of the pose block {bp}; '
+            f'pad the batch (a truncated grid would silently drop the '
+            f'tail poses)')
     kernel = _make_clash_kernel(pairs, float(thresh) ** 2,
                                 float(max_clashes))
     out = pl.pallas_call(
@@ -73,3 +78,59 @@ def compenetration_mask_pallas(poses, pair_mask, thresh=1.5,
                   for i, j in zip(*np.nonzero(np.asarray(pair_mask))))
     coords_t = jnp.transpose(poses.astype(jnp.float32), (1, 2, 0))
     return _clash_call(coords_t, pairs, thresh, max_clashes, interpret)
+
+
+def _make_clash_kernel_dyn(pairs, max_clashes):
+    '''Like _make_clash_kernel but the squared threshold arrives as a
+    runtime scalar (SMEM) so a TRACED clash_thresh can flow through.'''
+
+    def kernel(params_ref, coords_ref, out_ref):
+        thresh2 = params_ref[0, 0]
+        counts = jnp.zeros((1, coords_ref.shape[2]), dtype=jnp.float32)
+        for i, j in pairs:
+            diff = coords_ref[i] - coords_ref[j]          # (3, BP)
+            d2 = jnp.sum(diff * diff, axis=0, keepdims=True)
+            counts = counts + jnp.where(d2 < thresh2, 1.0, 0.0)
+        out_ref[:] = (counts <= max_clashes).astype(jnp.int32)
+
+    return kernel
+
+
+def clash_ok_traced(poses, pairs, thresh, max_clashes=0):
+    '''Jit-traceable form for fusion into larger device programs:
+    poses (B, N, 3) and thresh traced, `pairs` a STATIC tuple of
+    cross-fragment (i, j) index pairs. Pads the pose axis to the block
+    size internally and returns the (B,) accept mask. Used by the
+    production screen when the backend A/B picked Pallas (see
+    ops/clash.use_pallas_clash).
+    '''
+    B = poses.shape[0]
+    bp = min(_POSE_BLOCK, B)
+    B_pad = -(-B // bp) * bp
+    if B_pad != B:
+        poses = jnp.pad(poses, ((0, B_pad - B), (0, 0), (0, 0)))
+    coords_t = jnp.transpose(poses.astype(jnp.float32), (1, 2, 0))
+    params = jnp.reshape(jnp.asarray(thresh, jnp.float32) ** 2, (1, 1))
+    kernel = _make_clash_kernel_dyn(pairs, float(max_clashes))
+    N = coords_t.shape[0]
+    # interpret mode on CPU: semantics testable everywhere, Mosaic
+    # compile only on real accelerator backends
+    interpret = jax.default_backend() == 'cpu'
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((1, B_pad), jnp.int32),
+        grid=(B_pad // bp,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.ANY if interpret
+                         else pltpu.SMEM),
+            pl.BlockSpec((N, 3, bp), lambda i: (0, 0, i),
+                         memory_space=pltpu.ANY if interpret
+                         else pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bp), lambda i: (0, i),
+                               memory_space=pltpu.ANY if interpret
+                               else pltpu.VMEM),
+        interpret=interpret,
+    )(params, coords_t)
+    return out[0, :B].astype(bool)
