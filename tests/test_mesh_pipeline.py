@@ -99,6 +99,57 @@ def test_multiembed_pipeline_mesh_identity(tmp_path):
                                   results['TSCODE_MESH'])
 
 
+def _run_input_with_env(workdir, env_key, content, stamp,
+                        files=('C2H4.xyz',)):
+    os.makedirs(workdir, exist_ok=True)
+    for name in files:
+        shutil.copy(os.path.join(FIX, name), workdir)
+    inp = os.path.join(workdir, 'input.txt')
+    with open(inp, 'w') as f:
+        f.write(content)
+    cwd = os.getcwd()
+    old = {k: os.environ.pop(k, None)
+           for k in ('TSCODE_MESH', 'TSCODE_DISABLE_MESH')}
+    os.environ[env_key] = '1'
+    try:
+        emb = Embedder(inp, stamp=stamp)
+        run = emb.run()
+        return np.array(run.structures)
+    finally:
+        os.chdir(cwd)
+        os.environ.pop(env_key, None)
+        for k, v in old.items():
+            if v is not None:
+                os.environ[k] = v
+
+
+def test_cyclical_bimol_mesh_identity(tmp_path):
+    '''Rigid bimolecular cyclical embed: the sharded block sweep must
+    be bit-identical to the single-device chunk loop.'''
+    content = 'NOOPT RIGID STEPS=6\nC2H4.xyz 0a 3b\nC2H4.xyz 0b 3a\n'
+    single = _run_input_with_env(str(tmp_path / 'single'),
+                                 'TSCODE_DISABLE_MESH', content, 'cycs')
+    sharded = _run_input_with_env(str(tmp_path / 'sharded'),
+                                  'TSCODE_MESH', content, 'cycm')
+    assert len(single) > 0
+    np.testing.assert_array_equal(single, sharded)
+
+
+def test_cyclical_trimol_mesh_identity(tmp_path):
+    content = ('BYPASS DIST(A=2.5,x=2,y=2.5,C=1) SHRINK ROTRANGE=10 '
+               'STEPS=1\nCH3Cl.xyz 0A 4y\nHCOOH.xyz 1A 4x 0C 2C\n'
+               'HCOOH.xyz 1x 4y\n')
+    files = ('CH3Cl.xyz', 'HCOOH.xyz')
+    single = _run_input_with_env(str(tmp_path / 'single'),
+                                 'TSCODE_DISABLE_MESH', content, 'tris',
+                                 files=files)
+    sharded = _run_input_with_env(str(tmp_path / 'sharded'),
+                                  'TSCODE_MESH', content, 'trim',
+                                  files=files)
+    assert len(single) > 0
+    np.testing.assert_array_equal(single, sharded)
+
+
 def test_sharded_compenetration_matches():
     import jax
     from tscode_tpu.ops.clash import (compenetration_mask,

@@ -20,6 +20,8 @@ device-computed similarity bits, preserving the reference's exact
 keep/kill order.
 '''
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -147,10 +149,61 @@ def _block_poses(coords1, coords2, c1, c2, R_align, axis, cor, pos0,
     return poses.reshape(Bb, A, -1, 3), clash_ok.reshape(Bb, A), rmsd, maxdev
 
 
+@functools.lru_cache(maxsize=8)
+def _block_program_sharded(mesh, multi, axis_name='poses'):
+    '''shard_map form of the cyclical block sweep (geometry + pose
+    expansion + clash + angular-similarity matrices) over the BLOCK
+    axis: each device owns a slice of the (conf-pair x pivot-pair x
+    orientation) blocks, molecule tensors and the angle grid are
+    replicated, no collective is needed (the greedy angular dedup is a
+    host-side sequential replay either way). Bit-identical outputs.'''
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:                 # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    rep, sh = P(None), P(axis_name)
+    if multi:
+        def step(coords1, coords2, coords3, c1, c2, c3,
+                 starts, ends, dirs, pvs, mds, apms, mps, rc_axes,
+                 angle_grid, pair_mask, clash_thresh):
+            R_align, axis, cor, pos0 = _block_geometry.__wrapped__(
+                starts, ends, dirs, pvs, mds, apms, mps, rc_axes)
+            return _block_poses_multi.__wrapped__(
+                coords1, coords2, coords3, c1, c2, c3,
+                R_align, axis, cor, pos0, angle_grid, pair_mask,
+                clash_thresh)
+        in_specs = (rep, rep, rep, sh, sh, sh) + (sh,) * 8 \
+            + (rep, P(None, None), P())
+    else:
+        def step(coords1, coords2, c1, c2,
+                 starts, ends, dirs, pvs, mds, apms, mps, rc_axes,
+                 angle_grid, pair_mask, clash_thresh):
+            R_align, axis, cor, pos0 = _block_geometry.__wrapped__(
+                starts, ends, dirs, pvs, mds, apms, mps, rc_axes)
+            return _block_poses.__wrapped__(
+                coords1, coords2, c1, c2, R_align, axis, cor, pos0,
+                angle_grid, pair_mask, clash_thresh)
+        in_specs = (rep, rep, sh, sh) + (sh,) * 8 \
+            + (rep, P(None, None), P())
+    sharded = shard_map(step, mesh=mesh, in_specs=in_specs,
+                        out_specs=(sh, sh, sh, sh))
+    return jax.jit(sharded)
+
+
+def _pick_mesh(n_candidates, mesh):
+    '''Apply the size gate; returns the mesh to use or None.'''
+    if mesh is None or mesh.devices.size < 2:
+        return None
+    from tscode_tpu.parallel.sharding import mesh_wants
+    return mesh if mesh_wants(n_candidates) else None
+
+
 def cyclical_embed_bimol_rigid(mol1, mol2, systematic_angles,
                                clash_thresh=1.5, max_norm_delta=10,
                                pairing_ok=None, log=print,
-                               block_chunk=_BLOCK_CHUNK):
+                               block_chunk=_BLOCK_CHUNK, mesh=None):
     '''
     Rigid bimolecular cyclical embed.
 
@@ -238,6 +291,13 @@ def cyclical_embed_bimol_rigid(mol1, mol2, systematic_angles,
     pair_mask = jnp.asarray(cross_fragment_pair_mask(ids))
     angle_grid = jnp.asarray(angles)
 
+    use_mesh = _pick_mesh(Bb * A, mesh)
+    sharded_fn = (_block_program_sharded(use_mesh, multi=False)
+                  if use_mesh is not None else None)
+    if use_mesh is not None:
+        block_chunk = -(-block_chunk // use_mesh.devices.size) \
+            * use_mesh.devices.size
+
     poses_out, cons_out = [], []
     for lo in range(0, Bb, block_chunk):
         hi = min(lo + block_chunk, Bb)
@@ -248,13 +308,20 @@ def cyclical_embed_bimol_rigid(mol1, mol2, systematic_angles,
                 [x[lo:hi]] + ([x[hi - 1:hi]] * pad if pad else []), axis=0)
                 if pad else x[lo:hi])
 
-        R_align, axis, cor, pos0 = _block_geometry(
-            slc(starts), slc(ends), slc(dirs), slc(pvs), slc(mds),
-            slc(apms), slc(mps), slc(rc_axes))
-        poses, clash_ok, rmsd, maxdev = _block_poses(
-            coords1, coords2, slc(c1_arr), slc(c2_arr),
-            R_align, axis, cor, pos0, angle_grid, pair_mask,
-            float(clash_thresh))
+        if sharded_fn is not None:
+            poses, clash_ok, rmsd, maxdev = sharded_fn(
+                coords1, coords2, slc(c1_arr), slc(c2_arr),
+                slc(starts), slc(ends), slc(dirs), slc(pvs), slc(mds),
+                slc(apms), slc(mps), slc(rc_axes),
+                angle_grid, pair_mask, jnp.asarray(float(clash_thresh)))
+        else:
+            R_align, axis, cor, pos0 = _block_geometry(
+                slc(starts), slc(ends), slc(dirs), slc(pvs), slc(mds),
+                slc(apms), slc(mps), slc(rc_axes))
+            poses, clash_ok, rmsd, maxdev = _block_poses(
+                coords1, coords2, slc(c1_arr), slc(c2_arr),
+                R_align, axis, cor, pos0, angle_grid, pair_mask,
+                float(clash_thresh))
 
         poses = np.asarray(poses)[:hi - lo]
         clash_ok = np.asarray(clash_ok)[:hi - lo]
@@ -438,7 +505,8 @@ def _cyclical_ids_trimol(pivots, orientation, offsets):
 
 
 def cyclical_embed_trimol_rigid(mols, systematic_angles, clash_thresh=1.5,
-                                pairing_ok=None, log=print, block_chunk=8):
+                                pairing_ok=None, log=print, block_chunk=8,
+                                mesh=None):
     '''
     Rigid trimolecular cyclical embed: triangle construction from pivot
     norms, 8 oriented triangles, device-batched direction adjustment,
@@ -584,6 +652,13 @@ def cyclical_embed_trimol_rigid(mols, systematic_angles, clash_thresh=1.5,
     pair_mask = jnp.asarray(cross_fragment_pair_mask(ids))
     angle_grid = jnp.asarray(angles)
 
+    use_mesh = _pick_mesh(Bb * A, mesh)
+    sharded_fn = (_block_program_sharded(use_mesh, multi=True)
+                  if use_mesh is not None else None)
+    if use_mesh is not None:
+        block_chunk = -(-block_chunk // use_mesh.devices.size) \
+            * use_mesh.devices.size
+
     poses_out, cons_out = [], []
     for lo in range(0, Bb, block_chunk):
         hi = min(lo + block_chunk, Bb)
@@ -594,14 +669,24 @@ def cyclical_embed_trimol_rigid(mols, systematic_angles, clash_thresh=1.5,
                 [x[lo:hi]] + ([x[hi - 1:hi]] * pad if pad else []), axis=0)
                 if pad else x[lo:hi])
 
-        R_align, axis, cor, pos0 = _block_geometry(
-            slc(starts), slc(ends), slc(directions), slc(pvs), slc(mds),
-            slc(apms), slc(mps), slc(rc_axes))
-        poses, clash_ok, rmsd, maxdev = _block_poses_multi(
-            coords[0], coords[1], coords[2],
-            slc(conf_arr[:, 0]), slc(conf_arr[:, 1]), slc(conf_arr[:, 2]),
-            R_align, axis, cor, pos0, angle_grid, pair_mask,
-            float(clash_thresh))
+        if sharded_fn is not None:
+            poses, clash_ok, rmsd, maxdev = sharded_fn(
+                coords[0], coords[1], coords[2],
+                slc(conf_arr[:, 0]), slc(conf_arr[:, 1]),
+                slc(conf_arr[:, 2]),
+                slc(starts), slc(ends), slc(directions), slc(pvs),
+                slc(mds), slc(apms), slc(mps), slc(rc_axes),
+                angle_grid, pair_mask, jnp.asarray(float(clash_thresh)))
+        else:
+            R_align, axis, cor, pos0 = _block_geometry(
+                slc(starts), slc(ends), slc(directions), slc(pvs),
+                slc(mds), slc(apms), slc(mps), slc(rc_axes))
+            poses, clash_ok, rmsd, maxdev = _block_poses_multi(
+                coords[0], coords[1], coords[2],
+                slc(conf_arr[:, 0]), slc(conf_arr[:, 1]),
+                slc(conf_arr[:, 2]),
+                R_align, axis, cor, pos0, angle_grid, pair_mask,
+                float(clash_thresh))
 
         poses = np.asarray(poses)[:hi - lo]
         clash_ok = np.asarray(clash_ok)[:hi - lo]
@@ -959,6 +1044,8 @@ def cyclical_embed(embedder, max_norm_delta=5):
     NOTE: the reference calls the fast bimolecular path with
     max_norm_delta=5 through this dispatcher (its own default of 10 is
     effectively unused).'''
+    from tscode_tpu.parallel.sharding import get_default_mesh
+    mesh = get_default_mesh()
     mols = embedder.objects
     if embedder.options.rigid:
         if len(mols) == 2:
@@ -966,12 +1053,14 @@ def cyclical_embed(embedder, max_norm_delta=5):
                 mols[0], mols[1], embedder.systematic_angles,
                 clash_thresh=embedder.options.clash_thresh,
                 max_norm_delta=max_norm_delta,
-                pairing_ok=embedder.pairing_ok_fn(), log=embedder.log)
+                pairing_ok=embedder.pairing_ok_fn(), log=embedder.log,
+                mesh=mesh)
         else:
             poses, cons = cyclical_embed_trimol_rigid(
                 mols, embedder.systematic_angles,
                 clash_thresh=embedder.options.clash_thresh,
-                pairing_ok=embedder.pairing_ok_fn(), log=embedder.log)
+                pairing_ok=embedder.pairing_ok_fn(), log=embedder.log,
+                mesh=mesh)
         embedder.constrained_indices = cons
         return poses
 
