@@ -389,28 +389,107 @@ def _acquire_backend():
     return None
 
 
+def _pipeline_only():
+    '''Child-process entry: run the timed device pipeline and print ONE
+    JSON line {total, seconds, n_ok, n_final, backend}. Isolating the
+    accelerator attempt in a child lets the parent survive a hanging
+    Mosaic compile or a mid-run tunnel wedge and still emit a result.'''
+    from tscode_tpu.backend import ensure_backend
+    backend = ensure_backend(quiet=True)
+    mols = build_workload()
+    total, elapsed, n_ok, n_final = run_device_pipeline(*mols)
+    print('PIPELINE_RESULT ' + json.dumps({
+        'total': total, 'seconds': elapsed, 'n_ok': n_ok,
+        'n_final': n_final, 'backend': backend}))
+
+
+def _run_pipeline_child(env_overrides, timeout_s):
+    '''Run `bench.py --pipeline-only` in a child; returns the parsed
+    result dict or None on timeout/crash.'''
+    import subprocess
+    env = dict(os.environ, **env_overrides)
+    env['PYTHONPATH'] = (os.path.dirname(os.path.abspath(__file__))
+                         + os.pathsep + env.get('PYTHONPATH', ''))
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), '--pipeline-only'],
+            env=env, capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(f'[bench] pipeline child timed out after {timeout_s}s '
+              f'(overrides={env_overrides})', file=sys.stderr)
+        return None, 'timeout'
+    sys.stderr.write(r.stderr[-2000:])
+    for line in r.stdout.splitlines():
+        if line.startswith('PIPELINE_RESULT '):
+            return json.loads(line[len('PIPELINE_RESULT '):]), 'ok'
+    print(f'[bench] pipeline child rc={r.returncode}, no result '
+          f'(overrides={env_overrides})', file=sys.stderr)
+    return None, 'crash'
+
+
 def main():
+    global N_CONFS
+    run_timeout = int(os.environ.get('TSCODE_BENCH_RUN_TIMEOUT', '1500'))
     probed = _acquire_backend()
-    if probed is None:
-        # wedged/unreachable accelerator: run the same pipeline on CPU at
-        # a reduced size rather than hanging the driver. The emitted
-        # metric is labeled backend=cpu so the number is not mistaken
-        # for a TPU result.
-        print('[bench] accelerator unreachable after retries, '
-              'falling back to CPU', file=sys.stderr)
+
+    res = None
+    ab = {}
+    if probed is not None and probed != 'cpu':
+        # accelerator attempt, isolated per clash-kernel variant: the
+        # A/B is recorded, the parent survives a compile hang, and a
+        # Pallas-specific failure still yields the XLA number.
+        for label, flag in (('pallas', '1'), ('xla', '0')):
+            attempt, status = _run_pipeline_child(
+                {'TSCODE_USE_PALLAS_CLASH': flag,
+                 'TSCODE_BENCH_VERBOSE':
+                     os.environ.get('TSCODE_BENCH_VERBOSE', '0')},
+                run_timeout)
+            if attempt is not None:
+                attempt['clash_kernel'] = label
+                ab[label] = attempt['total'] / attempt['seconds']
+                if res is None or ab[label] > res['total'] / res['seconds']:
+                    res = attempt
+            elif status == 'timeout':
+                # a killed remote compile can wedge the tunnel for all
+                # later clients — do NOT resubmit another monster
+                # program on top of it; take the fallback instead
+                print('[bench] skipping further device attempts after '
+                      'a timeout (resubmitting compounds a tunnel '
+                      'wedge)', file=sys.stderr)
+                break
+        if ab:
+            print(f'[bench] clash-kernel A/B (poses/s): '
+                  + ', '.join(f'{k}={v:,.0f}' for k, v in ab.items()),
+                  file=sys.stderr)
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    '.bench_ab.json'), 'w') as f:
+                json.dump(ab, f)
+
+    if res is None:
+        if probed != 'cpu':
+            # wedged/unreachable accelerator (or both device attempts
+            # failed): run the same pipeline on CPU at a reduced size
+            # rather than hanging the driver. The emitted metric is
+            # labeled backend=cpu so the number is not mistaken for a
+            # TPU result.
+            print('[bench] no accelerator result, falling back to CPU',
+                  file=sys.stderr)
+            if 'TSCODE_BENCH_CONFS' not in os.environ:
+                N_CONFS = 24
         os.environ['JAX_PLATFORMS'] = 'cpu'
         import jax
         jax.config.update('jax_platforms', 'cpu')
-        global N_CONFS
-        if 'TSCODE_BENCH_CONFS' not in os.environ:
-            N_CONFS = 24
+        from tscode_tpu.backend import ensure_backend
+        backend = ensure_backend(quiet=True)
+        mols = build_workload()
+        total, elapsed, n_ok, n_final = run_device_pipeline(*mols)
+    else:
+        backend = res['backend']
+        total, elapsed = res['total'], res['seconds']
+        n_ok, n_final = res['n_ok'], res['n_final']
+        mols = build_workload()        # for the baseline fit below
 
-    from tscode_tpu.backend import ensure_backend
-    backend = ensure_backend(quiet=True)
-
-    mols = build_workload()
-
-    total, elapsed, n_ok, n_final = run_device_pipeline(*mols)
     device_rate = total / elapsed
 
     key = f'fit-{N_CONFS}x{N_CONFS}x{N_ANGLES}-n{NOISE}'
@@ -441,11 +520,15 @@ def main():
           f'(vs_baseline uses the fitted full-workload rate)',
           file=sys.stderr)
 
+    ab_note = (' clash A/B poses/s: '
+               + '/'.join(f'{k}={v:,.0f}' for k, v in ab.items()) + ';'
+               if len(ab) > 1 else '')
     result = {
         'metric': (f'poses/sec through embed+clash+RMSD-prune '
                    f'({total} poses, backend={backend}, '
-                   f'{n_ok} clash-ok, {n_final} final; CPU oracle '
-                   f'fitted at this size: {baseline_rate:.2f} poses/s, '
+                   f'{n_ok} clash-ok, {n_final} final;{ab_note} '
+                   f'CPU oracle fitted at this size: '
+                   f'{baseline_rate:.2f} poses/s, '
                    f'measured {fit["measured_rate"]:.0f} poses/s at '
                    f'n={fit["sizes"][-1]})'),
         'value': round(device_rate, 1),
@@ -456,4 +539,7 @@ def main():
 
 
 if __name__ == '__main__':
-    main()
+    if '--pipeline-only' in sys.argv:
+        _pipeline_only()
+    else:
+        main()
