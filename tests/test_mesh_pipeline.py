@@ -150,6 +150,38 @@ def test_cyclical_trimol_mesh_identity(tmp_path):
     np.testing.assert_array_equal(single, sharded)
 
 
+def test_csearch_mesh_identity(tmp_path):
+    '''csearch> operator: the sharded torsion-rotation/back-off kernel
+    and sharded TFD prune must leave the conformer ensemble
+    bit-identical. Compares the csearch-replaced molecule ensembles.'''
+    content = 'NOOPT\ncsearch> C2F2H4.xyz 3 5\n'
+    results = {}
+    for env_key in ('TSCODE_DISABLE_MESH', 'TSCODE_MESH'):
+        workdir = str(tmp_path / env_key.lower())
+        os.makedirs(workdir)
+        shutil.copy(os.path.join(FIX, 'C2F2H4.xyz'), workdir)
+        inp = os.path.join(workdir, 'input.txt')
+        with open(inp, 'w') as f:
+            f.write(content)
+        cwd = os.getcwd()
+        old = {k: os.environ.pop(k, None)
+               for k in ('TSCODE_MESH', 'TSCODE_DISABLE_MESH')}
+        os.environ[env_key] = '1'
+        try:
+            emb = Embedder(inp, stamp=f'cs_{env_key[-4:].lower()}')
+            run = emb.run()
+            results[env_key] = np.array(run.objects[0].atomcoords)
+        finally:
+            os.chdir(cwd)
+            os.environ.pop(env_key, None)
+            for k, v in old.items():
+                if v is not None:
+                    os.environ[k] = v
+    assert len(results['TSCODE_DISABLE_MESH']) >= 2
+    np.testing.assert_array_equal(results['TSCODE_DISABLE_MESH'],
+                                  results['TSCODE_MESH'])
+
+
 def test_sharded_compenetration_matches():
     import jax
     from tscode_tpu.ops.clash import (compenetration_mask,
@@ -211,3 +243,30 @@ def test_sharded_rmsd_prune_via_op_matches():
     _, got = prune_conformers_rmsd(structures, atomnos, rmsd_thr=0.5,
                                    mesh=mesh)
     np.testing.assert_array_equal(ref, got)
+
+
+def test_sharded_fire_matches_single_device():
+    '''Batched FIRE relaxation sharded over structures: per-structure
+    state means bit-identical trajectories, including the non-multiple
+    batch padding.'''
+    import jax.numpy as jnp
+    from tscode_tpu.optimizers import (fire_minimize_batch,
+                                       fire_minimize_batch_sharded)
+    from tscode_tpu.parallel.sharding import get_default_mesh
+
+    def energy(c, center):
+        return jnp.sum((c - center) ** 2, axis=(-2, -1))
+
+    rng = np.random.default_rng(5)
+    coords = rng.normal(size=(19, 6, 3))       # non-multiple of 8
+    center = jnp.asarray(rng.normal(size=(6, 3)))
+
+    ref_c, ref_e, ref_done = fire_minimize_batch(
+        jnp.asarray(coords), energy, n_steps=120, energy_args=(center,))
+    got_c, got_e, got_done = fire_minimize_batch_sharded(
+        coords, energy, get_default_mesh(), n_steps=120,
+        energy_args=(center,))
+    np.testing.assert_array_equal(np.asarray(ref_c), np.asarray(got_c))
+    np.testing.assert_array_equal(np.asarray(ref_e), np.asarray(got_e))
+    np.testing.assert_array_equal(np.asarray(ref_done),
+                                  np.asarray(got_done))

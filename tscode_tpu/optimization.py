@@ -8,6 +8,8 @@ calculator is present on PATH these stages raise a clear error, keeping
 all pure-geometry pipelines (NOOPT/BYPASS) fully functional.
 '''
 
+import functools
+
 import numpy as np
 
 from tscode_tpu.errors import InputError
@@ -122,21 +124,31 @@ def adjust_spacings_batch(embedder, structures, atomnos):
     ncip = jnp.asarray(np.array(nci_pairs, dtype=int)
                        if nci_pairs else np.zeros((0, 2), dtype=int))
 
+    # mesh scale-out: FIRE state is per-structure, so the ensemble
+    # relax shards exactly over the pose axis when a mesh is available
+    from tscode_tpu.parallel.sharding import get_default_mesh, mesh_wants
+    mesh = get_default_mesh()
+    if mesh is not None and mesh_wants(len(structures)):
+        from tscode_tpu.optimizers import fire_minimize_batch_sharded
+        relax = functools.partial(fire_minimize_batch_sharded, mesh=mesh)
+    else:
+        relax = fire_minimize_batch
+
     batch = jnp.asarray(structures)
     # coarse phase: springs + halfsprings (reference :264-270)
-    batch, _, _ = fire_minimize_batch(
+    batch, _, _ = relax(
         batch, _spacing_energy, n_steps=500,
         energy_args=(params, sp, st, ncip,
                      jnp.asarray(50.0), jnp.asarray(500.0)))
     # tight phase: springs only, 10x stiffer (reference Spring.tighten +
     # set_constraint(springs) at :271-279)
-    batch, _, _ = fire_minimize_batch(
+    batch, _, _ = relax(
         batch, _spacing_energy, n_steps=200,
         energy_args=(params, sp, st, ncip,
                      jnp.asarray(500.0), jnp.asarray(0.0)))
     # report the FF energy without the biasing springs: a 0-step pass of
     # the same (cached) program with zeroed spring constants
-    _, pure, _ = fire_minimize_batch(
+    _, pure, _ = relax(
         batch, _spacing_energy, n_steps=0,
         energy_args=(params, sp, st, ncip,
                      jnp.asarray(0.0), jnp.asarray(0.0)))

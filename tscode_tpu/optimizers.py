@@ -11,6 +11,7 @@ and frozen-atom masks. 10k poses relax in the time the reference takes
 for a handful.
 '''
 
+import functools
 from functools import partial
 
 import jax
@@ -102,12 +103,60 @@ def fire_minimize_batch(coords, energy_fn, n_steps=500, dt0=0.05,
         v_out = jnp.where(done_new[:, None, None], 0.0, v_stepped)
         return (c_new, v_out, dt_new, alpha_new, n_pos_new, done_new), None
 
+    # the (B,) control-state inits derive from coords (0 * sum) so their
+    # mesh-varying type matches the loop body's under shard_map; on a
+    # single device this is exactly full(dt0)/full(alpha0)/zeros
+    zero_b = 0.0 * jnp.sum(coords, axis=(-2, -1))
     init = (coords, jnp.zeros_like(coords),
-            jnp.full(B, dt0), jnp.full(B, _ALPHA0),
-            jnp.zeros(B, dtype=jnp.int32), jnp.zeros(B, dtype=bool))
+            dt0 + zero_b, _ALPHA0 + zero_b,
+            zero_b.astype(jnp.int32), zero_b > 0.5)
     (c, _, _, _, _, done), _ = jax.lax.scan(body, init, None,
                                             length=n_steps)
     return c, energy_fn(c, *energy_args), done
+
+
+def fire_minimize_batch_sharded(coords, energy_fn, mesh, n_steps=500,
+                                dt0=0.05, fmax=0.05, energy_args=(),
+                                axis_name='poses'):
+    '''fire_minimize_batch sharded over the structure axis: FIRE state
+    is fully per-structure, so each device relaxes its own slice with
+    no collectives and bit-identical results. energy parameters are
+    replicated (one topology per call, the ensemble-relax pattern).
+    The batch pads to the mesh size with copies of the first structure
+    (discarded). freeze_mask is not supported here — the ensemble
+    callers do not use it.'''
+    coords = jnp.asarray(coords)
+    B = coords.shape[0]
+    n_dev = mesh.devices.size
+    B_pad = -(-B // n_dev) * n_dev
+    if B_pad != B:
+        coords = jnp.concatenate(
+            [coords, jnp.broadcast_to(coords[:1],
+                                      (B_pad - B,) + coords.shape[1:])])
+
+    fn = _fire_sharded_program(mesh, energy_fn, n_steps, float(dt0),
+                               float(fmax), axis_name)
+    c, e, done = fn(coords, tuple(energy_args))
+    return c[:B], e[:B], done[:B]
+
+
+@functools.lru_cache(maxsize=32)
+def _fire_sharded_program(mesh, energy_fn, n_steps, dt0, fmax, axis_name):
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:                 # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    def step(c, args):
+        return fire_minimize_batch.__wrapped__(
+            c, energy_fn, n_steps=n_steps, dt0=dt0, fmax=fmax,
+            energy_args=args)
+
+    return jax.jit(shard_map(step, mesh=mesh,
+                             in_specs=(P(axis_name), P()),
+                             out_specs=(P(axis_name), P(axis_name),
+                                        P(axis_name))))
 
 
 def fire_minimize(coords, energy_fn, **kwargs):

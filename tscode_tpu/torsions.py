@@ -14,6 +14,7 @@ schedule selecting the first clash-free retreat amount — identical
 accepted geometry, no Python in the loop.
 '''
 
+import functools
 import time
 from copy import deepcopy
 
@@ -341,14 +342,34 @@ def _rotate_batch_with_backoff(coords_batch, quad, move_mask, angles,
         return best, found | ok
 
     # s=0 is the full rotation; angle==0 candidates keep their coords and
-    # count as not-rotated
-    init = (coords_batch, jnp.zeros(coords_batch.shape[0], dtype=bool))
+    # count as not-rotated. The all-False init derives from `angles` so
+    # its mesh-varying type matches the loop body's under shard_map.
+    init = (coords_batch, angles > jnp.inf)
     best, found = jax.lax.fori_loop(0, max_backoff_steps + 1, body, init)
 
     nonzero = angles != 0.0
     rotated = found & nonzero
     new_coords = jnp.where((rotated)[:, None, None], best, coords_batch)
     return new_coords, rotated
+
+
+@functools.lru_cache(maxsize=8)
+def _rotate_backoff_sharded(mesh, axis_name='poses'):
+    '''shard_map form of _rotate_batch_with_backoff over the candidate
+    axis: each device rotates and back-off-screens its own slice (the
+    work is per-candidate, no collectives). Bit-identical outputs.'''
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:                 # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    rep, sh = P(None), P(axis_name)
+    sharded = shard_map(
+        _rotate_batch_with_backoff.__wrapped__, mesh=mesh,
+        in_specs=(sh, rep, rep, sh, rep, P()),
+        out_specs=(sh, sh))
+    return jax.jit(sharded)
 
 
 def _apply_torsion_group(coords_batch, torsions_group, graph, angle_sets):
@@ -375,6 +396,15 @@ def _apply_torsion_group(coords_batch, torsions_group, graph, angle_sets):
                                   dtype=angle_sets.dtype)])
     n_rotated = jnp.zeros(B_pad, dtype=jnp.int32)
 
+    # mesh scale-out: per-candidate work shards cleanly (B_pad is a
+    # pow2 bucket, so any pow2 mesh size divides it)
+    from tscode_tpu.parallel.sharding import get_default_mesh, mesh_wants
+    mesh = get_default_mesh()
+    rotate_fn = _rotate_batch_with_backoff
+    if (mesh is not None and B_pad % mesh.devices.size == 0
+            and mesh_wants(B_pad)):
+        rotate_fn = _rotate_backoff_sharded(mesh)
+
     for t, torsion in enumerate(torsions_group):
         quad = np.asarray(torsion.torsion, dtype=np.int32)
         move_mask = get_rotation_mask(graph, torsion.torsion)
@@ -389,10 +419,10 @@ def _apply_torsion_group(coords_batch, torsions_group, graph, angle_sets):
             if max_steps <= bucket:
                 max_steps = bucket
                 break
-        coords_batch, rotated = _rotate_batch_with_backoff(
+        coords_batch, rotated = rotate_fn(
             coords_batch, jnp.asarray(quad), jnp.asarray(move_mask),
             jnp.asarray(angles), jnp.asarray(other_mask),
-            max_steps)
+            jnp.asarray(max_steps))
         n_rotated = n_rotated + rotated.astype(jnp.int32)
 
     return coords_batch[:B], n_rotated[:B]
@@ -628,8 +658,12 @@ def clustered_csearch(coords, atomnos, torsions, graph,
 
     output_structures = np.array(output_structures)
     output_energies = np.array(output_energies)
-    output_structures, keep = prune_conformers_tfd(output_structures,
-                                                   torsion_array)
+    from tscode_tpu.parallel.sharding import get_default_mesh, mesh_wants
+    _mesh = get_default_mesh()
+    output_structures, keep = prune_conformers_tfd(
+        output_structures, torsion_array,
+        mesh=_mesh if _mesh is not None
+        and mesh_wants(len(output_structures)) else None)
     output_energies = output_energies[keep]
 
     # gate on the LAST group's count, as the reference does (:829)
