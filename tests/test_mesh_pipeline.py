@@ -19,6 +19,8 @@ from tscode_tpu.io_xyz import read_xyz, write_xyz
 
 FIX = os.path.join(os.path.dirname(__file__), 'fixtures')
 
+pytestmark = pytest.mark.mesh
+
 
 def _noisy_multi_conf(src, dst, n_confs, seed):
     '''Tile a single-conformer fixture into n_confs jittered frames.'''

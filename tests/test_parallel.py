@@ -10,6 +10,9 @@ from tscode_tpu.parallel import make_mesh, sharded_screen_pipeline
 rng = np.random.default_rng(31)
 
 
+
+pytestmark = __import__("pytest").mark.mesh
+
 def test_mesh_has_8_devices():
     assert len(jax.devices()) == 8
 
