@@ -39,3 +39,15 @@ def test_dryrun_multichip_2():
     import __graft_entry__ as g
 
     g.dryrun_multichip(2)
+
+
+def test_health_probe_resolves_cpu_under_test_env():
+    '''health() runs a real subprocess probe; under the test env
+    (JAX_PLATFORMS=cpu inherited from conftest) it must come back ok
+    on the CPU backend well inside the timeout.'''
+    import __graft_entry__ as g
+
+    h = g.health(timeout_s=240)
+    assert h['ok'], h
+    assert h['backend'] == 'cpu'
+    assert h['seconds'] < 240
