@@ -23,9 +23,15 @@ def run_tests():
     print(f'    calculator: {CALCULATOR or "none found (geometry-only mode)"}')
     print(f'    xtb available: {XTB_AVAILABLE}\n')
 
+    # ensure_backend (not bare jax.default_backend): it re-asserts the
+    # env's platform choice after the host plugin registration, so a
+    # JAX_PLATFORMS=cpu smoke test cannot hang trying to initialize a
+    # wedged accelerator tunnel
+    from tscode_tpu.backend import ensure_backend
+    backend = ensure_backend(quiet=True)
     import jax
-    print(f'    jax backend: {jax.default_backend()}, '
-          f'{len(jax.devices())} device(s)\n')
+    print(f'    jax backend: {backend}, '
+          f'{len(jax.devices())} device(s)\n', flush=True)
 
     scratch = tempfile.mkdtemp(prefix='tscode_tpu_test_')
     fixtures = os.path.join(os.path.dirname(os.path.dirname(
