@@ -221,3 +221,53 @@ def test_adjust_spacings_scramble_path_returns_false(tmp_path):
     excluded = np.array([[0, 6]]).ravel()      # the constrained pair
     ok = scramble_check(pose, nos, excluded, [g1, g1], max_newbonds=0)
     assert ok is False or ok == False          # noqa: E712 — flags, no crash
+
+
+def test_frequencies_from_gradients_matches_analytic():
+    '''The finite-difference-of-gradients path (external-calculator
+    frequencies, reference ase_vib analog) must agree with the analytic
+    FF Hessian on the same surface.'''
+    import jax
+    import jax.numpy as jnp
+
+    from tscode_tpu.ff import build_ff_params, ff_energy, params_to_device
+    from tscode_tpu.graphs import graphize
+    from tscode_tpu.io_xyz import read_xyz
+    from tscode_tpu.optimizers import fire_minimize
+    from tscode_tpu.vibrations import (frequencies,
+                                       frequencies_from_gradients)
+
+    fix = os.path.join(os.path.dirname(__file__), 'fixtures')
+    mol = read_xyz(os.path.join(fix, 'HCOOH.xyz'))
+    graph = graphize(mol.atomcoords[0], mol.atomnos)
+    params = params_to_device(build_ff_params(
+        mol.atomcoords[0], mol.atomnos, graph))
+
+    def e_fn(c):
+        return ff_energy(c[None], params)[0]
+
+    # relax to a minimum first so both spectra are clean
+    coords, _, _ = fire_minimize(mol.atomcoords[0], ff_energy,
+                                 energy_args=(params,), n_steps=2000,
+                                 fmax=1e-4)
+
+    grad_jax = jax.grad(e_fn)
+
+    def gradient_fn(c):
+        cj = jnp.asarray(c)
+        return float(e_fn(cj)), np.asarray(grad_jax(cj))
+
+    ref, n_imag_ref = frequencies(coords, mol.atomnos, e_fn)
+    got, n_imag_got = frequencies_from_gradients(coords, mol.atomnos,
+                                                 gradient_fn)
+    # finite differences vs analytic: real modes agree to a fraction of
+    # a wavenumber. The FF has no torsional stiffness (bonds + angles +
+    # repulsion only), so its near-zero torsion modes sit below the FD
+    # noise floor — compare the meaningful spectrum (> 20 cm^-1) and
+    # bound the rest.
+    ref_s, got_s = np.sort(ref), np.sort(got)
+    real = ref_s > 20.0
+    np.testing.assert_allclose(got_s[real], ref_s[real],
+                               atol=0.5, rtol=0.005)
+    assert np.all(np.abs(got_s[~real]) < 20.0)
+    assert n_imag_got == n_imag_ref == 0

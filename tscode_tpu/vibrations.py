@@ -206,6 +206,44 @@ def thermochemistry(freqs_cm, atomnos, coords, temperature=298.15,
             'h_corr': h_corr, 's': s_tot, 'g_corr': g_corr}
 
 
+def frequencies_from_gradients(coords, atomnos, gradient_fn, dx=0.01,
+                               project=True):
+    '''Harmonic frequencies from an EXTERNAL (energy, gradient)
+    callback — central finite differences of the gradient build the
+    Hessian (6N single-point gradient calls), then the same
+    mass-weighting/Eckart-projection/eigensolve as the analytic path.
+    The ASE-free analog of the reference's ase_vib with a QM
+    calculator (ase_manipulations.py:348-380; displacement scheme of
+    ase.vibrations.Vibrations). Returns (freqs_cm (3N,), n_imag).'''
+    _require_x64()
+    coords = np.asarray(coords, dtype=float)
+    n = len(coords)
+    flat = coords.reshape(-1)
+
+    hess = np.zeros((3 * n, 3 * n))
+    for i in range(3 * n):
+        plus = flat.copy()
+        plus[i] += dx
+        minus = flat.copy()
+        minus[i] -= dx
+        g_plus = np.asarray(gradient_fn(plus.reshape(n, 3))[1]).reshape(-1)
+        g_minus = np.asarray(gradient_fn(minus.reshape(n, 3))[1]).reshape(-1)
+        hess[i] = (g_plus - g_minus) / (2.0 * dx)
+    hess = 0.5 * (hess + hess.T)
+
+    masses = np.asarray(MASSES[np.asarray(atomnos)], dtype=float)
+    w = 1.0 / np.sqrt(np.repeat(masses, 3))
+    h = jnp.asarray(hess * w[:, None] * w[None, :])
+    if project:
+        p = _tr_rot_projector(jnp.asarray(coords), jnp.asarray(masses))
+        h = p @ h @ p
+    evals = np.asarray(jnp.linalg.eigvalsh(h))
+    freqs = np.sign(evals) * _FREQ_FACTOR * np.sqrt(np.abs(evals))
+    freqs = np.where(np.abs(freqs) < 1.0, 0.0, freqs)
+    n_imag = int(np.sum(freqs < -1e-3))
+    return freqs, n_imag
+
+
 def ff_free_energy(coords, atomnos, energy_fn, temperature=298.15,
                    symmetry_number=1):
     '''Electronic (FF) energy + RRHO Gibbs correction — the hermetic
