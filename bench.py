@@ -346,26 +346,11 @@ def _probe_backend(timeout_s):
     in-process), which would hang the whole benchmark; probing from a
     child lets the parent fall back to CPU and still emit a result.
     Returns the resolved backend name, or None on hang/failure.'''
-    import subprocess
-    code = (
-        "from tscode_tpu.backend import ensure_backend\n"
-        "backend = ensure_backend(quiet=True)\n"
-        "import jax.numpy as jnp\n"
-        "assert float(jnp.sum(jnp.ones(8))) == 8.0\n"
-        "print('PROBE_OK', backend)\n")
-    env = dict(os.environ)
-    env['PYTHONPATH'] = (os.path.dirname(os.path.abspath(__file__))
-                         + os.pathsep + env.get('PYTHONPATH', ''))
-    try:
-        r = subprocess.run([sys.executable, '-c', code], env=env,
-                           capture_output=True, text=True,
-                           timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        return None
-    for line in r.stdout.splitlines():
-        if line.startswith('PROBE_OK'):
-            return line.split()[1]
-    return None
+    from tscode_tpu.backend import subprocess_probe
+    result = subprocess_probe(timeout_s=timeout_s)
+    if not result['ok']:
+        print(f'[bench] probe: {result["detail"]}', file=sys.stderr)
+    return result['backend']
 
 
 def _acquire_backend():

@@ -21,11 +21,25 @@ def test_method_validation():
 
 
 def test_stepwise_distance_walk_reaches_target():
+    '''The walk re-optimizes after EVERY 0.2 A step (the reference's
+    recursion exists to prevent teleport-induced scrambling) and lands
+    exactly on the target.'''
     structure = np.array([[0.0, 0.0, 0.0], [3.0, 0.0, 0.0]])
-    out = ob_mod._stepwise_distance_walk(structure, [(0, 1)], [1.5])
+    opt_calls = []
+
+    def fake_opt(s):
+        opt_calls.append(np.linalg.norm(s[1] - s[0]))
+        return s
+
+    out = ob_mod._stepwise_distance_walk(structure, [(0, 1)], [1.5],
+                                         fake_opt)
     assert np.linalg.norm(out[1] - out[0]) == pytest.approx(1.5)
     # first atom never moves (only the second walks)
     np.testing.assert_array_equal(out[0], structure[0])
+    # one intermediate optimization per 0.2 A of approach (3.0 -> 1.5
+    # is 1.5 A; the loop stops once within 0.2 A of the target)
+    assert len(opt_calls) >= 6
+    assert all(b <= a + 1e-9 for a, b in zip(opt_calls, opt_calls[1:]))
 
 
 def test_cli_path_canned(monkeypatch):

@@ -55,3 +55,46 @@ def ensure_backend(prefer=None, quiet=False):
 
     _initialized = True
     return backend
+
+
+def subprocess_probe(timeout_s=120):
+    '''Warm-link probe (`ensure_backend` + `float(jnp.sum(jnp.ones(8)))`)
+    in a SUBPROCESS with a hard timeout — a wedged device tunnel blocks
+    inside PJRT init, which is not catchable in-process. Shared by the
+    driver health entry (__graft_entry__.health) and the benchmark's
+    backend acquisition. Returns
+    {"ok": bool, "backend": str|None, "seconds": float, "detail": str};
+    a timeout (tunnel wedged) is distinguishable from a crash (broken
+    code, rc + stderr tail in "detail").'''
+    import subprocess
+    import sys
+    import time
+
+    code = (
+        "from tscode_tpu.backend import ensure_backend\n"
+        "backend = ensure_backend(quiet=True)\n"
+        "import jax.numpy as jnp\n"
+        "assert float(jnp.sum(jnp.ones(8))) == 8.0\n"
+        "print('PROBE_OK', backend)\n")
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env['PYTHONPATH'] = (pkg_parent + os.pathsep
+                         + env.get('PYTHONPATH', ''))
+    t0 = time.perf_counter()
+    try:
+        r = subprocess.run([sys.executable, '-c', code], env=env,
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return {'ok': False, 'backend': None,
+                'seconds': time.perf_counter() - t0,
+                'detail': f'probe timed out after {timeout_s}s '
+                          '(tunnel wedged?)'}
+    dt = time.perf_counter() - t0
+    for line in r.stdout.splitlines():
+        if line.startswith('PROBE_OK'):
+            return {'ok': True, 'backend': line.split()[1],
+                    'seconds': dt, 'detail': 'warm-link probe passed'}
+    return {'ok': False, 'backend': None, 'seconds': dt,
+            'detail': f'probe rc={r.returncode}: '
+                      f'{(r.stderr or r.stdout).strip()[-400:]}'}

@@ -51,14 +51,16 @@ def _bend_energy(c, params, pairs, targets, k):
 
 def _relax_with_gradient(coords, gradient_fn, pair, target, k=20.0,
                          n_steps=50, fmax=0.05, dt0=0.05):
-    '''Host FIRE relaxation on an external (E, grad) callback plus the
+    '''Host relaxation on an external (E, grad) callback plus the
     reactive-pair spring — the QM-force form of the bend step (the
     reference runs the same shape through ASE optimizers with spring
-    constraints, ase_manipulations.py:683-866). Returns coords.'''
+    constraints, ase_manipulations.py:683-866). The integrator is the
+    SHARED jitted FIRE update from neb.py (one implementation to keep
+    correct); only the force assembly is bend-specific. Returns coords.'''
+    from tscode_tpu.neb import _fire_band_update, _fire_init
+
     c = np.asarray(coords, dtype=float).copy()
     i1, i2 = pair
-    v = np.zeros_like(c)
-    dt, alpha, n_pos = dt0, 0.1, 0
 
     def total_force(x):
         g = gradient_fn(x)[1]
@@ -66,32 +68,19 @@ def _relax_with_gradient(coords, gradient_fn, pair, target, k=20.0,
         d = max(np.linalg.norm(delta), 1e-12)
         # d/dx of k*(d - target)^2
         sg = 2.0 * k * (d - target) * delta / d
-        g = g.copy()
+        g = np.array(g, dtype=float)
         g[i1] += sg
         g[i2] -= sg
         return -g
 
+    state = _fire_init(jnp.asarray(c), jnp.asarray(dt0))
     for _ in range(n_steps):
-        f = total_force(c)
-        if np.max(np.linalg.norm(f, axis=-1)) < fmax:
+        if bool(state[5]):
             break
-        power = float(np.sum(f * v))
-        if power > 0:
-            v = ((1 - alpha) * v + alpha * f * np.linalg.norm(v)
-                 / max(np.linalg.norm(f), 1e-12))
-            n_pos += 1
-            if n_pos > 5:
-                dt = min(dt * 1.1, dt0 * 4)
-                alpha *= 0.99
-        else:
-            v[:] = 0.0
-            dt *= 0.5
-            alpha, n_pos = 0.1, 0
-        v = v + dt * f
-        step = dt * v
-        max_disp = float(np.max(np.linalg.norm(step, axis=-1)))
-        c = c + step * min(1.0, 0.1 / max(max_disp, 1e-12))
-    return c
+        f = total_force(np.asarray(state[0]))
+        state = _fire_band_update(state, jnp.asarray(f),
+                                  jnp.asarray(dt0), jnp.asarray(fmax))
+    return np.asarray(state[0])
 
 
 def bend_key(mol, pivot, threshold, conf=0):

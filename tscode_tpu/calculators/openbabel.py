@@ -38,26 +38,46 @@ def _have_ob_bindings():
         return False
 
 
+def _place_at_distance(structure, a, b, target_d):
+    '''Move atom b along the a->b axis so |b - a| == target_d.'''
+    delta_vec = structure[b] - structure[a]
+    d = float(np.linalg.norm(delta_vec))
+    structure[b] -= delta_vec / d * (d - target_d)
+
+
 def _stepwise_distance_walk(structure, constrained_indices,
-                            constrained_distances):
-    '''Walk each constrained pair's second atom toward its target in
-    0.2 A steps (iterative form of the reference's recursion,
-    _openbabel.py:59-84), then place it exactly at the target.'''
+                            constrained_distances, optimize_step):
+    '''Walk each constrained pair toward its target in 0.2 A steps,
+    RE-OPTIMIZING (frozen constrained atoms) after every step — the
+    iterative form of the reference's recursion (_openbabel.py:59-84),
+    which exists precisely so the force field never perceives a
+    teleported, possibly-clashing geometry and scrambles. optimize_step:
+    structure -> structure (one constrained OB minimization).'''
     structure = np.asarray(structure, dtype=float).copy()
+    while True:
+        worst = 0.0
+        for target_d, (a, b) in zip(constrained_distances,
+                                    constrained_indices):
+            if target_d is None:
+                continue
+            d = float(np.linalg.norm(structure[b] - structure[a]))
+            worst = max(worst, abs(d - target_d))
+        if worst <= 0.2:
+            break
+        for target_d, (a, b) in zip(constrained_distances,
+                                    constrained_indices):
+            if target_d is None:
+                continue
+            d = float(np.linalg.norm(structure[b] - structure[a]))
+            delta = d - target_d
+            if abs(delta) > 0.2:
+                _place_at_distance(structure, a, b,
+                                   d - 0.2 * np.sign(delta))
+        structure = optimize_step(structure)
     for target_d, (a, b) in zip(constrained_distances,
                                 constrained_indices):
-        if target_d is None:
-            continue
-        while True:
-            delta_vec = structure[b] - structure[a]
-            d = float(np.linalg.norm(delta_vec))
-            if abs(d - target_d) <= 0.2:
-                break
-            step = 0.2 if d > target_d else -0.2
-            structure[b] -= delta_vec / d * step
-        delta_vec = structure[b] - structure[a]
-        d = float(np.linalg.norm(delta_vec))
-        structure[b] -= delta_vec / d * (d - target_d)
+        if target_d is not None:
+            _place_at_distance(structure, a, b, target_d)
     return structure
 
 
@@ -145,23 +165,30 @@ def openbabel_opt(structure, atomnos, constrained_indices=None,
     constrained_indices = ([] if constrained_indices is None
                            else list(constrained_indices))
 
-    if constrained_distances is not None and tight_constraint:
-        structure = _stepwise_distance_walk(structure,
-                                            constrained_indices,
-                                            constrained_distances)
-
-    if _have_ob_bindings():
-        opt_coords, energy = _opt_with_bindings(
-            structure, atomnos, constrained_indices, method, nsteps,
-            tight_constraint, constrained_distances, title)
-    elif len(constrained_indices) == 0:
-        opt_coords, energy = _opt_with_cli(structure, atomnos, method,
-                                           nsteps, title)
-    else:
+    have_bindings = _have_ob_bindings()
+    if len(constrained_indices) and not have_bindings:
         raise InputError(
             'Constrained OpenBabel optimization needs the openbabel '
             'python bindings (the obabel CLI has no constraint '
             'interface); install them or use the xtb/internal FF path.')
+
+    if constrained_distances is not None and tight_constraint:
+        def optimize_step(s):
+            return _opt_with_bindings(s, atomnos, constrained_indices,
+                                      method, nsteps, tight_constraint,
+                                      constrained_distances, title)[0]
+        structure = _stepwise_distance_walk(structure,
+                                            constrained_indices,
+                                            constrained_distances,
+                                            optimize_step)
+
+    if have_bindings:
+        opt_coords, energy = _opt_with_bindings(
+            structure, atomnos, constrained_indices, method, nsteps,
+            tight_constraint, constrained_distances, title)
+    else:
+        opt_coords, energy = _opt_with_cli(structure, atomnos, method,
+                                           nsteps, title)
 
     if check:
         from tscode_tpu.utils import scramble_check

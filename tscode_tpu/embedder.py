@@ -858,17 +858,14 @@ class RunEmbedding(Embedder):
 
     def _mesh(self, n_items=None):
         '''The device mesh the pipeline shards over, or None. With
-        n_items given, also applies the size gate (mesh_wants) so tiny
-        ensembles skip collective overhead — TSCODE_MESH=1 forces the
-        sharded paths at any size (identity tests, driver dryrun).'''
+        n_items given, also applies the size gate so tiny ensembles
+        skip collective overhead — TSCODE_MESH=1 forces the sharded
+        paths at any size (identity tests, driver dryrun).'''
         from tscode_tpu.parallel.sharding import get_default_mesh, \
-            mesh_wants
-        mesh = get_default_mesh()
-        if mesh is None:
-            return None
-        if n_items is not None and not mesh_wants(n_items):
-            return None
-        return mesh
+            mesh_for
+        if n_items is None:
+            return get_default_mesh()
+        return mesh_for(n_items)
 
     # ---------------------------------------------------------- pipeline
 

@@ -260,26 +260,47 @@ def run_neb_callback(start, end, grad_chain_fn, n_images=7, k_spring=1.0,
             f'NEB needs at least 3 images (got {chain.shape[0]}): '
             f'a band without interior images cannot relax a path.')
 
+    # two phases with a FRESH FIRE state each, exactly like the
+    # differentiable path's two _neb_relax calls: a band that converges
+    # early in the pre-relax still gets its climbing refinement
     state = _fire_init(chain, dt0)
+    climbing = False
     energies = None
+    coords_evaluated = None
     for step in range(n_steps):
-        energies, grads = grad_chain_fn(np.asarray(state[0]))
-        # climb only after the pre-relax phase AND when an interior
-        # barrier exists (same guard as the differentiable path)
-        climbing = bool(
-            step >= climb_after
-            and np.max(energies[1:-1])
-            > max(energies[0], energies[-1]) + 1e-6)
+        if not climbing and (step >= climb_after
+                             or (energies is not None
+                                 and bool(state[5]))):
+            # pre-relax done (by schedule or convergence): climb when an
+            # interior barrier exists (same guard as run_neb)
+            has_barrier = (energies is not None
+                           and np.max(energies[1:-1])
+                           > max(energies[0], energies[-1]) + 1e-6)
+            if not has_barrier and bool(state[5]):
+                break               # converged, nothing to climb
+            if not has_barrier:
+                pass                # keep relaxing without climbing
+            else:
+                climbing = True
+                state = _fire_init(state[0], dt0)
+        elif climbing and bool(state[5]):
+            break                   # climbing phase converged
+
+        coords_evaluated = np.asarray(state[0])
+        energies, grads = grad_chain_fn(coords_evaluated)
         state = _band_step(state, jnp.asarray(energies),
                            jnp.asarray(grads),
                            jnp.asarray(k_spring, chain.dtype),
                            jnp.asarray(dt0, chain.dtype),
                            jnp.asarray(fmax, chain.dtype), climbing)
-        if bool(state[5]):              # converged: stop paying QM calls
-            break
 
     final = np.asarray(state[0])
-    energies, _ = grad_chain_fn(final)
+    if (coords_evaluated is None
+            or not np.array_equal(final, coords_evaluated)):
+        # only pay another chain evaluation when the band actually
+        # moved after its last evaluation (converged exits leave the
+        # coords identical to the step that latched `done`)
+        energies, _ = grad_chain_fn(final)
     ts_index = int(1 + np.argmax(energies[1:-1]))
     return final, np.asarray(energies), ts_index
 

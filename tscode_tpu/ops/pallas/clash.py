@@ -74,8 +74,8 @@ def compenetration_mask_pallas(poses, pair_mask, thresh=1.5,
     (B,) bool accept. B must be a multiple of 2048 (or B itself when
     smaller); pad the batch with anything and discard the padded results.
     '''
-    pairs = tuple((int(i), int(j))
-                  for i, j in zip(*np.nonzero(np.asarray(pair_mask))))
+    from tscode_tpu.ops.clash import static_pairs
+    pairs = static_pairs(pair_mask)
     coords_t = jnp.transpose(poses.astype(jnp.float32), (1, 2, 0))
     return _clash_call(coords_t, pairs, thresh, max_clashes, interpret)
 

@@ -126,9 +126,9 @@ def adjust_spacings_batch(embedder, structures, atomnos):
 
     # mesh scale-out: FIRE state is per-structure, so the ensemble
     # relax shards exactly over the pose axis when a mesh is available
-    from tscode_tpu.parallel.sharding import get_default_mesh, mesh_wants
-    mesh = get_default_mesh()
-    if mesh is not None and mesh_wants(len(structures)):
+    from tscode_tpu.parallel.sharding import mesh_for
+    mesh = mesh_for(len(structures))
+    if mesh is not None:
         from tscode_tpu.optimizers import fire_minimize_batch_sharded
         relax = functools.partial(fire_minimize_batch_sharded, mesh=mesh)
     else:

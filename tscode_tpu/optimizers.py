@@ -128,7 +128,10 @@ def fire_minimize_batch_sharded(coords, energy_fn, mesh, n_steps=500,
     coords = jnp.asarray(coords)
     B = coords.shape[0]
     n_dev = mesh.devices.size
-    B_pad = -(-B // n_dev) * n_dev
+    # fixed pow2 bucket (multiple of the mesh size): executables are
+    # keyed on shapes and remote compiles are expensive (CLAUDE.md)
+    B_pad = max(8, 1 << max(0, (B - 1)).bit_length())
+    B_pad = -(-B_pad // n_dev) * n_dev
     if B_pad != B:
         coords = jnp.concatenate(
             [coords, jnp.broadcast_to(coords[:1],

@@ -189,7 +189,12 @@ def sharded_prune_rmsd(heavy_structures, mesh, rmsd_thr=0.5, n_real=None,
     hs = np.asarray(heavy_structures)
     n = int(n_real) if n_real is not None else len(hs)
     n_dev = mesh.devices.size
-    n_pool = -(-len(hs) // n_dev) * n_dev
+    # pow2 pool bucket (multiple of the mesh size) so the big sharded
+    # tensors reuse executables across ensemble sizes; the semantic
+    # length n still keys the program (the reference's chunk boundaries
+    # derive from it), which is inherent to exact order parity
+    n_pool = max(8, 1 << max(0, (len(hs) - 1)).bit_length())
+    n_pool = -(-n_pool // n_dev) * n_dev
     hs_pad = np.zeros((n_pool,) + hs.shape[1:], dtype=hs.dtype)
     hs_pad[:len(hs)] = hs
     alive = np.zeros(n_pool, dtype=bool)

@@ -67,11 +67,27 @@ def mesh_wants(n_items, threshold=4096):
     return n_items >= threshold
 
 
+def mesh_for(n_items, threshold=4096, axis_name='poses'):
+    '''One-stop activation gate for sharded stage variants: the default
+    mesh when one exists AND the workload clears the size gate
+    (mesh_wants), else None. Call sites should use this instead of
+    restating the (mesh, device count, size) checks.'''
+    mesh = get_default_mesh(axis_name)
+    if mesh is None or not mesh_wants(n_items, threshold):
+        return None
+    return mesh
+
+
 def _pad_rows(arr, mult):
-    '''Pad axis 0 up to a multiple of `mult` (edge-repeat keeps padded
-    rows numerically harmless). Returns (padded, n_real).'''
+    '''Pad axis 0 to a FIXED pow2 bucket rounded up to a multiple of
+    `mult`: device executables are keyed on shapes, and remote compiles
+    cost 5-30 s each with an unreliable cross-process cache (CLAUDE.md
+    env rules), so shapes must come from a small fixed set rather than
+    one per exact ensemble size. Edge-repeat keeps padded rows
+    numerically harmless. Returns (padded, n_real).'''
     n = len(arr)
-    n_pad = -(-n // mult) * mult
+    n_pad = max(8, 1 << max(0, (n - 1)).bit_length())
+    n_pad = -(-n_pad // mult) * mult
     if n_pad == n:
         return arr, n
     pad_width = [(0, n_pad - n)] + [(0, 0)] * (arr.ndim - 1)

@@ -142,12 +142,18 @@ def dimer_saddle_callback(coords, gradient_fn, n_steps=60, n_rot=8,
         return -(force(x + dr * v) - force(x - dr * v)) / (2 * dr)
 
     def lowest_mode(x, v):
+        # one Hessian action (2 gradient calls) per v-update, reused
+        # across the sigma estimate / shift / curvature lines — each
+        # hv() costs two QM subprocesses, so no argument repeats
+        hv_v = hv(x, v)
         for _ in range(2):                      # lambda_max estimate
-            v = normalize(project(hv(x, v)))
-        sigma = 1.1 * abs(np.sum(v * hv(x, v))) + 1.0
+            v = normalize(project(hv_v))
+            hv_v = hv(x, v)
+        sigma = 1.1 * abs(np.sum(v * hv_v)) + 1.0
         for _ in range(n_rot):
-            v = normalize(project(sigma * v - hv(x, v)))
-        return v, float(np.sum(v * hv(x, v)))
+            v = normalize(project(sigma * v - hv_v))
+            hv_v = hv(x, v)
+        return v, float(np.sum(v * hv_v))
 
     v = normalize(project(np.sin(
         np.arange(n * 3, dtype=float) * 12.9898 + 4.1414).reshape(n, 3)))

@@ -398,11 +398,10 @@ def _apply_torsion_group(coords_batch, torsions_group, graph, angle_sets):
 
     # mesh scale-out: per-candidate work shards cleanly (B_pad is a
     # pow2 bucket, so any pow2 mesh size divides it)
-    from tscode_tpu.parallel.sharding import get_default_mesh, mesh_wants
-    mesh = get_default_mesh()
+    from tscode_tpu.parallel.sharding import mesh_for
+    mesh = mesh_for(B_pad)
     rotate_fn = _rotate_batch_with_backoff
-    if (mesh is not None and B_pad % mesh.devices.size == 0
-            and mesh_wants(B_pad)):
+    if mesh is not None and B_pad % mesh.devices.size == 0:
         rotate_fn = _rotate_backoff_sharded(mesh)
 
     for t, torsion in enumerate(torsions_group):
@@ -658,12 +657,10 @@ def clustered_csearch(coords, atomnos, torsions, graph,
 
     output_structures = np.array(output_structures)
     output_energies = np.array(output_energies)
-    from tscode_tpu.parallel.sharding import get_default_mesh, mesh_wants
-    _mesh = get_default_mesh()
+    from tscode_tpu.parallel.sharding import mesh_for
     output_structures, keep = prune_conformers_tfd(
         output_structures, torsion_array,
-        mesh=_mesh if _mesh is not None
-        and mesh_wants(len(output_structures)) else None)
+        mesh=mesh_for(len(output_structures)))
     output_energies = output_energies[keep]
 
     # gate on the LAST group's count, as the reference does (:829)

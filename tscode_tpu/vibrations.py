@@ -207,28 +207,35 @@ def thermochemistry(freqs_cm, atomnos, coords, temperature=298.15,
 
 
 def frequencies_from_gradients(coords, atomnos, gradient_fn, dx=0.01,
-                               project=True):
+                               project=True, maxthreads=4):
     '''Harmonic frequencies from an EXTERNAL (energy, gradient)
     callback — central finite differences of the gradient build the
-    Hessian (6N single-point gradient calls), then the same
-    mass-weighting/Eckart-projection/eigensolve as the analytic path.
-    The ASE-free analog of the reference's ase_vib with a QM
-    calculator (ase_manipulations.py:348-380; displacement scheme of
-    ase.vibrations.Vibrations). Returns (freqs_cm (3N,), n_imag).'''
+    Hessian (6N single-point gradient calls, dispatched maxthreads-wide
+    on a thread pool since the intended callbacks are subprocess-bound),
+    then the same mass-weighting/Eckart-projection/eigensolve as the
+    analytic path. The ASE-free analog of the reference's ase_vib with
+    a QM calculator (ase_manipulations.py:348-380; displacement scheme
+    of ase.vibrations.Vibrations). Returns (freqs_cm (3N,), n_imag).'''
+    from concurrent.futures import ThreadPoolExecutor
+
     _require_x64()
     coords = np.asarray(coords, dtype=float)
     n = len(coords)
     flat = coords.reshape(-1)
 
+    def displaced_grad(job):
+        i, sign = job
+        x = flat.copy()
+        x[i] += sign * dx
+        return np.asarray(gradient_fn(x.reshape(n, 3))[1]).reshape(-1)
+
+    jobs = [(i, s) for i in range(3 * n) for s in (+1.0, -1.0)]
+    with ThreadPoolExecutor(max_workers=maxthreads) as pool:
+        grads = list(pool.map(displaced_grad, jobs))
+
     hess = np.zeros((3 * n, 3 * n))
     for i in range(3 * n):
-        plus = flat.copy()
-        plus[i] += dx
-        minus = flat.copy()
-        minus[i] -= dx
-        g_plus = np.asarray(gradient_fn(plus.reshape(n, 3))[1]).reshape(-1)
-        g_minus = np.asarray(gradient_fn(minus.reshape(n, 3))[1]).reshape(-1)
-        hess[i] = (g_plus - g_minus) / (2.0 * dx)
+        hess[i] = (grads[2 * i] - grads[2 * i + 1]) / (2.0 * dx)
     hess = 0.5 * (hess + hess.T)
 
     masses = np.asarray(MASSES[np.asarray(atomnos)], dtype=float)
