@@ -257,35 +257,43 @@ def run_device_pipeline(mol1, mol2):
     return best
 
 
-def fit_cpu_baseline(mol1, mol2, sizes=(256, 512, 1024, 2048)):
-    '''Measure the sequential oracle at growing sample sizes and fit
-    t(n) = a*n + b*n^2 (linear embed+clash, quadratic all-pairs prune).
-    Returns {sizes, seconds, coeffs, measured_rate, extrapolated_rate}
-    where extrapolated_rate is poses/sec at the FULL workload size —
-    the defensible denominator for vs_baseline (the small-sample rate
-    flatters the oracle: its quadratic prune has barely started).'''
-    ns, ts = [], []
+def fit_cpu_baseline(mol1, mol2, sizes=(512, 1024, 2048, 4096)):
+    '''Measure the sequential oracle at growing STRIDED sample sizes
+    and extrapolate t(n) = a*n + b*n^2 to the full workload. The two
+    phases are timed SEPARATELY and each coefficient comes from its own
+    phase — embed+clash is linear (a = sum t_embed / sum n), the
+    all-pairs prune is quadratic in survivors (b = sum t_prune /
+    sum n^2) — which is far more robust than a joint least-squares fit
+    whose quadratic term drowns in small-sample noise.
+    Returns {sizes, seconds, embed_seconds, prune_seconds, coeffs,
+    measured_rate, n_full, extrapolated_rate}; extrapolated_rate is the
+    defensible vs_baseline denominator (the small-sample rate flatters
+    the oracle: its quadratic prune has barely started).'''
+    ns, t_embed, t_prune = [], [], []
     for n in sizes:
-        n_done, secs = run_cpu_baseline(mol1, mol2, n_sample=n)
+        n_done, te, tp = run_cpu_baseline(mol1, mol2, n_sample=n)
         ns.append(n_done)
-        ts.append(secs)
+        t_embed.append(te)
+        t_prune.append(tp)
     ns_arr = np.asarray(ns, dtype=float)
-    ts_arr = np.asarray(ts, dtype=float)
-    A = np.stack([ns_arr, ns_arr ** 2], axis=1)
-    coeffs, *_ = np.linalg.lstsq(A, ts_arr, rcond=None)
-    a, b = float(coeffs[0]), float(max(coeffs[1], 0.0))
+    a = float(np.sum(t_embed) / np.sum(ns_arr))
+    b = float(np.sum(t_prune) / np.sum(ns_arr ** 2))
     n_full = mol1.n_confs * mol2.n_confs * 2 * N_ANGLES
     t_full = a * n_full + b * n_full ** 2
     return {
-        'sizes': ns, 'seconds': ts, 'coeffs': [a, b],
-        'measured_rate': ns[-1] / ts[-1],
+        'sizes': ns,
+        'seconds': [te + tp for te, tp in zip(t_embed, t_prune)],
+        'embed_seconds': t_embed, 'prune_seconds': t_prune,
+        'coeffs': [a, b],
+        'measured_rate': ns[-1] / (t_embed[-1] + t_prune[-1]),
         'n_full': n_full,
         'extrapolated_rate': n_full / t_full,
     }
 
 
 def run_cpu_baseline(mol1, mol2, n_sample=BASE_SAMPLE):
-    '''Sequential numpy oracle on a subsample; returns (n, seconds).'''
+    '''Sequential numpy oracle on a strided subsample; returns
+    (n, embed_seconds, prune_seconds).'''
     sys.path.insert(0, os.path.join(os.path.dirname(
         os.path.abspath(__file__)), 'tests'))
     import oracles
@@ -298,16 +306,27 @@ def run_cpu_baseline(mol1, mol2, n_sample=BASE_SAMPLE):
     k1 = len(mol1.get_r_atoms(0)[0].center)
     k2 = len(mol2.get_r_atoms(0)[0].center)
 
+    # STRIDED sample across the whole grid: the grid enumerates angles
+    # innermost, so a prefix sample sees mostly rotations of a handful
+    # of conformer pairs — their near-duplicates die on the pruner's
+    # first comparisons, hiding the quadratic cost entirely (a fitted
+    # b of ~0). An evenly-strided sample has the full workload's
+    # conformer diversity, which is what the extrapolation needs.
+    total = mol1.n_confs * mol2.n_confs * k1 * k2 * N_ANGLES
+    stride = max(1, total // n_sample)
+
     t0 = time.perf_counter()
     poses = []
     n_done = 0
+    flat = 0
     for c1 in range(mol1.n_confs):
         for c2 in range(mol2.n_confs):
             for ai1 in range(k1):
                 for ai2 in range(k2):
                     for angle in angles:
-                        if n_done >= n_sample:
-                            break
+                        flat += 1
+                        if (flat - 1) % stride or n_done >= n_sample:
+                            continue
                         ra1 = mol1.get_r_atoms(c1)[0]
                         ra2 = mol2.get_r_atoms(c2)[0]
                         rot = oracles.rotation_matrix_from_vectors(
@@ -322,7 +341,10 @@ def run_cpu_baseline(mol1, mol2, n_sample=BASE_SAMPLE):
                         if oracles.compenetration_check(pose, ids=ids):
                             poses.append(pose)
                         n_done += 1
+    t_embed = time.perf_counter() - t0
+
     # sequential all-pairs prune with the reference accept rule
+    t1 = time.perf_counter()
     hs = np.array([p[heavy] for p in poses])
     mask = np.ones(len(hs), dtype=bool)
     for i in range(len(hs)):
@@ -334,8 +356,8 @@ def run_cpu_baseline(mol1, mol2, n_sample=BASE_SAMPLE):
                 if r < 0.5 and md < 1.0:
                     mask[i] = False
                     break
-    elapsed = time.perf_counter() - t0
-    return n_done, elapsed
+    t_prune = time.perf_counter() - t1
+    return n_done, t_embed, t_prune
 
 
 def _probe_backend(timeout_s):
@@ -477,7 +499,7 @@ def main():
 
     device_rate = total / elapsed
 
-    key = f'fit-{N_CONFS}x{N_CONFS}x{N_ANGLES}-n{NOISE}'
+    key = f'fitv3-{N_CONFS}x{N_CONFS}x{N_ANGLES}-n{NOISE}'
     cache = {}
     if os.path.isfile(BASELINE_CACHE):
         try:

@@ -159,6 +159,51 @@ def test_neb_operator_uses_qm_gradients_when_calc_present(tmp_path,
     assert (tmp_path / 'ends_NEB_TS.xyz').exists()
 
 
+def test_saddle_operator_uses_qm_gradients_when_calc_present(
+        tmp_path, monkeypatch):
+    '''saddle> wiring: with CALC=XTB and a faked xtb --grad, the dimer
+    runs on the callback gradients and writes its artifact.'''
+    import jax
+    import jax.numpy as jnp
+
+    import tscode_tpu.calculators.gradients as gradients_mod
+    import tscode_tpu.settings as settings_mod
+    from tscode_tpu.embedder import Embedder
+    from tscode_tpu.ff import build_ff_params, ff_energy, params_to_device
+    from tscode_tpu.io_xyz import read_xyz, write_xyz
+
+    data = read_xyz(os.path.join(FIX, 'HCOOH.xyz'))
+    with open(tmp_path / 'guess.xyz', 'w') as f:
+        write_xyz(data.atomcoords[0] * 1.02, data.atomnos, f, title='g')
+
+    calls = {'n': 0}
+
+    def fake_xtb_gradient(coords, atomnos, **kw):
+        calls['n'] += 1
+        from tscode_tpu.graphs import graphize
+        params = params_to_device(build_ff_params(
+            np.asarray(coords), atomnos,
+            graphize(np.asarray(coords), atomnos)))
+        e_fn = lambda c: ff_energy(c[None], params)[0]
+        return (float(e_fn(jnp.asarray(coords))),
+                np.asarray(jax.grad(e_fn)(jnp.asarray(coords))))
+
+    monkeypatch.setattr(settings_mod, 'XTB_AVAILABLE', True)
+    monkeypatch.setattr(gradients_mod, 'xtb_gradient', fake_xtb_gradient)
+
+    inp = tmp_path / 'input.txt'
+    inp.write_text('NOOPT CALC=XTB\nsaddle> guess.xyz\n')
+    cwd = os.getcwd()
+    try:
+        emb = Embedder(str(inp), stamp='sadqm')
+        emb.run()
+    finally:
+        os.chdir(cwd)
+
+    assert calls['n'] > 0, 'QM gradient callback was never invoked'
+    assert (tmp_path / 'guess_saddle.xyz').exists()
+
+
 def test_bend_with_gradient_fn_reaches_target():
     '''bend_molecule on an external-gradient surface (here: the FF's own
     gradient served through the callback) reaches the pivot target like
