@@ -87,3 +87,29 @@ def test_large_ensemble_parity(tmp_path):
     np.testing.assert_array_equal(got.atomcoords, want.atomcoords)
     assert np.array_equal(got.atomnos, want.atomnos)
     assert got.comments == want.comments
+
+
+def test_native_tfd_lru_matches_python_replay(monkeypatch):
+    '''The C++ novelty filter and the numpy replay must agree (away
+    from exact-threshold borderlines, which random data avoids).'''
+    import numpy as np
+
+    from tscode_tpu import native
+    from tscode_tpu.ops.tfd import is_new_structure_lru
+
+    if not native.tfd_available():
+        import pytest
+        pytest.skip('native toolchain unavailable')
+
+    rng = np.random.default_rng(11)
+    base = rng.uniform(-180, 180, size=(40, 7)).astype(np.float32)
+    fps = (base[rng.integers(0, 40, size=600)]
+           + rng.normal(size=(600, 7)).astype(np.float32) * 3)
+    accept = rng.random(600) > 0.2
+
+    got = native.tfd_lru_filter(fps, accept, 10.0)
+
+    monkeypatch.setattr(native, 'tfd_available', lambda: False)
+    want = is_new_structure_lru(fps, accept, thresh=10)
+    np.testing.assert_array_equal(got, want)
+    assert 0 < got.sum() < accept.sum()

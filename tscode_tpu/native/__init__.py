@@ -36,16 +36,21 @@ class XYZNativeError(ValueError):
         super().__init__(msg.format(line=line))
 
 
-def _build_and_load():
+def _compile_and_load(src, lib_path):
+    '''Build (when stale) + dlopen one shared library.'''
     with _lock:
-        if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+        if (not os.path.exists(lib_path)
+                or os.path.getmtime(lib_path) < os.path.getmtime(src)):
             subprocess.run(
                 ['g++', '-O3', '-shared', '-fPIC', '-std=c++17',
-                 _SRC, '-o', _LIB + '.tmp'],
+                 src, '-o', lib_path + '.tmp'],
                 check=True, capture_output=True, timeout=120)
-            os.replace(_LIB + '.tmp', _LIB)
-        lib = ctypes.CDLL(_LIB)
+            os.replace(lib_path + '.tmp', lib_path)
+        return ctypes.CDLL(lib_path)
+
+
+def _build_and_load():
+    lib = _compile_and_load(_SRC, _LIB)
 
     i64 = ctypes.c_int64
     p_i64 = ctypes.POINTER(i64)
@@ -116,3 +121,46 @@ def format_ensemble(coords, atomnos, titles):
     if w < 0:
         raise XYZNativeError(-7, 0)
     return out.raw[:w]
+
+
+# ----------------------------------------------------- TFD novelty filter
+
+_TFD_SRC = os.path.join(_DIR, 'tfd_lru.cpp')
+_TFD_LIB = os.path.join(_DIR, '_tfd_lru.so')
+
+
+def _build_tfd():
+    lib = _compile_and_load(_TFD_SRC, _TFD_LIB)
+    i64 = ctypes.c_int64
+    lib.tfd_lru_filter.restype = i64
+    lib.tfd_lru_filter.argtypes = [
+        np.ctypeslib.ndpointer(np.float32, flags='C_CONTIGUOUS'),
+        i64, i64,
+        np.ctypeslib.ndpointer(np.uint8, flags='C_CONTIGUOUS'),
+        ctypes.c_double,
+        np.ctypeslib.ndpointer(np.uint8, flags='C_CONTIGUOUS')]
+    return lib
+
+
+try:
+    _tfd_lib = _build_tfd()
+except Exception:                       # no g++ / load failure: fall back
+    _tfd_lib = None
+
+
+def tfd_available():
+    return _tfd_lib is not None
+
+
+def tfd_lru_filter(fingerprints, accept_mask, thresh):
+    '''Native sequential TFD novelty filter: fingerprints (B, Q) f32,
+    accept_mask (B,) bool -> (B,) bool keep mask. Same semantics as
+    ops/tfd.is_new_structure_lru (distance accumulated in f64, so
+    borderline sums within f32 rounding of `thresh` may differ from
+    the numpy replay by one ulp-level decision).'''
+    fps = np.ascontiguousarray(fingerprints, dtype=np.float32)
+    accept = np.ascontiguousarray(accept_mask, dtype=np.uint8)
+    out = np.zeros(len(fps), dtype=np.uint8)
+    _tfd_lib.tfd_lru_filter(fps, fps.shape[0], fps.shape[1], accept,
+                            float(thresh), out)
+    return out.astype(bool)

@@ -185,8 +185,18 @@ def is_new_structure_lru(fingerprints, accept_mask, thresh=10):
 
     fingerprints: (B, Q) float32 (precomputed on device);
     accept_mask: (B,) bool (e.g. the clash mask). Returns (B,) bool.
+
+    The scan is inherently sequential (each acceptance extends the
+    comparison cache) — at production ensemble sizes the interpreted
+    replay is a host bottleneck, so it runs through the native C++
+    loop (native/tfd_lru.cpp) when the toolchain built it.
     '''
     fingerprints = np.asarray(fingerprints)
+    if fingerprints.size:
+        from tscode_tpu import native
+        if native.tfd_available():
+            return native.tfd_lru_filter(fingerprints,
+                                         np.asarray(accept_mask), thresh)
     out = np.zeros(len(fingerprints), dtype=bool)
     cache = np.empty((0, fingerprints.shape[1]), dtype=fingerprints.dtype)
     for i in np.nonzero(np.asarray(accept_mask))[0]:
