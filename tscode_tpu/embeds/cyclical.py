@@ -192,6 +192,29 @@ def _block_program_sharded(mesh, multi, axis_name='poses'):
     return jax.jit(sharded)
 
 
+def _greedy_angular_keep(clash_ok, similar):
+    '''Per-block greedy angular dedup in generation order (the host
+    replay of reference embeds.py:621-628): keep angle t when it passed
+    the clash screen and is unlike every previously kept angle of its
+    block. Runs the native C++ scan (native/tfd_lru.cpp) when built —
+    the interpreted loop is O(B*A^2) and interpreter-bound at scale.
+    clash_ok (B, A) bool, similar (B, A, A) bool -> keep (B, A) bool.'''
+    from tscode_tpu import native
+    if native.tfd_available():
+        return native.greedy_angular_dedup(clash_ok, similar)
+    keep = np.zeros_like(clash_ok, dtype=bool)
+    for b in range(len(clash_ok)):
+        kept = []
+        for t in range(clash_ok.shape[1]):
+            if not clash_ok[b, t]:
+                continue
+            if any(similar[b, t, t0] for t0 in kept):
+                continue
+            kept.append(t)
+            keep[b, t] = True
+    return keep
+
+
 def _pick_mesh(n_candidates, mesh):
     '''Apply the size gate; returns the mesh to use or None.'''
     if mesh is None or mesh.devices.size < 2:
@@ -327,16 +350,11 @@ def cyclical_embed_bimol_rigid(mol1, mol2, systematic_angles,
         clash_ok = np.asarray(clash_ok)[:hi - lo]
         similar = np.asarray((rmsd < 1.0) & (maxdev < 2.0))[:hi - lo]
 
-        # host: greedy angular dedup in generation order
+        # host: greedy angular dedup in generation order (native scan)
+        keep = _greedy_angular_keep(clash_ok, similar)
         for b in range(hi - lo):
-            kept = []
-            for t in range(A):
-                if not clash_ok[b, t]:
-                    continue
-                if any(similar[b, t, t0] for t0 in kept):
-                    continue
-                kept.append(t)
-            if kept:
+            kept = np.nonzero(keep[b])[0]
+            if len(kept):
                 poses_out.append(poses[b, kept])
                 cons_out.extend([ids_arr[lo + b]] * len(kept))
 
@@ -692,15 +710,10 @@ def cyclical_embed_trimol_rigid(mols, systematic_angles, clash_thresh=1.5,
         clash_ok = np.asarray(clash_ok)[:hi - lo]
         similar = np.asarray((rmsd < 1.0) & (maxdev < 2.0))[:hi - lo]
 
+        keep = _greedy_angular_keep(clash_ok, similar)
         for b in range(hi - lo):
-            kept = []
-            for t in range(A):
-                if not clash_ok[b, t]:
-                    continue
-                if any(similar[b, t, t0] for t0 in kept):
-                    continue
-                kept.append(t)
-            if kept:
+            kept = np.nonzero(keep[b])[0]
+            if len(kept):
                 poses_out.append(poses[b, kept])
                 cons_out.extend([ids_arr[lo + b]] * len(kept))
 
@@ -1002,15 +1015,10 @@ def cyclical_embed_nonrigid(embedder, max_norm_delta=5):
             poses = np.asarray(poses)[:Bb]
             similar = np.asarray((rmsd < 1.0) & (maxdev < 2.0))[:Bb]
 
+            keep = _greedy_angular_keep(clash_ok, similar)
             for b in range(Bb):
-                kept = []
-                for t in range(A):
-                    if not clash_ok[b, t]:
-                        continue
-                    if any(similar[b, t, t0] for t0 in kept):
-                        continue
-                    kept.append(t)
-                if kept:
+                kept = np.nonzero(keep[b])[0]
+                if len(kept):
                     poses_out.append(poses[b, kept])
                     cons_out.extend([np.array(ids_list[b])] * len(kept))
 

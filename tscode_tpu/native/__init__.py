@@ -164,3 +164,31 @@ def tfd_lru_filter(fingerprints, accept_mask, thresh):
     _tfd_lib.tfd_lru_filter(fps, fps.shape[0], fps.shape[1], accept,
                             float(thresh), out)
     return out.astype(bool)
+
+
+def _bind_dedup():
+    i64 = ctypes.c_int64
+    _tfd_lib.greedy_angular_dedup.restype = None
+    _tfd_lib.greedy_angular_dedup.argtypes = [
+        np.ctypeslib.ndpointer(np.uint8, flags='C_CONTIGUOUS'),
+        np.ctypeslib.ndpointer(np.uint8, flags='C_CONTIGUOUS'),
+        i64, i64,
+        np.ctypeslib.ndpointer(np.uint8, flags='C_CONTIGUOUS')]
+
+
+if _tfd_lib is not None:
+    try:
+        _bind_dedup()
+    except Exception:
+        _tfd_lib = None
+
+
+def greedy_angular_dedup(clash_ok, similar):
+    '''Batched greedy angular dedup (generation order): clash_ok (B, A)
+    bool, similar (B, A, A) bool -> keep (B, A) bool. Native form of
+    the cyclical embed's per-block host replay.'''
+    ok = np.ascontiguousarray(clash_ok, dtype=np.uint8)
+    sim = np.ascontiguousarray(similar, dtype=np.uint8)
+    out = np.zeros_like(ok)
+    _tfd_lib.greedy_angular_dedup(ok, sim, ok.shape[0], ok.shape[1], out)
+    return out.astype(bool)

@@ -10,6 +10,10 @@
 // Contract: fps (B, Q) float32 row-major; accept (B,) uint8 pre-filter
 // (e.g. the clash mask); out (B,) uint8. Returns the number accepted.
 
+// Also here: the cyclical embed's greedy angular dedup (the host-side
+// sequential replay of reference embeds.py:621-628 ordering), another
+// inherently-ordered scan that is interpreter-bound at scale.
+
 #include <cstdint>
 #include <cmath>
 
@@ -43,4 +47,34 @@ extern "C" int64_t tfd_lru_filter(const float* fps, int64_t B, int64_t Q,
     }
     delete[] cache;
     return n_cache;
+}
+
+// Greedy angular dedup over a batch of blocks: for each block b, accept
+// angle t when it passed the clash screen and is not similar to any
+// previously accepted angle of the same block (generation order).
+// clash_ok (B, A) uint8; similar (B, A, A) uint8; out (B, A) uint8.
+extern "C" void greedy_angular_dedup(const uint8_t* clash_ok,
+                                     const uint8_t* similar,
+                                     int64_t B, int64_t A,
+                                     uint8_t* out) {
+    int64_t* kept = new int64_t[A];
+    for (int64_t b = 0; b < B; ++b) {
+        const uint8_t* ok_b = clash_ok + b * A;
+        const uint8_t* sim_b = similar + b * A * A;
+        uint8_t* out_b = out + b * A;
+        int64_t n_kept = 0;
+        for (int64_t t = 0; t < A; ++t) {
+            out_b[t] = 0;
+            if (!ok_b[t]) continue;
+            const uint8_t* sim_t = sim_b + t * A;
+            bool dup = false;
+            for (int64_t k = 0; k < n_kept && !dup; ++k)
+                dup = sim_t[kept[k]];
+            if (!dup) {
+                out_b[t] = 1;
+                kept[n_kept++] = t;
+            }
+        }
+    }
+    delete[] kept;
 }
