@@ -256,7 +256,7 @@ def test_rmsd_prune_whole_schedule_single_call():
     hs = np.ascontiguousarray(structures[:, heavy])
     rmsd_prune.warmup_prune_kernels(hs.shape[1], dtype=hs.dtype,
                                     n_pool=len(hs), n_real=len(hs))
-    assert (len(hs), (len(hs), hs.shape[1], 3)) \
+    assert (len(hs), (len(hs), hs.shape[1], 3), hs.dtype) \
         in rmsd_prune._SCHEDULE_WARMED
     got = np.asarray(rmsd_prune.prune_conformers_rmsd_device(
         jnp.asarray(hs), rmsd_thr=0.5))

@@ -353,7 +353,11 @@ class Embedder:
 
         cite_ff = self.options.ff_calc == 'XTB'
         cite_gfn2 = self.options.calculator == 'XTB'
-        cite_crest = any('mtd' in op for op in self.options.operators)
+        # match the OPERATOR forms, not a bare substring — a filename
+        # containing "mtd" must not trigger the CREST citation
+        # (reference embedder.py:234 matches 'mtd>'/'mtd_search>')
+        cite_crest = any('mtd>' in op or 'mtd_search>' in op
+                         for op in self.options.operators)
 
         if any((cite_ff, cite_gfn2, cite_crest)):
             s = ''
@@ -926,25 +930,27 @@ class RunEmbedding(Embedder):
             if self.ids is not None:
                 pm = clash_ops.cross_fragment_pair_mask(tuple(self.ids))
                 thresh = self.options.clash_thresh
+                mesh = self._mesh(len(self.structures))
+                if mesh is not None:
+                    from tscode_tpu.parallel.sharding import \
+                        sharded_compenetration_mask
+                    mask = sharded_compenetration_mask(
+                        self.structures, pm, mesh, thresh=thresh,
+                        max_clashes=self.options.max_clashes)
+                else:
+                    mask = np.asarray(clash_ops.compenetration_mask(
+                        jnp.asarray(self.structures), jnp.asarray(pm),
+                        thresh=thresh,
+                        max_clashes=self.options.max_clashes))
             else:
                 # single structure (refine mode): the reference counts
-                # ALL off-diagonal pairs, both orderings, under 0.5 A
-                # (numba_functions.py:50-72)
-                n = self.structures.shape[1]
-                pm = ~np.eye(n, dtype=bool)
-                thresh = 0.5
-            mesh = self._mesh(len(self.structures))
-            if mesh is not None:
-                from tscode_tpu.parallel.sharding import \
-                    sharded_compenetration_mask
-                mask = sharded_compenetration_mask(
-                    self.structures, pm, mesh, thresh=thresh,
-                    max_clashes=self.options.max_clashes)
-            else:
-                mask = np.asarray(clash_ops.compenetration_mask(
-                    jnp.asarray(self.structures), jnp.asarray(pm),
-                    thresh=thresh,
-                    max_clashes=self.options.max_clashes))
+                # ALL off-diagonal pairs, both orderings, under 0.5 A —
+                # but only pairs with d > 0, so exactly-coincident
+                # atoms are EXCLUDED (numba_functions.py:50-72);
+                # count_intra_clashes reproduces that exclusion
+                mask = np.asarray(clash_ops.count_intra_clashes(
+                    jnp.asarray(self.structures), thresh=0.5)
+                    <= self.options.max_clashes)
             self.apply_mask(('structures', 'constrained_indices'), mask)
             t_end = time.perf_counter()
 
@@ -969,12 +975,24 @@ class RunEmbedding(Embedder):
         if verbose:
             self.log(' \n--> Fitness pruning - removing inaccurate structures')
 
+        # targets depend only on the index pair — resolve each distinct
+        # pair once instead of per structure (the lookup scans the
+        # pairings table and orbital lengths on every call)
+        target_cache = {}
+
+        def target_of(pair):
+            key = (int(pair[0]), int(pair[1]))
+            if key not in target_cache:
+                target_cache[key] = \
+                    self.get_pairing_dists_from_constrained_indices(pair)
+            return target_cache[key]
+
         mask = np.ones(len(self.structures), dtype=bool)
         for s, (structure, constraints) in enumerate(
                 zip(self.structures, self.constrained_indices)):
             error = 0.0
             for pair in constraints:
-                target = self.get_pairing_dists_from_constrained_indices(pair)
+                target = target_of(pair)
                 if target is not None:
                     d = np.linalg.norm(structure[pair[0]] - structure[pair[1]])
                     error += abs(d - target)

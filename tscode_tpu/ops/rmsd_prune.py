@@ -129,40 +129,12 @@ def _fused_kill_blocks(P_blocks, m_real, rmsd_thr):
     when some j > i (j < m_real[b]) passes both similarity gates.
     Returns (B, L) bool.
     '''
-    L, N = P_blocks.shape[1], P_blocks.shape[2]
-    n_dt = jnp.asarray(N, P_blocks.dtype)
-
-    S = jnp.einsum('bpni,bqnk->bpqik', P_blocks, P_blocks)
-    G = jnp.sum(P_blocks * P_blocks, axis=(-2, -1))          # (B, L)
-    lam = _qcp_lambda_max(S, G[:, :, None], G[:, None, :])
-    msd = (G[:, :, None] + G[:, None, :] - 2.0 * lam) / n_dt
-    rmsd = jnp.sqrt(jnp.maximum(msd, 0.0))
-
+    L = P_blocks.shape[1]
     idx = jnp.arange(L)
     valid = (idx[None, None, :] > idx[None, :, None]) & \
         (idx[None, None, :] < m_real[:, None, None])
-    gate1 = (rmsd < rmsd_thr) & valid
-    if N <= 4:
-        return jnp.any(gate1, axis=2)
-
-    # see _two_gate_hits: the maxdev gate only matters in the ambiguous
-    # rmsd band (maxdev <= sqrt(N)*rmsd)
-    ambiguous = gate1 & (jnp.sqrt(float(N)) * rmsd >= 2.0 * rmsd_thr)
-
-    def exact(_):
-        K = _horn_key_matrix(S)
-        q_wxyz = _quaternion_from_key(K, lam)
-        q_xyzw = jnp.concatenate([q_wxyz[..., 1:], q_wxyz[..., :1]],
-                                 axis=-1)
-        R = quaternion_to_rotation_matrix(q_xyzw)
-        rotated = jnp.einsum('bpqij,bpnj->bpqni', R, P_blocks)
-        diff = rotated - P_blocks[:, None, :, :, :]
-        maxdev = jnp.sqrt(jnp.max(jnp.sum(diff * diff, axis=-1), axis=-1))
-        return ambiguous & (maxdev < 2.0 * rmsd_thr)
-
-    hit2 = jax.lax.cond(jnp.any(ambiguous), exact,
-                        lambda _: jnp.zeros_like(ambiguous), 0)
-    return jnp.any((gate1 & ~ambiguous) | hit2, axis=2)
+    # the whole two-gate evaluation lives in ONE place
+    return _pair_kill_core(P_blocks, valid, rmsd_thr)
 
 
 _SMALL_CHUNK = 256
@@ -231,42 +203,6 @@ def chunk_kill_bits(heavy_structures, rmsd_thr, row_tile=_ROW_TILE,
         hi = min(r0 + row_tile, m)
         kill[r0:hi] = bits[:hi - r0]
     return kill
-
-
-def rmsd_similarity_matrix(structures, rmsd_thr, row_tile=_ROW_TILE):
-    '''
-    (M, M) bool similarity: rmsd < thr AND maxdev < 2*thr, computed in
-    row tiles on device. `structures` are already heavy-atom-sliced.
-    '''
-    structures = np.asarray(structures)
-    m, n_atoms = structures.shape[0], structures.shape[1]
-    if m <= 1:
-        return np.zeros((m, m), dtype=bool)
-
-    m_pad = int(np.ceil(m / row_tile)) * row_tile
-    padded = _pad_to(structures, m_pad)
-    dev = jnp.asarray(padded)
-
-    rmsd_rows = []
-    for r0 in range(0, m_pad, row_tile):
-        rmsd_rows.append(np.asarray(
-            _rmsd_matrix_lambda_only(dev[r0:r0 + row_tile], dev, n_atoms)))
-    rmsd_mat = np.concatenate(rmsd_rows, axis=0)[:m, :m]
-
-    candidates = rmsd_mat < rmsd_thr
-    np.fill_diagonal(candidates, False)
-
-    sim = np.zeros((m, m), dtype=bool)
-    ii, jj = np.nonzero(np.triu(candidates, k=1))
-    if len(ii):
-        k_pad = max(int(np.ceil(len(ii) / row_tile)) * row_tile, row_tile)
-        P = _pad_to(structures[ii], k_pad)
-        Q = _pad_to(structures[jj], k_pad)
-        maxdev = np.asarray(_maxdev_pairs(jnp.asarray(P), jnp.asarray(Q)))[:len(ii)]
-        ok = maxdev < 2.0 * rmsd_thr
-        sim[ii[ok], jj[ok]] = True
-        sim[jj[ok], ii[ok]] = True
-    return sim
 
 
 def prune_conformers_rmsd(structures, atomnos, rmsd_thr=0.5, mesh=None):
@@ -767,8 +703,9 @@ def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128,
     pos = jnp.arange(s_mid, dtype=jnp.int32)
     ks = jnp.asarray([int(k) for k in K_SCHEDULE], jnp.int32)
 
-    def local_windows(x, fill):
-        '''((G+m)*tile, ...) col span -> (G, W, ...) windows.'''
+    def local_windows(x):
+        '''((G+m)*tile, ...) col span -> (G, W, ...) windows (padding
+        values come from the caller's _ext concatenations).'''
         blocks_ = x.reshape((G + m, tile) + x.shape[1:])
         parts = [blocks_[s:s + G] for s in range(m + 1)]
         return jnp.concatenate(parts, axis=1)
@@ -800,16 +737,16 @@ def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128,
                     sub_ext, start, Gtile).reshape(G, tile, N, 3)
                 span = jax.lax.dynamic_slice_in_dim(
                     sub_ext, start, Gtile + pad_tail)
-                wincols = local_windows(span, 0.0)     # (G, W, N, 3)
+                wincols = local_windows(span)          # (G, W, N, 3)
 
                 a_rows = jax.lax.dynamic_slice_in_dim(
                     a_ext, start, Gtile).reshape(G, tile)
                 a_cols = local_windows(jax.lax.dynamic_slice_in_dim(
-                    a_ext, start, Gtile + pad_tail), False)
+                    a_ext, start, Gtile + pad_tail))
                 c_rows = jax.lax.dynamic_slice_in_dim(
                     c_ext, start, Gtile).reshape(G, tile)
                 c_cols = local_windows(jax.lax.dynamic_slice_in_dim(
-                    c_ext, start, Gtile + pad_tail), -1)
+                    c_ext, start, Gtile + pad_tail))
 
                 row_pos = (start + jnp.arange(
                     Gtile, dtype=jnp.int32)).reshape(G, tile)
@@ -972,7 +909,7 @@ def warmup_prune_kernels(n_atoms, dtype=np.float32, stream_sizes=(1024,),
         a, _, _ = _device_schedule(hs, alive, thr, n=n_eff,
                                    s_pad=_FINISH_MAX)
         a.block_until_ready()
-        _SCHEDULE_WARMED.add((n_eff, hs.shape))
+        _SCHEDULE_WARMED.add((n_eff, hs.shape, hs.dtype))
         return
     for L_pad, group in _BLOCK_BUCKETS:
         idx = jnp.zeros((group, L_pad), dtype=jnp.int32)
@@ -1023,7 +960,7 @@ def prune_conformers_rmsd_device(heavy_structures, rmsd_thr=0.5,
 
     # fastest path: if warmup pre-compiled the whole-schedule program
     # for this exact ensemble length, the entire prune is ONE call
-    if (n, hs.shape) in _SCHEDULE_WARMED:
+    if (n, hs.shape, hs.dtype) in _SCHEDULE_WARMED:
         t0 = _time.perf_counter()
         alive_dev, n_act, finished = _device_schedule(
             hs, alive_dev, thr, n=n, s_pad=_FINISH_MAX)
