@@ -614,16 +614,7 @@ def cyclical_embed_trimol_rigid(mols, systematic_angles, clash_thresh=1.5,
         verts2[2] = [x, (c - x ** 2) ** 0.5]
         adj_verts[b, :, :2] = verts2
 
-        # r[m, partner] = local reactive index of mol m facing partner
-        r = np.zeros((3, 3), dtype=int)
-        for pair in arr_ids:
-            sides = []
-            for cum in pair:
-                m = 2 if cum >= offsets[2] else (1 if cum >= offsets[1] else 0)
-                sides.append((m, cum - offsets[m]))
-            (m1, i1), (m2, i2) = sides
-            r[m1, m2] = i1
-            r[m2, m1] = i2
+        r = _facing_matrix(arr_ids, offsets)
 
         for i in range(3):
             start, end = polygon[i]
@@ -875,8 +866,14 @@ def cyclical_embed_nonrigid(embedder, max_norm_delta=5):
                         continue
                     index = int(np.argmax(deltas))
                     mol = mols[index]
-                    if mol.graph.has_edge(*sorted(
-                            int(x) for x in mol.reactive_indices[:2])):
+                    # a single-reactive-atom molecule (two lobes on one
+                    # atom) has no reactive-pair edge and CAN bend —
+                    # the reference's `tuple(...) not in edges` test
+                    # passes trivially there (embeds.py:528); only a
+                    # genuine bonded reactive pair is rigid
+                    if (len(mol.reactive_indices) > 1
+                            and mol.graph.has_edge(*sorted(
+                                int(x) for x in mol.reactive_indices[:2]))):
                         continue
                     maxval = norms[index - 1] + norms[index - 2]
                     from tscode_tpu.operators import qm_gradient_source

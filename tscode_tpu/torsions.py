@@ -256,10 +256,10 @@ def get_rotation_mask(graph, torsion):
 def get_torsions(graph, hydrogen_bonds, double_bonds, keepdummy=False):
     '''Rotable Torsion objects (reference torsion_module.py:352-371).'''
     torsions = []
+    db_set = {tuple(sorted(db)) for db in double_bonds}
     for path in get_quadruplets(graph):
         _, i2, i3, _ = path
-        if tuple(sorted((i2, i3))) in {tuple(sorted(db))
-                                       for db in double_bonds}:
+        if tuple(sorted((i2, i3))) in db_set:
             continue
         t = Torsion(*(int(x) for x in path))
         if (not t.in_cycle(graph)) and \
@@ -702,6 +702,11 @@ def most_diverse_conformers(n, structures, torsion_array, energies=None,
     if len(structures) <= n:
         return ret(structures, energies)
     if n > 300:
+        # reference BUG fixed and noted: torsion_module.py:864 samples
+        # WITH replacement (np.random.choice default), so the "n most
+        # diverse" selection can contain duplicate structures and fewer
+        # than n distinct conformers; replace=False returns n distinct
+        # structures as intended
         indices = np.sort(np.random.choice(len(structures), size=n,
                                            replace=False))
         return ret(structures[indices],
@@ -769,13 +774,14 @@ def csearch_operator(embedder, mol, mode=1, keep_hb=False):
                      'each conformer')
     batches = []
     for i, start in enumerate(mol.atomcoords):
+        # NOTE: the reference operator always calls csearch WITHOUT FF
+        # optimization (operators.py:184-194 passes no ff_opt) — the
+        # run-level ff_opt option governs the refinement stages, not
+        # the conformer search inside csearch>
         batch = csearch(
             start, mol.atomnos, constrained_indices=internal,
             keep_hb=keep_hb, mode=mode,
             n_out=max(embedder.options.max_confs // n_confs, 1),
-            ff_opt=embedder.options.ff_opt and
-            embedder.options.ff_calc is not None,
-            calc=embedder.options.ff_calc,
             title=f'{mol.rootname}_conf{i}' if n_confs > 1 else mol.rootname,
             logfunction=embedder.log, embedder=embedder)
         if len(batch):
