@@ -388,3 +388,34 @@ def test_cyclical_suprafacial_filter():
                        for p in __import__('tscode_tpu.pivots',
                                            fromlist=['get_pivots']).get_pivots(mol)[0])
     assert norms == all_norms[:2]
+
+
+def test_bend_gate_single_reactive_atom_can_bend():
+    '''Regression: the trimolecular impossible-triangle bend gate must
+    NOT crash on (and must not skip) a single-reactive-atom molecule —
+    the reference's edge test passes trivially there (embeds.py:526-528)
+    and the molecule gets bent.'''
+    import networkx as nx
+
+    from tscode_tpu.embeds.cyclical import _bend_blocked_by_bonded_pair
+
+    class M:
+        pass
+
+    g = nx.Graph()
+    g.add_edges_from([(0, 1), (1, 2), (2, 3)])
+
+    single = M()
+    single.graph = g
+    single.reactive_indices = [2]
+    assert not _bend_blocked_by_bonded_pair(single)   # used to TypeError
+
+    bonded = M()
+    bonded.graph = g
+    bonded.reactive_indices = [1, 2]
+    assert _bend_blocked_by_bonded_pair(bonded)
+
+    unbonded = M()
+    unbonded.graph = g
+    unbonded.reactive_indices = [0, 3]
+    assert not _bend_blocked_by_bonded_pair(unbonded)

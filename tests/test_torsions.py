@@ -211,3 +211,38 @@ def test_scale_orbs_preserves_type_and_direction():
     cos = vec_before @ vec_after / (np.linalg.norm(vec_before)
                                     * np.linalg.norm(vec_after))
     assert cos == pytest.approx(1.0, abs=1e-9)
+
+
+def test_csearch_operator_never_requests_ff_opt(tmp_path, monkeypatch):
+    '''Regression: the reference csearch> operator always calls csearch
+    WITHOUT per-conformer FF optimization (operators.py:184-194) — the
+    run-level ff_opt option governs the refinement stages only.'''
+    import shutil
+
+    from tscode_tpu.embedder import Embedder
+
+    shutil.copy(os.path.join(FIX, 'C2F2H4.xyz'), tmp_path)
+    inp = tmp_path / 'input.txt'
+    inp.write_text('NOOPT\nC2F2H4.xyz 3 5\n')
+    cwd = os.getcwd()
+    try:
+        emb = Embedder(str(inp), stamp='csff')
+    finally:
+        os.chdir(cwd)
+
+    calls = []
+    real = T.csearch
+
+    def recorder(*args, **kwargs):
+        calls.append(kwargs)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(T, 'csearch', recorder)
+    # force run-level FF options ON: they must NOT leak into csearch>
+    emb.options.ff_opt = True
+    emb.options.ff_calc = object()     # would crash if actually used
+    T.csearch_operator(emb, emb.objects[0])
+
+    assert calls, 'csearch was not invoked'
+    for kw in calls:
+        assert 'ff_opt' not in kw and 'calc' not in kw

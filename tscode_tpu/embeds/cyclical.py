@@ -756,6 +756,20 @@ def _block_poses_multi(coords1, coords2, coords3, c1, c2, c3,
     return pb, clash_ok.reshape(Bb, A), rmsd, maxdev
 
 
+def _bend_blocked_by_bonded_pair(mol):
+    '''True when the molecule's two reactive atoms are directly bonded,
+    which makes bending it toward a pivot target meaningless.
+
+    Reference embeds.py:526-528: `tuple(sorted(mol.reactive_indices))
+    not in list(mol.graph.edges)` — for a single-reactive-atom molecule
+    (two lobes on one atom, e.g. the chelotropic member of a
+    trimolecular embed) the 1-tuple is never an edge, so the reference
+    BENDS it; only a genuine bonded reactive pair is rigid.'''
+    return (len(mol.reactive_indices) > 1
+            and mol.graph.has_edge(*sorted(
+                int(x) for x in mol.reactive_indices[:2])))
+
+
 def cyclical_embed_nonrigid(embedder, max_norm_delta=5):
     '''
     General (non-rigid) cyclical embed for 2-3 molecules: pivot-length
@@ -832,9 +846,12 @@ def cyclical_embed_nonrigid(embedder, max_norm_delta=5):
                         r = 0.8
                         target = float(min(norms) * r + max(norms) * (1 - r))
                     for i, mol in enumerate(mols):
+                        # digon branch additionally skips single-
+                        # reactive-atom molecules (reference
+                        # embeds.py:603-608 — unlike the triangle
+                        # branch, which bends them)
                         if len(mol.reactive_indices) > 1 and not \
-                                mol.graph.has_edge(*sorted(
-                                    int(x) for x in mol.reactive_indices[:2])):
+                                _bend_blocked_by_bonded_pair(mol):
                             from tscode_tpu.operators import \
                                 qm_gradient_source
                             mols[i] = bend_molecule(
@@ -866,14 +883,7 @@ def cyclical_embed_nonrigid(embedder, max_norm_delta=5):
                         continue
                     index = int(np.argmax(deltas))
                     mol = mols[index]
-                    # a single-reactive-atom molecule (two lobes on one
-                    # atom) has no reactive-pair edge and CAN bend —
-                    # the reference's `tuple(...) not in edges` test
-                    # passes trivially there (embeds.py:528); only a
-                    # genuine bonded reactive pair is rigid
-                    if (len(mol.reactive_indices) > 1
-                            and mol.graph.has_edge(*sorted(
-                                int(x) for x in mol.reactive_indices[:2]))):
+                    if _bend_blocked_by_bonded_pair(mol):
                         continue
                     maxval = norms[index - 1] + norms[index - 2]
                     from tscode_tpu.operators import qm_gradient_source
