@@ -301,3 +301,103 @@ def test_alkoxide_orbital_subtype(tmp_path):
     mol.compute_orbitals()
     atom = mol.get_r_atoms(0)[0]
     assert len(atom.center) == 3
+
+
+_PRCL_XYZ = '''11
+1-chloropropane
+C    0.000   0.000   0.000
+Cl   1.780   0.000   0.000
+C   -0.760   1.316   0.000
+C   -2.280   1.316   0.000
+H   -0.360  -0.510   0.890
+H   -0.360  -0.510  -0.890
+H   -0.400   1.870   0.890
+H   -0.400   1.870  -0.890
+H   -2.640   0.800   0.890
+H   -2.640   0.800  -0.890
+H   -2.680   2.290   0.000
+'''
+
+
+def test_lg_applies_only_to_the_bonded_sp3_atom(tmp_path):
+    '''Regression: a molecule-line lg= index must only reach the sp3
+    atom it is bonded to (reference re-prompts on an unbonded index,
+    reactive_atoms_classes.py:163-168); the other sp3 reactive atom
+    auto-infers its leaving group instead of crashing.'''
+    p = tmp_path / 'prcl.xyz'
+    p.write_text(_PRCL_XYZ)
+    mol = Molecule(str(p), reactive_indices=[0, 3], attrs={'lg': 1})
+    mol.compute_orbitals()          # used to ValueError on atom 3
+
+    coords = mol.atomcoords[0]
+    # atom 0: orbital opposite the Cl (atom 1)
+    v0 = mol.reactive_atoms[0][0].orb_vecs[0]
+    away_cl = coords[0] - coords[1]
+    assert v0 @ away_cl > 0
+    # atom 3: auto-inferred leaving group = its single non-H neighbor
+    # (atom 2), orbital points away from it
+    v3 = mol.reactive_atoms[0][3].orb_vecs[0]
+    away_c2 = coords[3] - coords[2]
+    assert v3 @ away_c2 > 0
+
+
+def test_lg_unbonded_raises_input_error(tmp_path):
+    from tscode_tpu.errors import InputError
+    p = tmp_path / 'prcl.xyz'
+    p.write_text(_PRCL_XYZ)
+    mol = Molecule(str(p), reactive_indices=[0], attrs={'lg': 8})
+    with pytest.raises(InputError):
+        mol.compute_orbitals()
+
+
+def test_zero_reactive_molecule_has_per_conf_empties():
+    '''Reference parity (hypermolecule_class.py:195-199): even with no
+    reactive atoms, compute_orbitals yields one (empty) entry per
+    conformer and get_pivots one (empty) list per conformer.'''
+    from tscode_tpu.pivots import get_pivots
+    mol = Molecule(fix('C2H4.xyz'))
+    mol.compute_orbitals()
+    assert set(mol.reactive_atoms) == set(range(mol.n_confs))
+    assert all(mol.get_r_atoms(c) == [] for c in range(mol.n_confs))
+    piv = get_pivots(mol)
+    assert len(piv) == mol.n_confs
+    assert all(len(p) == 0 for p in piv)
+
+
+def test_alignment_indices_include_the_reactive_atom():
+    '''Reference unions raw adjacency keys (self-loop included,
+    hypermolecule_class.py:258): a terminal reactive atom contributes
+    itself plus its one neighbor.'''
+    mol = Molecule(fix('CH3Cl.xyz'), reactive_indices=[4])   # the Cl
+    idx = set(mol.get_alignment_indices())
+    assert 4 in idx and 0 in idx and len(idx) == 2
+
+
+def test_get_centers_handles_heterogeneous_lobe_counts():
+    mol = Molecule(fix('HCOOH.xyz'), reactive_indices=[1, 4])
+    mol.compute_orbitals()
+    centers = mol.get_centers(0)
+    assert len(centers) == 2
+    assert all(c.ndim == 2 and c.shape[1] == 3 for c in centers)
+
+
+def test_align_by_moi_is_jax_free(monkeypatch):
+    '''align_by_moi runs at output-write time on the host: it must not
+    import jax (backend init outside ensure_backend can hang on a
+    wedged device tunnel).'''
+    import builtins
+    real_import = builtins.__import__
+
+    def guard(name, *a, **k):
+        if name == 'jax' or name.startswith('jax.'):
+            raise AssertionError('align_by_moi imported jax')
+        return real_import(name, *a, **k)
+
+    from tscode_tpu.molecule import align_by_moi
+    rng = np.random.default_rng(0)
+    base = rng.normal(size=(5, 3)) * 2
+    structs = np.stack([base, base @ np.array([[0., -1, 0], [1, 0, 0],
+                                               [0, 0, 1.]])])
+    monkeypatch.setattr(builtins, '__import__', guard)
+    out = align_by_moi(structs, np.array([6, 1, 1, 8, 17]))
+    assert np.isfinite(out).all()

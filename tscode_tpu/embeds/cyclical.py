@@ -762,9 +762,13 @@ def _bend_blocked_by_bonded_pair(mol):
 
     Reference embeds.py:526-528: `tuple(sorted(mol.reactive_indices))
     not in list(mol.graph.edges)` — for a single-reactive-atom molecule
-    (two lobes on one atom, e.g. the chelotropic member of a
-    trimolecular embed) the 1-tuple is never an edge, so the reference
-    BENDS it; only a genuine bonded reactive pair is rigid.'''
+    the 1-tuple is never an edge, so this returns False (the triangle
+    branch would bend it; defensive there, since production embed
+    classification gives every cyclical/trimolecular molecule exactly
+    two reactive atoms). NOTE: False does NOT mean "bendable" — the
+    digon branch (reference embeds.py:599-608) ALSO requires
+    `len(mol.reactive_indices) > 1` before bending; that outer guard at
+    the digon call site is load-bearing, not redundant.'''
     return (len(mol.reactive_indices) > 1
             and mol.graph.has_edge(*sorted(
                 int(x) for x in mol.reactive_indices[:2])))

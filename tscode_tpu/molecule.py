@@ -61,14 +61,27 @@ def align_structures(structures, indices=None):
     return out
 
 
+def _inertia_moments_host(structures, masses):
+    '''Principal moments of inertia, ascending, in plain numpy — same
+    math as ops.linalg.get_inertia_moments but host-side: this runs on
+    small output ensembles at write time, where dragging JAX in (and
+    possibly initializing a device backend outside ensure_backend)
+    costs far more than a batch of 3x3 eigensolves.'''
+    m = np.asarray(masses, dtype=float)
+    com = (m[:, None] * structures).sum(axis=1) / m.sum()
+    x = structures - com[:, None, :]
+    r2 = np.sum(x * x, axis=-1)
+    term1 = (m * r2).sum(axis=-1)[:, None, None] * np.eye(3)
+    term2 = np.einsum('n,bni,bnj->bij', m, x, x)
+    return np.linalg.eigvalsh(term1 - term2)
+
+
 def align_by_moi(structures, atomnos):
     '''
     Align every structure to the first by superimposing diagonal
     moments-of-inertia frames (reference hypermolecule_class.py:74-118).
     '''
     from tscode_tpu.pt import masses_of
-    import jax
-    from tscode_tpu.ops.linalg import get_inertia_moments
 
     structures = np.array(structures, dtype=float)
     masses = masses_of(atomnos)
@@ -77,8 +90,7 @@ def align_by_moi(structures, atomnos):
     out = np.zeros_like(structures)
     out[0] = structures[0]
 
-    moments = np.asarray(jax.jit(get_inertia_moments, backend='cpu')(
-        structures, masses))
+    moments = _inertia_moments_host(structures, masses)
 
     ref_vecs = np.eye(3) * moments[0]
     for t in range(1, len(structures)):
@@ -99,8 +111,11 @@ def smi_to_3d(smiles, basename):
             f'{smiles!r} is not a file and SMILES embedding requires '
             f'openbabel (obabel executable not found).')
     out = f'{basename}.xyz'
+    # same flags as the reference (utils.py:446): -h forces explicit
+    # hydrogens; --gen3d takes no operand (a stray value is parsed as an
+    # extra input file on some openbabel builds)
     subprocess.run(['obabel', f'-:{smiles}', '-oxyz', f'-O{out}',
-                    '--gen3d', 'best'], check=True, capture_output=True)
+                    '-h', '--gen3d'], check=True, capture_output=True)
     return out
 
 
@@ -163,7 +178,7 @@ class Molecule:
 
     def __repr__(self):
         r = self.rootname
-        if self.reactive_atoms:
+        if self.reactive_atoms.get(0):
             r += f' {[str(a) for a in self.reactive_atoms[0].values()]}'
         return r
 
@@ -188,12 +203,19 @@ class Molecule:
         conformer's orbital geometry.
         '''
         if len(self.reactive_indices) == 0:
+            # reference parity: one (empty) entry per conformer
+            # (hypermolecule_class.py:195-199 always builds the
+            # per-conformer dict), so refine-mode companions can be
+            # indexed by conformer without KeyError
+            self.reactive_atoms = {c: {} for c in range(self.n_confs)}
             return
 
         self._orbital_override = override     # reused by scale_orbs
-        builders = {i: get_atom_builder(self.graph, i, override=override)
-                    for i in self.reactive_indices}
-        pre_names = [pre_init_type_name(self, builders[i], i)
+        self._builders = {
+            int(i): get_atom_builder(self.graph, i, override=override)
+            for i in self.reactive_indices}
+        builders = self._builders
+        pre_names = [pre_init_type_name(self, builders[int(i)], i)
                      for i in self.reactive_indices]
 
         self.sp3_sigmastar = is_vicinal_names(
@@ -203,17 +225,41 @@ class Molecule:
                                  self.reactive_indices, self.graph)
             for c in range(self.n_confs)]
 
-        lg = self.attrs.get('lg')
+        self._validate_lg()
         self.reactive_atoms = {}
         for c in range(self.n_confs):
-            per_conf = {}
-            for i in self.reactive_indices:
-                builder = builders[i]
-                kwargs = {}
-                if builder is build_sp3 and lg is not None:
-                    kwargs['leaving_group_index'] = int(lg)
-                per_conf[int(i)] = builder(self, int(i), conf=c, **kwargs)
-            self.reactive_atoms[c] = per_conf
+            self.reactive_atoms[c] = {
+                int(i): builders[int(i)](self, int(i), conf=c,
+                                         **self._builder_kwargs(int(i)))
+                for i in self.reactive_indices}
+
+    def _builder_kwargs(self, i):
+        '''Per-atom builder kwargs. The molecule-line lg= index is only
+        passed to the sp3 atom it is actually bonded to — the reference
+        rejects an unbonded leaving-group index
+        (reactive_atoms_classes.py:163-168) — so a second sp3 reactive
+        atom on the same molecule auto-infers its own leaving group.'''
+        lg = self.attrs.get('lg')
+        if (lg is not None and self._builders.get(i) is build_sp3
+                and int(lg) in neighbors(self.graph, i)):
+            return {'leaving_group_index': int(lg)}
+        return {}
+
+    def _validate_lg(self):
+        '''Fail loudly when lg= names an atom bonded to none of the sp3
+        reactive atoms (a silent ignore would mask a typo; the
+        reference re-prompts interactively in this case).'''
+        lg = self.attrs.get('lg')
+        if lg is None:
+            return
+        if not any(self._builders.get(int(i)) is build_sp3
+                   and int(lg) in neighbors(self.graph, int(i))
+                   for i in self.reactive_indices):
+            from tscode_tpu.errors import InputError
+            raise InputError(
+                f'lg={lg} on {self.name}: atom {lg} is not bonded to '
+                f'any sp3 reactive atom '
+                f'({self.reactive_indices.tolist()}).')
 
     def scale_orbs(self, value):
         '''Rescale every orbital length by `value` (SHRINK keyword,
@@ -221,42 +267,37 @@ class Molecule:
         with the SAME type override and leaving-group index used by
         compute_orbitals, so only the length changes — never the
         orbital type or direction.'''
-        override = getattr(self, '_orbital_override', None)
-        lg = self.attrs.get('lg')
         for c in range(self.n_confs):
             for i, atom in self.reactive_atoms[c].items():
-                builder = get_atom_builder(self.graph, i, override=override)
-                kwargs = {}
-                if builder is build_sp3 and lg is not None:
-                    kwargs['leaving_group_index'] = int(lg)
                 orb_dim = np.linalg.norm(atom.center[0] - atom.coord)
-                self.reactive_atoms[c][i] = builder(
-                    self, i, conf=c, orb_dim=orb_dim * value, **kwargs)
+                self.reactive_atoms[c][i] = self._builders[i](
+                    self, i, conf=c, orb_dim=orb_dim * value,
+                    **self._builder_kwargs(i))
 
     def restore_orb_lengths(self, lengths):
         '''Rebuild reactive atoms imposing per-atom orbital lengths
         (index -> A), preserving type override and leaving group — the
         analog of the reference's orb_memo + atom.init(update=True,
         orb_dim=...) used during bending (ase_manipulations.py:849-858).'''
-        override = getattr(self, '_orbital_override', None)
-        lg = self.attrs.get('lg')
         for c in range(self.n_confs):
             for i in list(self.reactive_atoms[c]):
                 want = lengths.get(i)
                 if want is None:
                     continue
-                builder = get_atom_builder(self.graph, i, override=override)
-                kwargs = {}
-                if builder is build_sp3 and lg is not None:
-                    kwargs['leaving_group_index'] = int(lg)
-                self.reactive_atoms[c][i] = builder(
-                    self, i, conf=c, orb_dim=float(want), **kwargs)
+                self.reactive_atoms[c][i] = self._builders[i](
+                    self, i, conf=c, orb_dim=float(want),
+                    **self._builder_kwargs(i))
 
     def get_r_atoms(self, c):
         return list(self.reactive_atoms[c].values())
 
     def get_centers(self, c):
-        return np.array([[v for v in atom.center] for atom in self.get_r_atoms(c)])
+        '''Per-reactive-atom lobe centers as a LIST of (K_i, 3) arrays —
+        atoms can have different lobe counts, which numpy 2 refuses to
+        pack into one ragged array (the reference's np.array object-
+        array form, hypermolecule_class.py:296-302, consumed one row at
+        a time anyway).'''
+        return [np.asarray(atom.center) for atom in self.get_r_atoms(c)]
 
     def get_orbital_length(self, index):
         from tscode_tpu.errors import NoOrbitalError
@@ -273,7 +314,10 @@ class Molecule:
             return None
         indices = set()
         for atom in self.reactive_indices:
-            indices |= set(neighbors(self.graph, int(atom)))
+            # the reference unions raw adjacency keys, which include the
+            # atom itself via graphize's self-loop — a terminal reactive
+            # atom still contributes 2 alignment points
+            indices |= {int(atom)} | set(neighbors(self.graph, int(atom)))
         return list(indices)
 
     def write_hypermolecule(self):
