@@ -289,3 +289,53 @@ def test_opt_operator_threads_internal_constraints(tmp_path, monkeypatch):
     idx, dists = seen[0]
     assert idx == [[1, 4]]
     assert dists == [2.1]
+
+
+def test_mopac_shared_atom_constraints(tmp_path):
+    '''3-atom shared constraint (central bound to two others, e.g. a
+    chelotropic embed): the reference builds a valid mixed-coordinate
+    input (_mopac.py:147-207) rather than raising.'''
+    rng = np.random.default_rng(3)
+    coords = rng.normal(size=(7, 3)) * 2.5
+    atomnos = np.array([6, 1, 1, 8, 1, 7, 6])
+    path = tmp_path / 'j.mop'
+    order = write_mopac_input(
+        str(path), coords, atomnos, method='PM7',
+        constrained_indices=np.array([[0, 3], [3, 6]]))   # central = 3
+    text = path.read_text()
+    assert sorted(order) == list(range(7))
+    # central + both partners come last: others[0] cartesian, then the
+    # two internal rows with frozen distances (flag 0)
+    assert set(order[-3:]) == {0, 3, 6}
+    assert order[-2] == 3                     # central after others[0]
+    lines = [l for l in text.splitlines() if l.startswith(' ')]
+    assert len(lines) == 7
+    frozen = [l for l in lines if l.split()[2] == '0']
+    assert len(frozen) == 2
+    # each internal row must reference the PREVIOUS constrained atom's
+    # MOPAC number (row index in the atom list, 1-based)
+    n_free = 4
+    assert int(frozen[0].split()[7]) == n_free + 1
+    assert int(frozen[1].split()[7]) == n_free + 2
+    # dihedral wrap is per-row: both dihedrals in [0, 360)
+    for l in frozen:
+        assert 0.0 <= float(l.split()[5]) < 360.0
+
+
+def test_mopac_unsupported_constraints_raise(tmp_path):
+    rng = np.random.default_rng(4)
+    coords = rng.normal(size=(8, 3)) * 2.5
+    atomnos = np.array([6, 1, 1, 8, 1, 7, 6, 1])
+    with pytest.raises(NotImplementedError):
+        write_mopac_input(str(tmp_path / 'j.mop'), coords, atomnos,
+                          constrained_indices=np.array([[0, 3], [0, 5],
+                                                        [0, 6]]))
+
+
+def test_gaussian_out_without_scf_is_failure(tmp_path):
+    '''A geometry echo with no completed SCF (job died in cycle 1) must
+    read back as a FAILED optimization, not ok=True with energy=None.'''
+    out = tmp_path / 'j.log'
+    out.write_text(_GAUSSIAN_OUT.replace('SCF Done', 'SCF NotDone'))
+    coords, energy, ok = read_gaussian_out(str(out))
+    assert not ok and energy is None

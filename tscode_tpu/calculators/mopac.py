@@ -76,7 +76,7 @@ def write_mopac_input(path, coords, atomnos, method='PM7',
                       constrained_indices=None, solvent=None, charge=0,
                       title='temp', rng=None):
     '''Build the mixed-coordinate input; returns the atom order used
-    (needed to unscramble the output).'''
+    (needed to unscramble the output). Reference _mopac.py:100-212.'''
     rng = rng or np.random.default_rng(0)
     constrained_indices = constrained_indices \
         if constrained_indices is not None else []
@@ -120,10 +120,49 @@ def write_mopac_input(path, coords, atomnos, method='PM7',
             s.append(' {} {} 0 {} 1 {} 1 {} {} {}\n'.format(
                 SYMBOLS[int(atomnos[a])], dist, angle, d_angle, list_len,
                 free_indices.index(c) + 1, free_indices.index(d) + 1))
+    elif len(set(flat.tolist())) == 3:
+        # three atoms, the central bound to the other two (e.g. a
+        # chelotropic embed): others[0] cartesian, central internal
+        # w.r.t. others[0], others[1] internal w.r.t. central
+        # (reference _mopac.py:147-207)
+        flat_list = flat.tolist()
+        central = max(set(flat_list), key=flat_list.count)
+        others = list(set(flat_list) - {central})
+
+        order.append(others[0])
+        s.append(' {} {} 1 {} 1 {} 1\n'.format(
+            SYMBOLS[int(atomnos[others[0]])], coords[others[0]][0],
+            coords[others[0]][1], coords[others[0]][2]))
+
+        for prev, cur in ((others[0], central), (central, others[1])):
+            order.append(cur)
+            c, d = rng.choice(free_indices, 2, replace=False)
+            dist = np.linalg.norm(coords[cur] - coords[prev])
+            # reference QUIRK reproduced: the two sub-branches use
+            # DIFFERENT angle references — central measures against the
+            # prev->c direction (_mopac.py:170), others[1] against its
+            # own cur->c direction (_mopac.py:199)
+            angle = _vec_angle(coords[cur] - coords[prev],
+                               coords[prev] - coords[c]) \
+                if cur == central else \
+                _vec_angle(coords[cur] - coords[prev],
+                           coords[cur] - coords[c])
+            d_angle = _dihedral(np.array([coords[cur], coords[prev],
+                                          coords[c], coords[d]]))
+            # reference BUG fixed and noted: _mopac.py:204 wraps
+            # d_angle1 by testing the FIRST branch's d_angle sign;
+            # each dihedral must be wrapped on its own sign
+            d_angle += 360 if d_angle < 0 else 0
+            list_len = len(s)
+            s.append(' {} {} 0 {} 1 {} 1 {} {} {}\n'.format(
+                SYMBOLS[int(atomnos[cur])], dist, angle, d_angle,
+                list_len - 1, free_indices.index(c) + 1,
+                free_indices.index(d) + 1))
     else:
+        # reference parity (_mopac.py:209-210)
         raise NotImplementedError(
-            'Overlapping MOPAC distance constraints beyond the simple '
-            'pair case are not supported yet.')
+            'The constraints provided for MOPAC optimization are not '
+            'yet supported')
 
     with open(path, 'w') as f:
         f.write(''.join(s))
@@ -133,7 +172,8 @@ def write_mopac_input(path, coords, atomnos, method='PM7',
 def mopac_opt(coords, atomnos, constrained_indices=None, method='PM7',
               solvent=None, charge=0, title='temp', read_output=True,
               **kwargs):
-    '''Constrained MOPAC optimization. Returns (coords, E kcal/mol, ok).'''
+    '''Constrained MOPAC optimization. Returns (coords, E kcal/mol, ok).
+    Reference _mopac.py:84-236 (scramble + inverse-order read-back).'''
     coords = np.asarray(coords)
     with scratch_dir(title) as cwd:
         order = write_mopac_input(
