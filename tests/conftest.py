@@ -19,7 +19,13 @@ import jax  # noqa: E402
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
 
-# single-core CI box: persistent compilation cache makes re-runs cheap
-jax.config.update('jax_compilation_cache_dir', '/root/.jax_test_cache')
+# single-core CI box: persistent compilation cache makes re-runs cheap.
+# The dir is keyed by host CPU signature: XLA:CPU cache entries are AOT
+# executables tied to the compile host's features, and a migrated image
+# reloading a previous host's entries logs errors / risks SIGILL.
+from tscode_tpu.backend import host_cache_tag  # noqa: E402
+
+jax.config.update('jax_compilation_cache_dir',
+                  f'/root/.jax_test_cache-{host_cache_tag()}')
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
 jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)

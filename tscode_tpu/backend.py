@@ -15,6 +15,27 @@ import os
 _initialized = False
 
 
+def host_cache_tag():
+    '''Short signature of the host CPU, appended to compile-cache dirs.
+
+    XLA:CPU persistent-cache entries are AOT executables that embed the
+    COMPILE host's feature set; loading them on a different machine
+    logs "machine type doesn't match" errors and can SIGILL. A
+    container image that migrates between hosts must therefore not
+    reuse a previous host's cache — keying the directory by CPU
+    signature gives each host its own.'''
+    import hashlib
+    try:
+        with open('/proc/cpuinfo') as f:
+            lines = f.read().splitlines()
+        sig = '|'.join(sorted({ln for ln in lines
+                               if ln.startswith(('model name', 'flags'))}))
+    except OSError:
+        import platform
+        sig = platform.processor() or platform.machine()
+    return hashlib.sha1(sig.encode()).hexdigest()[:8]
+
+
 def ensure_backend(prefer=None, quiet=False):
     '''Initialize JAX, falling back to CPU when the configured platform
     cannot start. Returns the active backend name.'''
@@ -49,7 +70,8 @@ def ensure_backend(prefer=None, quiet=False):
     if not jax.config.jax_compilation_cache_dir:
         cache_dir = os.environ.get(
             'TSCODE_TPU_CACHE',
-            os.path.join(os.path.expanduser('~'), '.tscode_tpu_jax_cache'))
+            os.path.join(os.path.expanduser('~'),
+                         f'.tscode_tpu_jax_cache-{host_cache_tag()}'))
         jax.config.update('jax_compilation_cache_dir', cache_dir)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
