@@ -89,48 +89,50 @@ def _config_files(name, workdir):
     return inp
 
 
-def run_config(name):
-    '''Run one config through Embedder.run(); returns the result dict.'''
+def run_config(name, reps=1):
+    '''Run one config through Embedder.run() `reps` times in-process
+    (first run pays every compile; later runs show the warm rate).
+    Returns the result dict for the LAST rep with all rep times.'''
     from tscode_tpu.embedder import Embedder
 
-    workdir = tempfile.mkdtemp(prefix=f'suite_{name}_')
-    cwd = os.getcwd()
-    try:
-        inp = _config_files(name, workdir)
-        t0 = time.perf_counter()
-        emb = Embedder(inp, stamp=f'suite_{name}')
-        run = emb.run()
-        seconds = time.perf_counter() - t0
-        if run is None or not hasattr(run, 'structures'):
-            return {'config': name, 'error': 'run failed'}
+    times, run, stages = [], None, []
+    for rep in range(reps):
+        workdir = tempfile.mkdtemp(prefix=f'suite_{name}_')
+        cwd = os.getcwd()
+        try:
+            inp = _config_files(name, workdir)
+            t0 = time.perf_counter()
+            emb = Embedder(inp, stamp=f'suite_{name}')
+            run = emb.run()
+            times.append(round(time.perf_counter() - t0, 3))
+            if run is None or not hasattr(run, 'structures'):
+                return {'config': name, 'error': 'run failed'}
+            rpath = os.path.join(workdir,
+                                 f'tscode_report_suite_{name}.json')
+            if os.path.isfile(rpath):
+                stages = json.load(open(rpath)).get('stages', [])
+        finally:
+            os.chdir(cwd)
+            shutil.rmtree(workdir, ignore_errors=True)
 
-        report = {}
-        rpath = os.path.join(workdir, f'tscode_report_suite_{name}.json')
-        if os.path.isfile(rpath):
-            report = json.load(open(rpath))
-
-        stages = report.get('stages', [])
-        candidates = getattr(run, 'candidates', None)
-        if not candidates:
-            # multiembed reports no closed-form count: use the pose pool
-            # produced by the arrangement sweep (generate_candidates
-            # starts from an empty pool, so "in" is 0 there)
-            candidates = (max(stages[0]['structures_in'],
-                              stages[0]['structures_out'])
-                          if stages else 0)
-        import jax
-        return {
-            'config': name,
-            'backend': jax.default_backend(),
-            'candidates': int(candidates),
-            'final': int(len(run.structures)),
-            'seconds': round(seconds, 3),
-            'poses_per_sec': round(candidates / seconds, 1),
-            'stages': stages,
-        }
-    finally:
-        os.chdir(cwd)
-        shutil.rmtree(workdir, ignore_errors=True)
+    candidates = getattr(run, 'candidates', None) or 0
+    if stages:
+        # operator-driven configs (csearch>) and multiembed do the real
+        # work outside the closed-form grid count: never report fewer
+        # candidates than the pose pool the embed stage produced
+        candidates = max(candidates, stages[0]['structures_in'],
+                         stages[0]['structures_out'])
+    import jax
+    return {
+        'config': name,
+        'backend': jax.default_backend(),
+        'candidates': int(candidates),
+        'final': int(len(run.structures)),
+        'seconds': times[-1],
+        'rep_seconds': times,
+        'poses_per_sec': round(candidates / times[-1], 1),
+        'stages': stages,
+    }
 
 
 ALL = ('sn2_string', 'da_cyclical', 'torsion_drive', 'trimolecular',
@@ -141,9 +143,10 @@ def main():
     from tscode_tpu.backend import ensure_backend
     backend = ensure_backend(quiet=True)
     names = [a for a in sys.argv[1:] if not a.startswith('-')] or list(ALL)
+    reps = int(os.environ.get('TSCODE_SUITE_REPS', '1'))
     results = []
     for name in names:
-        res = run_config(name)
+        res = run_config(name, reps=reps)
         results.append(res)
         print(json.dumps(res))
     ok = [r for r in results if 'error' not in r]
