@@ -419,3 +419,24 @@ def test_bend_gate_single_reactive_atom_can_bend():
     unbonded.graph = g
     unbonded.reactive_indices = [0, 3]
     assert not _bend_blocked_by_bonded_pair(unbonded)
+
+
+def test_greedy_keep_device_matches_host_oracle():
+    '''The fused device greedy angular dedup (lax.scan inside the block
+    screen) must reproduce the host reference scan bit for bit —
+    including blocks where every angle clashes and chains of mutual
+    similarity where greedy order matters.'''
+    from tscode_tpu.embeds.cyclical import (_greedy_angular_keep,
+                                            _greedy_keep_device)
+
+    rng = np.random.default_rng(3)
+    for trial in range(5):
+        B, A = 7, 12
+        clash_ok = rng.random((B, A)) < 0.7
+        similar = rng.random((B, A, A)) < 0.3
+        similar |= similar.transpose(0, 2, 1)          # symmetric
+        for a in range(A):
+            similar[:, a, a] = True
+        got = np.asarray(_greedy_keep_device(clash_ok, similar))
+        want = _greedy_angular_keep(clash_ok, similar)
+        assert (got == want).all(), f'trial {trial}'

@@ -301,9 +301,11 @@ class Embedder:
     # ------------------------------------------------------------- checks
 
     def check_objects_compenetration(self):
+        # host numpy: tiny per-molecule arrays, host-consumed result —
+        # an eager device call here cost ~25 s PER EMBEDDER over the
+        # accelerator tunnel (profiled; multiembed builds 13 of them)
         for mol in self.objects:
-            counts = np.asarray(clash_ops.count_intra_clashes(
-                jnp.asarray(mol.atomcoords)))
+            counts = clash_ops.count_intra_clashes_np(mol.atomcoords)
             for c, n in enumerate(counts):
                 if n > 0:
                     s = (f'--> WARNING! {mol.name}, conformer {c + 1}, looks '
@@ -947,9 +949,9 @@ class RunEmbedding(Embedder):
                 # ALL off-diagonal pairs, both orderings, under 0.5 A —
                 # but only pairs with d > 0, so exactly-coincident
                 # atoms are EXCLUDED (numba_functions.py:50-72);
-                # count_intra_clashes reproduces that exclusion
-                mask = np.asarray(clash_ops.count_intra_clashes(
-                    jnp.asarray(self.structures), thresh=0.5)
+                # count_intra_clashes_np reproduces that exclusion
+                mask = (clash_ops.count_intra_clashes_np(
+                    self.structures, thresh=0.5)
                     <= self.options.max_clashes)
             self.apply_mask(('structures', 'constrained_indices'), mask)
             t_end = time.perf_counter()

@@ -151,12 +151,12 @@ def _block_poses(coords1, coords2, c1, c2, R_align, axis, cor, pos0,
 
 @functools.lru_cache(maxsize=8)
 def _block_program_sharded(mesh, multi, axis_name='poses'):
-    '''shard_map form of the cyclical block sweep (geometry + pose
-    expansion + clash + angular-similarity matrices) over the BLOCK
-    axis: each device owns a slice of the (conf-pair x pivot-pair x
-    orientation) blocks, molecule tensors and the angle grid are
-    replicated, no collective is needed (the greedy angular dedup is a
-    host-side sequential replay either way). Bit-identical outputs.'''
+    '''shard_map form of the fused cyclical block screen (geometry +
+    pose expansion + clash + angular gates + greedy dedup) over the
+    BLOCK axis: each device owns a slice of the (conf-pair x
+    pivot-pair x orientation) blocks, molecule tensors and the angle
+    grid are replicated, and no collective is needed — the greedy
+    dedup's angle scan is block-local. Bit-identical outputs.'''
     from jax.sharding import PartitionSpec as P
     try:
         from jax import shard_map
@@ -168,36 +168,38 @@ def _block_program_sharded(mesh, multi, axis_name='poses'):
         def step(coords1, coords2, coords3, c1, c2, c3,
                  starts, ends, dirs, pvs, mds, apms, mps, rc_axes,
                  angle_grid, pair_mask, clash_thresh):
-            R_align, axis, cor, pos0 = _block_geometry.__wrapped__(
-                starts, ends, dirs, pvs, mds, apms, mps, rc_axes)
-            return _block_poses_multi.__wrapped__(
+            return _block_screen_multi.__wrapped__(
                 coords1, coords2, coords3, c1, c2, c3,
-                R_align, axis, cor, pos0, angle_grid, pair_mask,
-                clash_thresh)
+                starts, ends, dirs, pvs, mds, apms, mps, rc_axes,
+                angle_grid, pair_mask, clash_thresh)
         in_specs = (rep, rep, rep, sh, sh, sh) + (sh,) * 8 \
             + (rep, P(None, None), P())
     else:
         def step(coords1, coords2, c1, c2,
                  starts, ends, dirs, pvs, mds, apms, mps, rc_axes,
                  angle_grid, pair_mask, clash_thresh):
-            R_align, axis, cor, pos0 = _block_geometry.__wrapped__(
-                starts, ends, dirs, pvs, mds, apms, mps, rc_axes)
-            return _block_poses.__wrapped__(
-                coords1, coords2, c1, c2, R_align, axis, cor, pos0,
+            return _block_screen.__wrapped__(
+                coords1, coords2, c1, c2,
+                starts, ends, dirs, pvs, mds, apms, mps, rc_axes,
                 angle_grid, pair_mask, clash_thresh)
         in_specs = (rep, rep, sh, sh) + (sh,) * 8 \
             + (rep, P(None, None), P())
+    # the greedy dedup's angle scan is block-local, so the fused screen
+    # (poses + keep) shards over blocks with no collectives
     sharded = shard_map(step, mesh=mesh, in_specs=in_specs,
-                        out_specs=(sh, sh, sh, sh))
+                        out_specs=(sh, sh))
     return jax.jit(sharded)
 
 
 def _greedy_angular_keep(clash_ok, similar):
-    '''Per-block greedy angular dedup in generation order (the host
-    replay of reference embeds.py:621-628): keep angle t when it passed
-    the clash screen and is unlike every previously kept angle of its
-    block. Runs the native C++ scan (native/tfd_lru.cpp) when built —
-    the interpreted loop is O(B*A^2) and interpreter-bound at scale.
+    '''Host reference implementation of the greedy angular dedup in
+    generation order (reference embeds.py:621-628): keep angle t when
+    it passed the clash screen and is unlike every previously kept
+    angle of its block. The PRODUCTION sweep runs _greedy_keep_device
+    (the same scan fused into the block program — no host pull of the
+    similarity matrices); this host form (native C++ scan when built,
+    interpreted loop otherwise) is kept as the semantics oracle the
+    device scan is tested against (tests/test_embeds.py).
     clash_ok (B, A) bool, similar (B, A, A) bool -> keep (B, A) bool.'''
     from tscode_tpu import native
     if native.tfd_available():
@@ -213,6 +215,101 @@ def _greedy_angular_keep(clash_ok, similar):
             kept.append(t)
             keep[b, t] = True
     return keep
+
+
+@jax.jit
+def _greedy_keep_device(clash_ok, similar):
+    '''Device form of the greedy angular dedup: a lax.scan over the
+    angle axis (sequential by construction — each acceptance extends
+    the kept set), vectorized over blocks. Bit-identical to
+    _greedy_angular_keep. clash_ok (B, A); similar (B, A, A).'''
+    A = clash_ok.shape[1]
+
+    def body(kept, t):
+        sim_prev = jnp.any(similar[:, t, :] & kept, axis=1)
+        take = clash_ok[:, t] & ~sim_prev
+        kept = kept.at[:, t].set(take)
+        return kept, take
+
+    _, keeps = jax.lax.scan(body, jnp.zeros_like(clash_ok),
+                            jnp.arange(A))
+    return keeps.T
+
+
+@jax.jit
+def _block_screen(coords1, coords2, c1, c2, starts, ends, dirs, pvs,
+                  mds, apms, mps, rc_axes, angle_grid, pair_mask,
+                  clash_thresh):
+    '''Geometry + pose expansion + clash screen + angular-similarity
+    gates + greedy dedup as ONE device program returning only
+    (poses (Bb, A, N, 3), keep (Bb, A)). Folding the whole block
+    pipeline keeps the (Bb, A, A) similarity matrices out of HBM/host
+    and cuts the per-chunk host pulls from 3-4 to 2 — on a tunneled
+    deployment each pull costs ~tens of ms of pure latency (profiled:
+    the pulls, not the math, dominated the cyclical sweep).'''
+    R_align, axis, cor, pos0 = _block_geometry(
+        starts, ends, dirs, pvs, mds, apms, mps, rc_axes)
+    poses, clash_ok, rmsd, maxdev = _block_poses.__wrapped__(
+        coords1, coords2, c1, c2, R_align, axis, cor, pos0,
+        angle_grid, pair_mask, clash_thresh)
+    keep = _greedy_keep_device.__wrapped__(
+        clash_ok, (rmsd < 1.0) & (maxdev < 2.0))
+    return poses, keep
+
+
+@jax.jit
+def _block_screen_multi(coords1, coords2, coords3, c1, c2, c3, starts,
+                        ends, dirs, pvs, mds, apms, mps, rc_axes,
+                        angle_grid, pair_mask, clash_thresh):
+    '''Trimolecular twin of _block_screen.'''
+    R_align, axis, cor, pos0 = _block_geometry(
+        starts, ends, dirs, pvs, mds, apms, mps, rc_axes)
+    poses, clash_ok, rmsd, maxdev = _block_poses_multi.__wrapped__(
+        coords1, coords2, coords3, c1, c2, c3, R_align, axis, cor,
+        pos0, angle_grid, pair_mask, clash_thresh)
+    keep = _greedy_keep_device.__wrapped__(
+        clash_ok, (rmsd < 1.0) & (maxdev < 2.0))
+    return poses, keep
+
+
+# flush accumulated device chunks to the host once they exceed this many
+# bytes of pose data (bounds HBM growth on very large sweeps while
+# keeping the pull count ~O(1) for typical runs)
+_ACCUM_FLUSH_BYTES = 512 * 1024 * 1024
+
+
+class _ChunkAccumulator:
+    '''Collects per-chunk device (poses, keep) refs and pulls them in
+    as few host transfers as possible: chunks are concatenated ON
+    DEVICE and fetched with 2 pulls per flush instead of 2-4 per chunk
+    (dispatch of chunk i+1 overlaps the accumulated compute, and pull
+    latency — the tunnel bottleneck — is paid once per flush).'''
+
+    def __init__(self):
+        self._chunks = []        # (poses_dev, keep_dev, n_valid)
+        self._bytes = 0
+        self.results = []        # host (poses (v, A, N, 3), keep (v, A))
+
+    def add(self, poses, keep, n_valid):
+        self._chunks.append((poses, keep, n_valid))
+        self._bytes += poses.size * poses.dtype.itemsize
+        if self._bytes >= _ACCUM_FLUSH_BYTES:
+            self.flush()
+
+    def flush(self):
+        if not self._chunks:
+            return
+        poses_all = np.asarray(jnp.concatenate(
+            [p for p, _, _ in self._chunks]))
+        keep_all = np.asarray(jnp.concatenate(
+            [k for _, k, _ in self._chunks]))
+        lo = 0
+        for p, _, n_valid in self._chunks:
+            self.results.append((poses_all[lo:lo + n_valid],
+                                 keep_all[lo:lo + n_valid]))
+            lo += len(p)
+        self._chunks = []
+        self._bytes = 0
 
 
 def _pick_mesh(n_candidates, mesh):
@@ -321,7 +418,13 @@ def cyclical_embed_bimol_rigid(mol1, mol2, systematic_angles,
         block_chunk = -(-block_chunk // use_mesh.devices.size) \
             * use_mesh.devices.size
 
-    poses_out, cons_out = [], []
+    # dispatch EVERY chunk before pulling anything: the fused screen
+    # (geometry + poses + clash + angular gates + greedy dedup) returns
+    # only (poses, keep), and the accumulator fetches them in ~2 host
+    # pulls total instead of 3-4 per chunk — pull latency, not math,
+    # dominated this sweep on the tunneled deployment (profiled at
+    # ~40 ms/pull, ~100 pulls per multiembed arrangement)
+    acc = _ChunkAccumulator()
     for lo in range(0, Bb, block_chunk):
         hi = min(lo + block_chunk, Bb)
         pad = block_chunk - (hi - lo)
@@ -331,32 +434,29 @@ def cyclical_embed_bimol_rigid(mol1, mol2, systematic_angles,
                 [x[lo:hi]] + ([x[hi - 1:hi]] * pad if pad else []), axis=0)
                 if pad else x[lo:hi])
 
+        chunk_args = (slc(c1_arr), slc(c2_arr), slc(starts), slc(ends),
+                      slc(dirs), slc(pvs), slc(mds), slc(apms),
+                      slc(mps), slc(rc_axes))
         if sharded_fn is not None:
-            poses, clash_ok, rmsd, maxdev = sharded_fn(
-                coords1, coords2, slc(c1_arr), slc(c2_arr),
-                slc(starts), slc(ends), slc(dirs), slc(pvs), slc(mds),
-                slc(apms), slc(mps), slc(rc_axes),
+            poses, keep = sharded_fn(
+                coords1, coords2, *chunk_args,
                 angle_grid, pair_mask, jnp.asarray(float(clash_thresh)))
         else:
-            R_align, axis, cor, pos0 = _block_geometry(
-                slc(starts), slc(ends), slc(dirs), slc(pvs), slc(mds),
-                slc(apms), slc(mps), slc(rc_axes))
-            poses, clash_ok, rmsd, maxdev = _block_poses(
-                coords1, coords2, slc(c1_arr), slc(c2_arr),
-                R_align, axis, cor, pos0, angle_grid, pair_mask,
-                float(clash_thresh))
+            poses, keep = _block_screen(
+                coords1, coords2, *chunk_args,
+                angle_grid, pair_mask, float(clash_thresh))
+        acc.add(poses, keep, hi - lo)
+    acc.flush()
 
-        poses = np.asarray(poses)[:hi - lo]
-        clash_ok = np.asarray(clash_ok)[:hi - lo]
-        similar = np.asarray((rmsd < 1.0) & (maxdev < 2.0))[:hi - lo]
-
-        # host: greedy angular dedup in generation order (native scan)
-        keep = _greedy_angular_keep(clash_ok, similar)
-        for b in range(hi - lo):
+    poses_out, cons_out = [], []
+    lo = 0
+    for poses, keep in acc.results:
+        for b in range(len(poses)):
             kept = np.nonzero(keep[b])[0]
             if len(kept):
                 poses_out.append(poses[b, kept])
                 cons_out.extend([ids_arr[lo + b]] * len(kept))
+        lo += len(poses)
 
     if not poses_out:
         raise ZeroCandidatesError(
@@ -668,7 +768,9 @@ def cyclical_embed_trimol_rigid(mols, systematic_angles, clash_thresh=1.5,
         block_chunk = -(-block_chunk // use_mesh.devices.size) \
             * use_mesh.devices.size
 
-    poses_out, cons_out = [], []
+    # same dispatch-then-pull restructure as the bimol sweep: fused
+    # (poses, keep) per chunk, ~2 pulls total via the accumulator
+    acc = _ChunkAccumulator()
     for lo in range(0, Bb, block_chunk):
         hi = min(lo + block_chunk, Bb)
         pad = block_chunk - (hi - lo)
@@ -678,35 +780,30 @@ def cyclical_embed_trimol_rigid(mols, systematic_angles, clash_thresh=1.5,
                 [x[lo:hi]] + ([x[hi - 1:hi]] * pad if pad else []), axis=0)
                 if pad else x[lo:hi])
 
+        chunk_args = (slc(conf_arr[:, 0]), slc(conf_arr[:, 1]),
+                      slc(conf_arr[:, 2]),
+                      slc(starts), slc(ends), slc(directions), slc(pvs),
+                      slc(mds), slc(apms), slc(mps), slc(rc_axes))
         if sharded_fn is not None:
-            poses, clash_ok, rmsd, maxdev = sharded_fn(
-                coords[0], coords[1], coords[2],
-                slc(conf_arr[:, 0]), slc(conf_arr[:, 1]),
-                slc(conf_arr[:, 2]),
-                slc(starts), slc(ends), slc(directions), slc(pvs),
-                slc(mds), slc(apms), slc(mps), slc(rc_axes),
+            poses, keep = sharded_fn(
+                coords[0], coords[1], coords[2], *chunk_args,
                 angle_grid, pair_mask, jnp.asarray(float(clash_thresh)))
         else:
-            R_align, axis, cor, pos0 = _block_geometry(
-                slc(starts), slc(ends), slc(directions), slc(pvs),
-                slc(mds), slc(apms), slc(mps), slc(rc_axes))
-            poses, clash_ok, rmsd, maxdev = _block_poses_multi(
-                coords[0], coords[1], coords[2],
-                slc(conf_arr[:, 0]), slc(conf_arr[:, 1]),
-                slc(conf_arr[:, 2]),
-                R_align, axis, cor, pos0, angle_grid, pair_mask,
-                float(clash_thresh))
+            poses, keep = _block_screen_multi(
+                coords[0], coords[1], coords[2], *chunk_args,
+                angle_grid, pair_mask, float(clash_thresh))
+        acc.add(poses, keep, hi - lo)
+    acc.flush()
 
-        poses = np.asarray(poses)[:hi - lo]
-        clash_ok = np.asarray(clash_ok)[:hi - lo]
-        similar = np.asarray((rmsd < 1.0) & (maxdev < 2.0))[:hi - lo]
-
-        keep = _greedy_angular_keep(clash_ok, similar)
-        for b in range(hi - lo):
+    poses_out, cons_out = [], []
+    lo = 0
+    for poses, keep in acc.results:
+        for b in range(len(poses)):
             kept = np.nonzero(keep[b])[0]
             if len(kept):
                 poses_out.append(poses[b, kept])
                 cons_out.extend([ids_arr[lo + b]] * len(kept))
+        lo += len(poses)
 
     if not poses_out:
         raise ZeroCandidatesError(
@@ -1001,32 +1098,29 @@ def cyclical_embed_nonrigid(embedder, max_norm_delta=5):
                     jnp.asarray(np.tile(directions0, (Bp, 1, 1))),
                     jnp.asarray(grid)))
 
-            R_align, axis, cor, pos0 = _block_geometry(
-                jnp.asarray(starts), jnp.asarray(ends_),
-                jnp.asarray(dirs_arr), jnp.asarray(pvs), jnp.asarray(mds),
-                jnp.asarray(apms), jnp.asarray(mps), jnp.asarray(rc_axes))
-
+            # fused screen program: 2 host pulls per block batch
+            # (geometry/gates/greedy dedup stay on device — see
+            # _block_screen)
+            geom_args = (jnp.asarray(starts), jnp.asarray(ends_),
+                         jnp.asarray(dirs_arr), jnp.asarray(pvs),
+                         jnp.asarray(mds), jnp.asarray(apms),
+                         jnp.asarray(mps), jnp.asarray(rc_axes))
             conf_cols = [jnp.full(Bp, conf_ids[m], dtype=jnp.int32)
                          for m in range(n_mols)]
             if n_mols == 2:
-                poses, clash_ok, rmsd, maxdev = _block_poses(
+                poses, keep = _block_screen(
                     coords[0], coords[1], conf_cols[0], conf_cols[1],
-                    R_align, axis, cor, pos0, angle_grid, pair_mask,
+                    *geom_args, angle_grid, pair_mask,
                     float(clash_thresh))
-                poses = np.asarray(poses).reshape(Bp, A, -1, 3)
             else:
-                poses, clash_ok, rmsd, maxdev = _block_poses_multi(
+                poses, keep = _block_screen_multi(
                     coords[0], coords[1], coords[2],
                     conf_cols[0], conf_cols[1], conf_cols[2],
-                    R_align, axis, cor, pos0, angle_grid, pair_mask,
+                    *geom_args, angle_grid, pair_mask,
                     float(clash_thresh))
-                poses = np.asarray(poses)
 
-            clash_ok = np.asarray(clash_ok)[:Bb]
             poses = np.asarray(poses)[:Bb]
-            similar = np.asarray((rmsd < 1.0) & (maxdev < 2.0))[:Bb]
-
-            keep = _greedy_angular_keep(clash_ok, similar)
+            keep = np.asarray(keep)[:Bb]
             for b in range(Bb):
                 kept = np.nonzero(keep[b])[0]
                 if len(kept):

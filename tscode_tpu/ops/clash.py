@@ -70,6 +70,7 @@ def cross_fragment_pair_mask(ids, n_pad=None):
     return full
 
 
+@jax.jit
 def count_cross_clashes(poses, pair_mask, thresh=1.5):
     '''
     Number of cross-fragment atom pairs closer than `thresh`, per pose.
@@ -80,15 +81,47 @@ def count_cross_clashes(poses, pair_mask, thresh=1.5):
     return jnp.sum(hit, axis=(-2, -1)).astype(jnp.int32)
 
 
+@jax.jit
 def compenetration_mask(poses, pair_mask, thresh=1.5, max_clashes=0):
     '''
     Boolean accept mask for a pose batch: True when the pose shows at most
     `max_clashes` cross-fragment contacts below `thresh` Angstrom.
     Batched equivalent of compenetration_check (numba_functions.py:59-105).
+
+    Jitted (like every public entry point here that host code calls
+    directly): an un-jitted call runs op by op, and on a tunneled
+    accelerator each eager op pays its own remote compile + dispatch —
+    measured at SECONDS per call vs milliseconds jitted.
     '''
-    return count_cross_clashes(poses, pair_mask, thresh=thresh) <= max_clashes
+    return count_cross_clashes.__wrapped__(
+        poses, pair_mask, thresh=thresh) <= max_clashes
 
 
+def count_intra_clashes_np(coords, thresh=0.5):
+    '''
+    Host-numpy twin of count_intra_clashes for one-shot sanity checks
+    on SMALL inputs (e.g. Embedder init): the input lives on the host,
+    the result is consumed on the host, and the arrays are tiny — a
+    device round trip (let alone an eager op chain over a tunnel) costs
+    orders of magnitude more than the arithmetic. Same semantics,
+    computed with the exact difference form (no matmul roundoff).
+    '''
+    coords = np.asarray(coords)
+    n = coords.shape[-2]
+    off_diag = ~np.eye(n, dtype=bool)
+    flat = coords.reshape(-1, n, 3)
+    out = np.empty(flat.shape[0], dtype=np.int32)
+    # chunk the batch axis so the (b, N, N) distance tensor stays small
+    step = max(1, int(2e7) // (n * n))
+    for b0 in range(0, flat.shape[0], step):
+        c = flat[b0:b0 + step]
+        d2 = np.sum((c[:, :, None, :] - c[:, None, :, :]) ** 2, axis=-1)
+        hit = (d2 < thresh * thresh) & (d2 > 1e-6) & off_diag
+        out[b0:b0 + step] = hit.sum(axis=(-2, -1))
+    return out.reshape(coords.shape[:-2])
+
+
+@jax.jit
 def count_intra_clashes(coords, atom_mask=None, thresh=0.5):
     '''
     Sanity-check clash count within a single structure batch: pairs with
@@ -112,6 +145,7 @@ def count_intra_clashes(coords, atom_mask=None, thresh=0.5):
     return jnp.sum(hit, axis=(-2, -1)).astype(jnp.int32)
 
 
+@jax.jit
 def torsion_clash_ok(coords, moved_mask, other_mask, thresh=1.5, max_clashes=0):
     '''
     Clash check between the two graph sides of a rotated torsion

@@ -21,6 +21,16 @@ def _moments_batch(structures, masses):
     return get_inertia_moments(structures, masses)
 
 
+@jax.jit
+def _moi_sim_matrix(moments, max_deviation):
+    '''(B, 3) moments -> (B, B) similarity, entirely inside one program
+    (eager ops on a tunneled accelerator pay per-op dispatch).'''
+    mi = moments[:, None, :]
+    mj = moments[None, :, :]
+    rel = jnp.abs(mi - mj) / mi
+    return jnp.all(rel < max_deviation, axis=-1)
+
+
 def moi_similarity_matrix(structures, masses, max_deviation=1e-2,
                           mesh=None):
     '''
@@ -37,10 +47,7 @@ def moi_similarity_matrix(structures, masses, max_deviation=1e-2,
     else:
         moments = _moments_batch(jnp.asarray(structures),
                                  jnp.asarray(masses))
-    mi = moments[:, None, :]
-    mj = moments[None, :, :]
-    rel = jnp.abs(mi - mj) / mi
-    return np.array(jnp.all(rel < max_deviation, axis=-1))
+    return np.array(_moi_sim_matrix(moments, max_deviation))
 
 
 def prune_by_moment_of_inertia(structures, atomnos, max_deviation=1e-2,

@@ -21,11 +21,14 @@ K_SCHEDULE = (5e5, 2e5, 1e5, 5e4, 2e4, 1e4,
               50, 20, 10, 5, 2, 1)
 
 
+@jax.jit
 def torsion_fingerprints(coords, quadruplets):
     '''
     Per-structure vector of dihedrals over torsion quadruplets.
     coords: (..., N, 3); quadruplets: (Q, 4) int -> (..., Q) float32
     (the reference stores fingerprints in float32, numba_functions.py:238).
+    Jitted: host callers (prune_conformers_tfd, csearch) invoke it
+    directly, and eager op chains pay per-op dispatch on a tunnel.
     '''
     quadruplets = jnp.asarray(quadruplets, dtype=jnp.int32)
     pts = coords[..., quadruplets, :]                  # (..., Q, 4, 3)
@@ -66,6 +69,11 @@ def _tfd_delta_tile(tf_rows, tf_cols):
     return acc
 
 
+@jax.jit
+def _tfd_sim_tile(tf_rows, tf_cols, thresh):
+    return _tfd_delta_tile.__wrapped__(tf_rows, tf_cols) < thresh
+
+
 def _pad_fp(block, n):
     if len(block) == n:
         return block
@@ -90,7 +98,7 @@ def _first_similar_successor(tf_chunk, thresh):
                 break
             c1 = min(c0 + _TFD_COL_TILE, L)
             cols = jnp.asarray(_pad_fp(tf_chunk[c0:c1], _TFD_COL_TILE))
-            sim = np.asarray(_tfd_delta_tile(rows, cols) < thresh)
+            sim = np.asarray(_tfd_sim_tile(rows, cols, thresh))
             sim = sim[:r1 - r0, :c1 - c0]
             valid = sim & (np.arange(c0, c1)[None, :] > i_g[:, None])
             hit = valid.any(axis=1)
