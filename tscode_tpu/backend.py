@@ -50,6 +50,13 @@ def ensure_backend(prefer=None, quiet=False):
         # is re-asserted here, after that registration
         prefer = os.environ.get('JAX_PLATFORMS') or None
     if prefer is not None:
+        if prefer != 'cpu' and 'cpu' not in prefer.split(','):
+            # register the LOCAL CPU backend alongside the accelerator:
+            # tiny one-off relaxations (bending, single-structure FIRE)
+            # are latency-bound, and a local CPU call costs ~0.02 ms vs
+            # ~40 ms per round trip over a tunneled accelerator (the
+            # accelerator stays first in the list = default backend)
+            prefer = prefer + ',cpu'
         jax.config.update('jax_platforms', prefer)
 
     try:
@@ -77,6 +84,22 @@ def ensure_backend(prefer=None, quiet=False):
 
     _initialized = True
     return backend
+
+
+def small_job_device():
+    '''The local CPU device for tiny one-off device programs (a bend
+    relaxation, a single-structure FIRE): on a tunneled accelerator
+    every dispatch/pull pays ~tens of ms of network latency, so
+    latency-bound micro-jobs run locally. Returns None when no CPU
+    backend is registered (callers fall back to the default device) or
+    when CPU IS the default (nothing to gain).'''
+    import jax
+    try:
+        if jax.default_backend() == 'cpu':
+            return None
+        return jax.devices('cpu')[0]
+    except RuntimeError:
+        return None
 
 
 def subprocess_probe(timeout_s=120):

@@ -15,12 +15,30 @@ Bent results are cached per (molecule, pivot indices, rounded target),
 like the reference's embedder.ase_bent_mols_dict (embedder.py:457-461).
 '''
 
+import contextlib
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
+from tscode_tpu.backend import small_job_device
 from tscode_tpu.ff import build_ff_params, ff_energy, params_to_device
 from tscode_tpu.optimizers import fire_minimize_batch, spring_energy
 from tscode_tpu.pivots import set_pivots
+
+
+def _local_device_ctx():
+    '''Fresh context pinning the bend's tiny FIRE programs (one
+    conformer, tens of atoms) to the local CPU backend when the default
+    device is a tunneled accelerator: the loop is host-sequential
+    (orbitals rebuild between relaxations), so each iteration costs one
+    dispatch + one pull — ~40 ms of pure latency per iteration remotely
+    vs ~0.02 ms locally (profiled; the math itself is microseconds
+    either way). Returns a new context manager per call (jax config
+    contexts are not reentrant).'''
+    dev = small_job_device()
+    return (jax.default_device(dev) if dev is not None
+            else contextlib.nullcontext())
 
 
 _BEND_BOND_K = 2000.0   # kcal/mol/A^2: near-rigid bonds during bending
@@ -126,10 +144,11 @@ def bend_molecule(mol, conf, pivot, threshold, max_iter=40,
     i1, i2 = (int(i) for i in mol.reactive_indices[:2])
     orb_memo = {i: float(np.linalg.norm(atom.center[0] - atom.coord))
                 for i, atom in mol.reactive_atoms[conf].items()}
-    params = params_to_device(build_ff_params(
-        mol.atomcoords[conf], mol.atomnos, mol.graph,
-        protect_double_bonds=protect_double_bonds))
-    pairs = jnp.asarray(np.array([[i1, i2]]))
+    with _local_device_ctx():
+        params = params_to_device(build_ff_params(
+            mol.atomcoords[conf], mol.atomnos, mol.graph,
+            protect_double_bonds=protect_double_bonds))
+        pairs = jnp.asarray(np.array([[i1, i2]]))
 
     coords = mol.atomcoords[conf].copy()
     pivot_index = pivot.index
@@ -172,13 +191,14 @@ def bend_molecule(mol, conf, pivot, threshold, max_iter=40,
                                           (i1, i2), target_atoms,
                                           k=k_spring)
         else:
-            relaxed, _, _ = fire_minimize_batch(
-                jnp.asarray(coords)[None], _bend_energy, n_steps=300,
-                fmax=0.05,
-                energy_args=(params, pairs,
-                             jnp.asarray(np.array([target_atoms])),
-                             jnp.asarray(k_spring)))
-            coords = np.asarray(relaxed[0])
+            with _local_device_ctx():
+                relaxed, _, _ = fire_minimize_batch(
+                    jnp.asarray(coords)[None], _bend_energy, n_steps=300,
+                    fmax=0.05,
+                    energy_args=(params, pairs,
+                                 jnp.asarray(np.array([target_atoms])),
+                                 jnp.asarray(k_spring)))
+                coords = np.asarray(relaxed[0])
 
         # rebuild orbitals + pivots from the bent geometry, keeping the
         # ORIGINAL orbital type override (SIMPLEORBITALS) and lengths

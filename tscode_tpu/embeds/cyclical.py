@@ -915,7 +915,8 @@ def cyclical_embed_nonrigid(embedder, max_norm_delta=5):
     embedder.log(f'--> Performing {embedder.embed} embed '
                  f'(non-rigid, {total} pivot combinations)')
 
-    poses_out, cons_out = [], []
+    acc = _ChunkAccumulator()
+    ids_meta = []       # per accumulated chunk: its orientation arr_ids
 
     for conf_ids in conf_combos:
         if n_mols == 2:
@@ -1090,17 +1091,22 @@ def cyclical_embed_nonrigid(embedder, max_norm_delta=5):
                     -1).reshape(-1, 3) * step_angle - _ADJ_RANGE
                 reset = np.zeros(Bp, dtype=bool)
                 reset[0] = True
-                dirs_arr = np.asarray(_adjust_chain(
+                # stays a DEVICE array: it only feeds the screen program
+                # below, so pulling it to the host would pay a tunnel
+                # round trip for nothing
+                dirs_arr = _adjust_chain(
                     jnp.asarray(starts), jnp.asarray(ends_),
                     jnp.asarray(pvs), jnp.asarray(mds), jnp.asarray(mps),
                     jnp.asarray(adj_rc_src), jnp.asarray(adj_verts),
                     jnp.asarray(reset),
                     jnp.asarray(np.tile(directions0, (Bp, 1, 1))),
-                    jnp.asarray(grid)))
+                    jnp.asarray(grid))
 
-            # fused screen program: 2 host pulls per block batch
-            # (geometry/gates/greedy dedup stay on device — see
-            # _block_screen)
+            # fused screen program (geometry/gates/greedy dedup all on
+            # device — see _block_screen). The screens are pure SINKS
+            # with respect to the combo loop (bends feed back through
+            # host-side pivots only), so results accumulate as device
+            # refs and are pulled in ~2 transfers at the end.
             geom_args = (jnp.asarray(starts), jnp.asarray(ends_),
                          jnp.asarray(dirs_arr), jnp.asarray(pvs),
                          jnp.asarray(mds), jnp.asarray(apms),
@@ -1119,13 +1125,17 @@ def cyclical_embed_nonrigid(embedder, max_norm_delta=5):
                     *geom_args, angle_grid, pair_mask,
                     float(clash_thresh))
 
-            poses = np.asarray(poses)[:Bb]
-            keep = np.asarray(keep)[:Bb]
-            for b in range(Bb):
-                kept = np.nonzero(keep[b])[0]
-                if len(kept):
-                    poses_out.append(poses[b, kept])
-                    cons_out.extend([np.array(ids_list[b])] * len(kept))
+            acc.add(poses, keep, Bb)
+            ids_meta.append(ids_list)
+
+    acc.flush()
+    poses_out, cons_out = [], []
+    for (poses, keep), ids_list in zip(acc.results, ids_meta):
+        for b in range(len(poses)):
+            kept = np.nonzero(keep[b])[0]
+            if len(kept):
+                poses_out.append(poses[b, kept])
+                cons_out.extend([np.array(ids_list[b])] * len(kept))
 
     if not poses_out:
         raise ZeroCandidatesError(
