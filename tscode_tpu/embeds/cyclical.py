@@ -52,18 +52,6 @@ def _cyclical_ids_bimol(pivots, orientation, offsets):
 
 
 
-def _dev_coords(mol):
-    '''Device copy of a molecule's ensemble, cached on the instance and
-    refreshed only when the coordinates array is replaced (a bend makes
-    a new array) — the non-rigid sweep must not re-upload every pivot
-    combination.'''
-    cached = getattr(mol, '_dev_coords_cache', None)
-    if cached is None or cached[0] is not mol.atomcoords:
-        cached = (mol.atomcoords, jnp.asarray(mol.atomcoords))
-        mol._dev_coords_cache = cached
-    return cached[1]
-
-
 def _pad_rows(arr, n):
     '''Pad axis 0 to n by repeating row 0 (compile-shape bucketing).'''
     arr = np.asarray(arr)
@@ -915,8 +903,26 @@ def cyclical_embed_nonrigid(embedder, max_norm_delta=5):
     embedder.log(f'--> Performing {embedder.embed} embed '
                  f'(non-rigid, {total} pivot combinations)')
 
-    acc = _ChunkAccumulator()
-    ids_meta = []       # per accumulated chunk: its orientation arr_ids
+    # ---------- phase 1: host-sequential bends; emit numpy rows --------
+    # The per-combo control flow (bend decisions mutating `mols`) is
+    # inherently host-sequential, but the SCREENS are pure sinks: no
+    # screen result feeds back into the loop. So the loop only BUILDS
+    # per-orientation rows (plain numpy — zero device traffic), grouped
+    # by the molecules' coordinate version (a bend starts a new group),
+    # and phase 2 dispatches each group to the device in a few large
+    # chunked programs. Previously every (conf, pivot) combo paid ~13
+    # small host->device transfers + 1-2 dispatches; on a tunneled
+    # accelerator that latency (~40 ms/op x hundreds of combos)
+    # dominated the embed wall time.
+    groups = []     # {'key', 'coords': [np arrays], 'rows': [dict...]}
+
+    def _row_group():
+        key = tuple(id(m.atomcoords) for m in mols)
+        if not groups or groups[-1]['key'] != key:
+            groups.append({'key': key,
+                           'coords': [m.atomcoords for m in mols],
+                           'rows': []})
+        return groups[-1]['rows']
 
     for conf_ids in conf_combos:
         if n_mols == 2:
@@ -1016,102 +1022,136 @@ def cyclical_embed_nonrigid(embedder, max_norm_delta=5):
 
             directions0 = _get_directions(norms) if n_mols == 3 else None
 
-            # build per-orientation blocks for this (conf, pivot) combo
-            starts = []
-            ends_ = []
-            dirs_ = []
-            ids_list = []
-            kept_orients = []
-            for v in range(n_orient):
-                arr_ids = (_cyclical_ids_bimol(pivots, v, offsets)
-                           if n_mols == 2 else
-                           _cyclical_ids_trimol(pivots, v, offsets))
-                if pairing_ok is not None and not pairing_ok(arr_ids):
-                    continue
-                kept_orients.append(v)
-                ids_list.append(arr_ids)
-                starts.append([polygon[v][m][0] for m in range(n_mols)])
-                ends_.append([polygon[v][m][1] for m in range(n_mols)])
-
-            if not kept_orients:
-                continue
-
-            Bb = len(kept_orients)
-            # fixed executable shapes: orientation blocks padded to the
-            # full orientation count (results sliced back to Bb)
-            Bp = n_orient
-            coords = [_dev_coords(mols[m]) for m in range(n_mols)]
-
-            pvs = np.tile([p.pivot for p in pivots], (Bp, 1, 1))
-            mps = np.tile([p.meanpoint for p in pivots], (Bp, 1, 1))
-            apms = np.zeros((Bp, n_mols, 3))
-            mds = np.zeros((Bp, n_mols, 3))
-            rc_axes = np.zeros((Bp, n_mols, 3))
+            # per-combo block values (constant across orientations)
+            pvs_c = np.array([p.pivot for p in pivots])
+            mps_c = np.array([p.meanpoint for p in pivots])
+            apms_c = np.zeros((n_mols, 3))
+            mds_c = np.zeros((n_mols, 3))
+            rc_axes_c = np.zeros((n_mols, 3))
             for m in range(n_mols):
                 rc = mols[m].atomcoords[conf_ids[m]][mols[m].reactive_indices]
                 apm = rc.mean(axis=0)
                 md = pivots[m].meanpoint - apm
                 if np.all(md == 0.):
                     md = pivots[m].meanpoint
-                apms[:, m] = apm
-                mds[:, m] = md
-                rc_axes[:, m] = (rc[0] - rc[1]) if len(rc) == 2 \
+                apms_c[m] = apm
+                mds_c[m] = md
+                rc_axes_c[m] = (rc[0] - rc[1]) if len(rc) == 2 \
                     else pivots[m].pivot
 
-            starts = _pad_rows(np.array(starts), Bp)
-            ends_ = _pad_rows(np.array(ends_), Bp)
-
-            if n_mols == 2:
-                dirs_arr = np.broadcast_to(_DIRECTIONS, (Bp, 2, 3)).copy()
-            else:
-                # per-orientation adjusted directions, CHAINED across the
-                # kept orientations as the reference rebinding does
-                # (embeds.py:633,652); padded rows extend the chain
-                # harmlessly past the real blocks
-                adj_verts = np.zeros((Bp, 3, 3))
+            if n_mols == 3:
+                verts3 = np.zeros((3, 3))
                 verts2 = np.zeros((3, 2))
                 verts2[1] = [norms[0], 0]
                 a_, b_, c_ = norms ** 2
                 x_ = (a_ - b_ + c_) / (2 * a_ ** 0.5)
                 verts2[2] = [x_, (c_ - x_ ** 2) ** 0.5]
-                adj_verts[:, :, :2] = verts2
-                adj_rc_src = np.zeros((Bp, 6, 3))
-                for b in range(Bp):
-                    src = b if b < Bb else 0   # padded rows replay row 0
-                    r = _facing_matrix(ids_list[src], offsets)
-                    adj_rc_src[b, 0] = mols[0].atomcoords[0][r[0, 1]]
-                    adj_rc_src[b, 1] = mols[0].atomcoords[0][r[0, 2]]
-                    adj_rc_src[b, 2] = mols[1].atomcoords[0][r[1, 0]]
-                    adj_rc_src[b, 3] = mols[1].atomcoords[0][r[1, 2]]
-                    adj_rc_src[b, 4] = mols[2].atomcoords[0][r[2, 0]]
-                    adj_rc_src[b, 5] = mols[2].atomcoords[0][r[2, 1]]
-                step_angle = 2 * _ADJ_RANGE / _ADJ_STEPS
-                grid = np.stack(np.meshgrid(
-                    *[np.arange(_ADJ_STEPS + 1)] * 3),
-                    -1).reshape(-1, 3) * step_angle - _ADJ_RANGE
-                reset = np.zeros(Bp, dtype=bool)
-                reset[0] = True
-                # stays a DEVICE array: it only feeds the screen program
-                # below, so pulling it to the host would pay a tunnel
-                # round trip for nothing
-                dirs_arr = _adjust_chain(
-                    jnp.asarray(starts), jnp.asarray(ends_),
-                    jnp.asarray(pvs), jnp.asarray(mds), jnp.asarray(mps),
-                    jnp.asarray(adj_rc_src), jnp.asarray(adj_verts),
-                    jnp.asarray(reset),
-                    jnp.asarray(np.tile(directions0, (Bp, 1, 1))),
-                    jnp.asarray(grid))
+                verts3[:, :2] = verts2
 
-            # fused screen program (geometry/gates/greedy dedup all on
-            # device — see _block_screen). The screens are pure SINKS
-            # with respect to the combo loop (bends feed back through
-            # host-side pivots only), so results accumulate as device
-            # refs and are pulled in ~2 transfers at the end.
-            geom_args = (jnp.asarray(starts), jnp.asarray(ends_),
-                         jnp.asarray(dirs_arr), jnp.asarray(pvs),
-                         jnp.asarray(mds), jnp.asarray(apms),
-                         jnp.asarray(mps), jnp.asarray(rc_axes))
-            conf_cols = [jnp.full(Bp, conf_ids[m], dtype=jnp.int32)
+            rows = None
+            first_of_combo = True
+            for v in range(n_orient):
+                arr_ids = (_cyclical_ids_bimol(pivots, v, offsets)
+                           if n_mols == 2 else
+                           _cyclical_ids_trimol(pivots, v, offsets))
+                if pairing_ok is not None and not pairing_ok(arr_ids):
+                    continue
+                if rows is None:
+                    rows = _row_group()
+                row = {'start': np.array([polygon[v][m][0]
+                                          for m in range(n_mols)]),
+                       'end': np.array([polygon[v][m][1]
+                                        for m in range(n_mols)]),
+                       'pvs': pvs_c, 'mps': mps_c, 'apms': apms_c,
+                       'mds': mds_c, 'rc_axes': rc_axes_c,
+                       'confs': np.array(conf_ids, dtype=np.int32),
+                       'ids': arr_ids}
+                if n_mols == 3:
+                    # adjustment-chain inputs: the chain is CHAINED
+                    # across the kept orientations of a combo as the
+                    # reference rebinding does (embeds.py:633,652) and
+                    # restarts (reset) at each combo's first kept row;
+                    # rc coords are raw conformer-0 values (reference
+                    # quirk, _adjust_directions:404-411)
+                    r = _facing_matrix(arr_ids, offsets)
+                    rc_src = np.array([
+                        mols[0].atomcoords[0][r[0, 1]],
+                        mols[0].atomcoords[0][r[0, 2]],
+                        mols[1].atomcoords[0][r[1, 0]],
+                        mols[1].atomcoords[0][r[1, 2]],
+                        mols[2].atomcoords[0][r[2, 0]],
+                        mols[2].atomcoords[0][r[2, 1]]])
+                    row.update(rc_src=rc_src, verts=verts3,
+                               dirs0=directions0, reset=first_of_combo)
+                rows.append(row)
+                first_of_combo = False
+
+    # ---------- phase 2: grouped, chunked device dispatches ------------
+    all_rows = [row for g in groups for row in g['rows']]
+    n_rows = len(all_rows)
+
+    if n_mols == 3 and n_rows:
+        # ONE chained direction-adjustment program over every row (the
+        # scan restarts at reset rows, so concatenating combos is
+        # bit-identical to the per-combo chains), pow2-padded for
+        # compile-shape bucketing, pulled once
+        step_angle = 2 * _ADJ_RANGE / _ADJ_STEPS
+        grid = np.stack(np.meshgrid(*[np.arange(_ADJ_STEPS + 1)] * 3),
+                        -1).reshape(-1, 3) * step_angle - _ADJ_RANGE
+        Bp = max(8, int(2 ** np.ceil(np.log2(n_rows))))
+
+        def col(k):
+            return _pad_rows(np.array([row[k] for row in all_rows]), Bp)
+
+        dirs_all = np.asarray(_adjust_chain(
+            jnp.asarray(col('start')), jnp.asarray(col('end')),
+            jnp.asarray(col('pvs')), jnp.asarray(col('mds')),
+            jnp.asarray(col('mps')), jnp.asarray(col('rc_src')),
+            jnp.asarray(col('verts')), jnp.asarray(col('reset')),
+            jnp.asarray(col('dirs0')), jnp.asarray(grid)))[:n_rows]
+    else:
+        dirs_all = np.broadcast_to(_DIRECTIONS, (n_rows, 2, 3))
+
+    # screens: per coordinate-version group, fixed-size chunks over the
+    # row axis (the greedy dedup is row-local, so rows from different
+    # combos batch freely); device coordinate uploads are cached per
+    # coordinates array so unchanged molecules upload once
+    acc = _ChunkAccumulator()
+    dev_cache = {}
+
+    def _dev(arr):
+        key = id(arr)
+        if key not in dev_cache:
+            dev_cache[key] = jnp.asarray(arr)
+        return dev_cache[key]
+
+    block_chunk = _BLOCK_CHUNK if n_mols == 2 else 16
+    row_lo = 0
+    for g in groups:
+        gn = len(g['rows'])
+        if not gn:
+            continue
+        coords = [_dev(c) for c in g['coords']]
+        gcols = {k: np.array([row[k] for row in g['rows']])
+                 for k in ('start', 'end', 'pvs', 'mds', 'apms', 'mps',
+                           'rc_axes', 'confs')}
+        gdirs = dirs_all[row_lo:row_lo + gn]
+        row_lo += gn
+
+        for lo in range(0, gn, block_chunk):
+            hi = min(lo + block_chunk, gn)
+            pad = block_chunk - (hi - lo)
+
+            def slc(x):
+                return jnp.asarray(np.concatenate(
+                    [x[lo:hi]] + ([x[hi - 1:hi]] * pad if pad else []),
+                    axis=0) if pad else x[lo:hi])
+
+            geom_args = (slc(gcols['start']), slc(gcols['end']),
+                         slc(gdirs), slc(gcols['pvs']),
+                         slc(gcols['mds']), slc(gcols['apms']),
+                         slc(gcols['mps']), slc(gcols['rc_axes']))
+            conf_cols = [slc(gcols['confs'][:, m])
                          for m in range(n_mols)]
             if n_mols == 2:
                 poses, keep = _block_screen(
@@ -1124,18 +1164,19 @@ def cyclical_embed_nonrigid(embedder, max_norm_delta=5):
                     conf_cols[0], conf_cols[1], conf_cols[2],
                     *geom_args, angle_grid, pair_mask,
                     float(clash_thresh))
-
-            acc.add(poses, keep, Bb)
-            ids_meta.append(ids_list)
+            acc.add(poses, keep, hi - lo)
 
     acc.flush()
     poses_out, cons_out = [], []
-    for (poses, keep), ids_list in zip(acc.results, ids_meta):
+    idx = 0
+    for poses, keep in acc.results:
         for b in range(len(poses)):
             kept = np.nonzero(keep[b])[0]
             if len(kept):
                 poses_out.append(poses[b, kept])
-                cons_out.extend([np.array(ids_list[b])] * len(kept))
+                cons_out.extend([np.array(all_rows[idx]['ids'])]
+                                * len(kept))
+            idx += 1
 
     if not poses_out:
         raise ZeroCandidatesError(
