@@ -891,8 +891,22 @@ class RunEmbedding(Embedder):
             self.constrained_indices = constrained
 
         elif self.embed in ('cyclical', 'chelotropic'):
-            from tscode_tpu.embeds.cyclical import cyclical_embed
-            self.structures = cyclical_embed(self)
+            pre = getattr(self, 'precomputed_embed', None)
+            if pre is not None:
+                # multiembed batches every arrangement's block sweep
+                # into ONE device program set (multiembed.py) and hands
+                # each child its slice here; empty slices behave exactly
+                # like an empty embed
+                structures, constrained = pre
+                if len(structures) == 0:
+                    raise ZeroCandidatesError(
+                        '--> Cyclical embed did not find any suitable '
+                        'disposition of molecules.')
+                self.structures = structures
+                self.constrained_indices = constrained
+            else:
+                from tscode_tpu.embeds.cyclical import cyclical_embed
+                self.structures = cyclical_embed(self)
 
         elif self.embed == 'monomolecular':
             from tscode_tpu.embeds.monomolecular import monomolecular_embed

@@ -308,31 +308,20 @@ def _pick_mesh(n_candidates, mesh):
     return mesh if mesh_wants(n_candidates) else None
 
 
-def cyclical_embed_bimol_rigid(mol1, mol2, systematic_angles,
-                               clash_thresh=1.5, max_norm_delta=10,
-                               pairing_ok=None, log=print,
-                               block_chunk=_BLOCK_CHUNK, mesh=None):
-    '''
-    Rigid bimolecular cyclical embed.
-
-    systematic_angles: (A, 2) array of per-molecule step angles
-    (the embedder's cartesian angle grid, reference embedder.py:714-715).
-    pairing_ok: optional callable(ids) -> bool enforcing user pairings
-    (reference embeds.py:777).
-    Returns (poses (B, N, 3), constrained_indices (B, 2, 2)).
-    '''
+def _bimol_rigid_blocks(mol1, mol2, systematic_angles, max_norm_delta=10,
+                        pairing_ok=None):
+    '''Host section of the rigid bimolecular embed: enumerate blocks in
+    reference order (conf pairs, c1 fastest -> pivot pairs, p1 fastest
+    -> orientation; reference embeds.py:753-785) and pack their geometry
+    into plain numpy arrays. Returns None when no block passes the
+    norm-delta + pairing gates.'''
     mols = (mol1, mol2)
     offsets = (0, mol1.n_atoms)
-    ids = (mol1.n_atoms, mol2.n_atoms)
-    angles = np.asarray(systematic_angles, dtype=float)
-    A = len(angles)
 
     for mol in mols:
         if not hasattr(mol, 'pivots'):
             raise ValueError(f'{mol.name}: call set_pivots() before embedding')
 
-    # ---------------- host: enumerate blocks in reference order ----------
-    # conf pairs (c1 fastest) -> pivot pairs (p1 fastest) -> orientation
     blocks = []      # (c1, c2, piv1, piv2, orientation, ids)
     conf_pairs = [(i1, i2) for i2 in range(mol2.n_confs)
                   for i1 in range(mol1.n_confs)]
@@ -354,50 +343,54 @@ def cyclical_embed_bimol_rigid(mol1, mol2, systematic_angles,
                 blocks.append((c1, c2, piv1, piv2, v, polygon[v], arr_ids))
 
     if not blocks:
-        raise ZeroCandidatesError(
-            '--> Cyclical embed did not find any suitable disposition of '
-            'molecules (no compatible pivot pairs).')
-
-    log(f'--> Performing cyclical embed '
-        f'({len(blocks) * A} candidates, {len(blocks)} blocks)')
+        return None
 
     Bb = len(blocks)
-    starts = np.zeros((Bb, 2, 3))
-    ends = np.zeros((Bb, 2, 3))
-    pvs = np.zeros((Bb, 2, 3))
-    mds = np.zeros((Bb, 2, 3))
-    apms = np.zeros((Bb, 2, 3))
-    mps = np.zeros((Bb, 2, 3))
-    rc_axes = np.zeros((Bb, 2, 3))
-    c1_arr = np.zeros(Bb, dtype=np.int32)
-    c2_arr = np.zeros(Bb, dtype=np.int32)
-    ids_arr = np.zeros((Bb, 2, 2), dtype=np.int64)
+    blk = {k: np.zeros((Bb, 2, 3)) for k in
+           ('starts', 'ends', 'pvs', 'mds', 'apms', 'mps', 'rc_axes')}
+    blk['c1'] = np.zeros(Bb, dtype=np.int32)
+    blk['c2'] = np.zeros(Bb, dtype=np.int32)
+    blk['ids'] = np.zeros((Bb, 2, 2), dtype=np.int64)
 
     for b, (c1, c2, piv1, piv2, v, polygon, arr_ids) in enumerate(blocks):
-        c1_arr[b], c2_arr[b] = c1, c2
-        ids_arr[b] = arr_ids
+        blk['c1'][b], blk['c2'][b] = c1, c2
+        blk['ids'][b] = arr_ids
         for m, (mol, piv, conf) in enumerate(((mol1, piv1, c1),
                                               (mol2, piv2, c2))):
-            starts[b, m] = polygon[m][0]
-            ends[b, m] = polygon[m][1]
-            pvs[b, m] = piv.pivot
-            mps[b, m] = piv.meanpoint
+            blk['starts'][b, m] = polygon[m][0]
+            blk['ends'][b, m] = polygon[m][1]
+            blk['pvs'][b, m] = piv.pivot
+            blk['mps'][b, m] = piv.meanpoint
             rc = mol.atomcoords[conf][mol.reactive_indices]
             apm = rc.mean(axis=0)
-            apms[b, m] = apm
+            blk['apms'][b, m] = apm
             md = piv.meanpoint - apm
             if np.all(md == 0.):
                 md = piv.meanpoint
-            mds[b, m] = md
-            rc_axes[b, m] = (rc[0] - rc[1]) if len(rc) == 2 else piv.pivot
+            blk['mds'][b, m] = md
+            blk['rc_axes'][b, m] = (rc[0] - rc[1]) if len(rc) == 2 \
+                else piv.pivot
 
-    dirs = np.broadcast_to(_DIRECTIONS, (Bb, 2, 3)).copy()
+    blk['dirs'] = np.broadcast_to(_DIRECTIONS, (Bb, 2, 3)).copy()
+    return blk
 
-    # ---------------- device: batched geometry + pose expansion ----------
-    coords1 = jnp.asarray(mol1.atomcoords)
-    coords2 = jnp.asarray(mol2.atomcoords)
-    pair_mask = jnp.asarray(cross_fragment_pair_mask(ids))
-    angle_grid = jnp.asarray(angles)
+
+def _bimol_rigid_screen_rows(blk, coords1, coords2, angle_grid, pair_mask,
+                             clash_thresh, mesh=None,
+                             block_chunk=_BLOCK_CHUNK):
+    '''Device section of the rigid bimolecular embed: chunked fused
+    screens (geometry + poses + clash + angular gates + greedy dedup)
+    over the block rows of `blk`. coords1/coords2/angle_grid/pair_mask
+    are DEVICE arrays (callers share uploads across sweeps). Returns the
+    accumulator's host (poses, keep) pairs in row order.
+
+    Every chunk is dispatched before anything is pulled: the fused
+    screen returns only (poses, keep) and the accumulator fetches them
+    in ~2 host pulls total instead of 3-4 per chunk — pull latency, not
+    math, dominated this sweep on the tunneled deployment (profiled at
+    ~40 ms/pull, ~100 pulls per multiembed arrangement).'''
+    Bb = len(blk['c1'])
+    A = angle_grid.shape[0]
 
     use_mesh = _pick_mesh(Bb * A, mesh)
     sharded_fn = (_block_program_sharded(use_mesh, multi=False)
@@ -406,12 +399,6 @@ def cyclical_embed_bimol_rigid(mol1, mol2, systematic_angles,
         block_chunk = -(-block_chunk // use_mesh.devices.size) \
             * use_mesh.devices.size
 
-    # dispatch EVERY chunk before pulling anything: the fused screen
-    # (geometry + poses + clash + angular gates + greedy dedup) returns
-    # only (poses, keep), and the accumulator fetches them in ~2 host
-    # pulls total instead of 3-4 per chunk — pull latency, not math,
-    # dominated this sweep on the tunneled deployment (profiled at
-    # ~40 ms/pull, ~100 pulls per multiembed arrangement)
     acc = _ChunkAccumulator()
     for lo in range(0, Bb, block_chunk):
         hi = min(lo + block_chunk, Bb)
@@ -422,9 +409,10 @@ def cyclical_embed_bimol_rigid(mol1, mol2, systematic_angles,
                 [x[lo:hi]] + ([x[hi - 1:hi]] * pad if pad else []), axis=0)
                 if pad else x[lo:hi])
 
-        chunk_args = (slc(c1_arr), slc(c2_arr), slc(starts), slc(ends),
-                      slc(dirs), slc(pvs), slc(mds), slc(apms),
-                      slc(mps), slc(rc_axes))
+        chunk_args = (slc(blk['c1']), slc(blk['c2']), slc(blk['starts']),
+                      slc(blk['ends']), slc(blk['dirs']), slc(blk['pvs']),
+                      slc(blk['mds']), slc(blk['apms']), slc(blk['mps']),
+                      slc(blk['rc_axes']))
         if sharded_fn is not None:
             poses, keep = sharded_fn(
                 coords1, coords2, *chunk_args,
@@ -435,16 +423,58 @@ def cyclical_embed_bimol_rigid(mol1, mol2, systematic_angles,
                 angle_grid, pair_mask, float(clash_thresh))
         acc.add(poses, keep, hi - lo)
     acc.flush()
+    return acc.results
 
+
+def _assemble_rows(results, ids_arr):
+    '''Fold the accumulator's (poses, keep) row pairs into survivor
+    pose/constraint lists (generation order preserved).'''
     poses_out, cons_out = [], []
     lo = 0
-    for poses, keep in acc.results:
+    for poses, keep in results:
         for b in range(len(poses)):
             kept = np.nonzero(keep[b])[0]
             if len(kept):
                 poses_out.append(poses[b, kept])
                 cons_out.extend([ids_arr[lo + b]] * len(kept))
         lo += len(poses)
+    return poses_out, cons_out
+
+
+def cyclical_embed_bimol_rigid(mol1, mol2, systematic_angles,
+                               clash_thresh=1.5, max_norm_delta=10,
+                               pairing_ok=None, log=print,
+                               block_chunk=_BLOCK_CHUNK, mesh=None):
+    '''
+    Rigid bimolecular cyclical embed.
+
+    systematic_angles: (A, 2) array of per-molecule step angles
+    (the embedder's cartesian angle grid, reference embedder.py:714-715).
+    pairing_ok: optional callable(ids) -> bool enforcing user pairings
+    (reference embeds.py:777).
+    Returns (poses (B, N, 3), constrained_indices (B, 2, 2)).
+    '''
+    ids = (mol1.n_atoms, mol2.n_atoms)
+    angles = np.asarray(systematic_angles, dtype=float)
+    A = len(angles)
+
+    blk = _bimol_rigid_blocks(mol1, mol2, angles,
+                              max_norm_delta=max_norm_delta,
+                              pairing_ok=pairing_ok)
+    if blk is None:
+        raise ZeroCandidatesError(
+            '--> Cyclical embed did not find any suitable disposition of '
+            'molecules (no compatible pivot pairs).')
+
+    log(f'--> Performing cyclical embed '
+        f'({len(blk["c1"]) * A} candidates, {len(blk["c1"])} blocks)')
+
+    results = _bimol_rigid_screen_rows(
+        blk, jnp.asarray(mol1.atomcoords), jnp.asarray(mol2.atomcoords),
+        jnp.asarray(angles), jnp.asarray(cross_fragment_pair_mask(ids)),
+        clash_thresh, mesh=mesh, block_chunk=block_chunk)
+
+    poses_out, cons_out = _assemble_rows(results, blk['ids'])
 
     if not poses_out:
         raise ZeroCandidatesError(

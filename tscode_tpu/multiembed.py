@@ -3,10 +3,17 @@ Multiembed: combinatorial docking for two polyfunctional molecules.
 
 The reference spawns one child Embedder SUBPROCESS per arrangement of
 interacting atom pairs (/root/reference/tscode/multiembed.py:26-148),
-using process isolation for CPU parallelism. Here each arrangement runs
-in-process — the per-arrangement work is already a batched device sweep,
-so process isolation would only add fork/IPC overhead; arrangements
-execute sequentially while each saturates the chip.
+using process isolation for CPU parallelism. Here the arrangements are
+batched onto the device TOGETHER: each child Embedder is built on the
+host (parse, orbitals, pivots — no device traffic), its embed's block
+rows are packed with the shared `_bimol_rigid_blocks` host section, and
+ONE chunked screen sweep processes the union of every arrangement's
+rows (the screens are row-independent, and all arrangements share the
+same conformer ensembles, so coordinate tensors upload once). Each
+child then receives its slice of survivors and runs the standard
+refining stages. The previous arrangement-sequential design paid a
+~1 s fixed dispatch/pull cost per arrangement on a tunneled
+accelerator regardless of candidate count.
 '''
 
 import os
@@ -28,6 +35,125 @@ def multiembed_dispatcher(embedder):
     raise InputError('The multiembed requested is currently unavailable.')
 
 
+def _build_child(parent, arrangement, i):
+    '''Host phase of one arrangement: write the child input, construct
+    the child Embedder + RunEmbedding (reference run_child_embedder,
+    multiembed.py:84-148 — minus the subprocess machinery) and pack its
+    embed block rows. Returns (run, foldername, blk_or_None).'''
+    from tscode_tpu.embedder import Embedder, RunEmbedding
+    from tscode_tpu.embeds.cyclical import _bimol_rigid_blocks
+
+    (x1, x2), (y1, y2) = arrangement
+    start_dir = os.getcwd()
+    foldername = f'tscode_embed{i + 1}'
+    os.makedirs(foldername, exist_ok=True)
+
+    mol1, mol2 = parent.objects
+    copy(os.path.join(start_dir, mol1.name), foldername)
+    copy(os.path.join(start_dir, mol2.name), foldername)
+
+    child_input = os.path.join(start_dir, foldername,
+                               f'embed{i + 1}_input.txt')
+    extra = ''
+    extra += ' debug' if parent.options.debug else ''
+    extra += ' simpleorbitals' if parent.options.simpleorbitals else ''
+    extra += (f' shrink={parent.options.shrink_multiplier}'
+              if parent.options.shrink else '')
+    with open(child_input, 'w') as f:
+        f.write(f'noopt rigid{extra}\n')
+        f.write(f'{mol1.name} {x1}x {y1}y\n')
+        f.write(f'{mol2.name} {x2}x {y2}y\n')
+
+    try:
+        from tscode_tpu.utils import suppress_stdout_stderr
+        with suppress_stdout_stderr():
+            child = Embedder(child_input, stamp=f'embed{i + 1}')
+            run = RunEmbedding(child)
+            # the children are all NOOPT RIGID 2-mol cyclical embeds:
+            # pack the block rows now (host numpy only) so the sweep
+            # can batch them across arrangements (max_norm_delta=5 via
+            # the cyclical_embed dispatcher, reference embeds.py:234-242)
+            blk = _bimol_rigid_blocks(
+                run.objects[0], run.objects[1], run.systematic_angles,
+                max_norm_delta=5, pairing_ok=run.pairing_ok_fn())
+    finally:
+        os.chdir(start_dir)
+    return run, foldername, blk
+
+
+def _screen_arrangements(parent, children):
+    '''One chunked device sweep over the union of every arrangement's
+    block rows. Returns per-arrangement (poses, cons) lists.'''
+    import jax.numpy as jnp
+
+    from tscode_tpu.embeds.cyclical import (_assemble_rows,
+                                            _bimol_rigid_screen_rows)
+    from tscode_tpu.ops.clash import cross_fragment_pair_mask
+
+    live = [(run, blk) for run, _, blk in children if blk is not None]
+    out = {}
+    if not live:
+        return out
+
+    run0 = live[0][0]
+    angles0 = np.asarray(run0.systematic_angles, dtype=float)
+    coords_dev = {}     # value-shared uploads across arrangements
+
+    def dev_coords(mol):
+        for arr, ref in coords_dev.values():
+            if arr is mol.atomcoords or (
+                    arr.shape == mol.atomcoords.shape
+                    and np.array_equal(arr, mol.atomcoords)):
+                return ref
+        ref = jnp.asarray(mol.atomcoords)
+        coords_dev[len(coords_dev)] = (mol.atomcoords, ref)
+        return ref
+
+    # children whose angle grids match the first batch together; any
+    # odd one out (different rotation settings — not produced by this
+    # dispatcher, but kept safe) screens separately with its own grid
+    batched = [(run, blk) for run, blk in live
+               if np.array_equal(
+                   np.asarray(run.systematic_angles, dtype=float), angles0)]
+    solo = [(run, blk) for run, blk in live
+            if not any(run is r for r, _ in batched)]
+
+    if batched:
+        cat = {k: np.concatenate([blk[k] for _, blk in batched])
+               for k in batched[0][1].keys()}
+        results = _bimol_rigid_screen_rows(
+            cat,
+            dev_coords(batched[0][0].objects[0]),
+            dev_coords(batched[0][0].objects[1]),
+            jnp.asarray(angles0),
+            jnp.asarray(cross_fragment_pair_mask(
+                (run0.objects[0].n_atoms, run0.objects[1].n_atoms))),
+            run0.options.clash_thresh, mesh=parent._mesh())
+
+        # flatten the chunked results back to one (rows, A, ...) view,
+        # then slice per arrangement
+        poses_all = np.concatenate([p for p, _ in results])
+        keep_all = np.concatenate([k for _, k in results])
+        lo = 0
+        for run, blk in batched:
+            n = len(blk['c1'])
+            poses_out, cons_out = _assemble_rows(
+                [(poses_all[lo:lo + n], keep_all[lo:lo + n])], blk['ids'])
+            lo += n
+            out[id(run)] = (poses_out, cons_out)
+
+    for run, blk in solo:
+        results = _bimol_rigid_screen_rows(
+            blk, dev_coords(run.objects[0]), dev_coords(run.objects[1]),
+            jnp.asarray(np.asarray(run.systematic_angles, dtype=float)),
+            jnp.asarray(cross_fragment_pair_mask(
+                (run.objects[0].n_atoms, run.objects[1].n_atoms))),
+            run.options.clash_thresh, mesh=parent._mesh())
+        out[id(run)] = _assemble_rows(results, blk['ids'])
+
+    return out
+
+
 def multiembed_bifunctional(embedder):
     '''Explore every relative arrangement of reactive-index pairs between
     the two molecules (reference multiembed.py:26-82).'''
@@ -42,16 +168,34 @@ def multiembed_bifunctional(embedder):
     embedder.log(f'--> Multiembed: running {len(arrangements)} embeds '
                  f'(device-batched, in-process)')
 
+    # host phase: all children built + block rows packed, zero device work
+    children = [_build_child(embedder, arrangement, i)
+                for i, arrangement in enumerate(arrangements)]
+
+    # device phase: one sweep over the union of rows
+    t0 = time.perf_counter()
+    screened = _screen_arrangements(embedder, children)
+    embedder.log(f'--> Multiembed: screened all arrangements in '
+                 f'{time_to_string(time.perf_counter() - t0, verbose=True)}.')
+
     structures_out, constr_ids = [], []
-    for i, arrangement in enumerate(arrangements):
+    start_dir = os.getcwd()
+    for i, (run, foldername, blk) in enumerate(children):
         t0 = time.perf_counter()
-        structures, constrained = run_child_embed(embedder, arrangement, i)
+        poses_out, cons_out = screened.get(id(run), ([], []))
+        if poses_out:
+            pre = (np.concatenate(poses_out), np.array(cons_out))
+        else:
+            pre = (np.array([]), np.array([]))
+        structures, constrained = _finish_child(
+            embedder, run, foldername, pre)
         embedder.log(f'--> Arrangement {i + 1:3}/{len(arrangements):3}: '
                      f'generated {len(structures):4} candidates in '
                      f'{time_to_string(time.perf_counter() - t0, verbose=True)}.')
         if len(structures) > 0:
             structures_out.append(structures)
             constr_ids.append(constrained)
+    os.chdir(start_dir)
 
     if not structures_out:
         raise ZeroCandidatesError(
@@ -67,42 +211,16 @@ def multiembed_bifunctional(embedder):
     return structures_out
 
 
-def run_child_embed(parent, arrangement, i):
-    '''
-    One arrangement = one bimolecular cyclical embed with the two chosen
-    interaction pairs imposed as x/y pairings
-    (reference run_child_embedder, multiembed.py:84-148 — minus the
-    subprocess, scratch-dir and re-parse machinery).
-    '''
-    from tscode_tpu.embedder import Embedder, RunEmbedding
-
-    (x1, x2), (y1, y2) = arrangement
+def _finish_child(parent, run, foldername, precomputed):
+    '''Refining phase of one arrangement: hand the child its slice of
+    the shared sweep and run the standard post-embed stages (same
+    sequence as the reference child process, multiembed.py:100-131).'''
     start_dir = os.getcwd()
-    foldername = f'tscode_embed{i + 1}'
-    os.makedirs(foldername, exist_ok=True)
-
-    mol1, mol2 = parent.objects
-    copy(os.path.join(start_dir, mol1.name), foldername)
-    copy(os.path.join(start_dir, mol2.name), foldername)
-
-    child_input = os.path.join(start_dir, foldername, f'embed{i + 1}_input.txt')
-    extra = ''
-    extra += ' debug' if parent.options.debug else ''
-    extra += ' simpleorbitals' if parent.options.simpleorbitals else ''
-    extra += (f' shrink={parent.options.shrink_multiplier}'
-              if parent.options.shrink else '')
-    with open(child_input, 'w') as f:
-        f.write(f'noopt rigid{extra}\n')
-        f.write(f'{mol1.name} {x1}x {y1}y\n')
-        f.write(f'{mol2.name} {x2}x {y2}y\n')
-
+    os.chdir(os.path.join(start_dir, foldername))
     try:
-        # child console output suppressed, as the reference does for its
-        # child processes (multiembed.py:135-140)
         from tscode_tpu.utils import suppress_stdout_stderr
         with suppress_stdout_stderr():
-            child = Embedder(child_input, stamp=f'embed{i + 1}')
-            run = RunEmbedding(child)
+            run.precomputed_embed = precomputed
             try:
                 run.generate_candidates()
                 run.compenetration_refining()
