@@ -203,14 +203,18 @@ def bend_molecule(mol, conf, pivot, threshold, max_iter=40,
         # rebuild orbitals + pivots from the bent geometry, keeping the
         # ORIGINAL orbital type override (SIMPLEORBITALS) and lengths
         # (SHRINK scaling) — the reference preserves both through
-        # orb_memo + atom.init(update=True) (ase_manipulations.py:849-858)
+        # orb_memo + atom.init(update=True) (ase_manipulations.py:849-858).
+        # Only the bent conformer changed, so the rebuild is scoped to
+        # it (confs=[conf]); the other conformers keep the input
+        # molecule's atoms/pivots, which are exactly what a full
+        # rebuild would reproduce from their unchanged coordinates.
         new_mol.atomcoords = new_mol.atomcoords.copy()
         new_mol.atomcoords[conf] = coords
-        new_mol.reactive_atoms = {}
         new_mol.compute_orbitals(
-            override=getattr(mol, '_orbital_override', None))
-        new_mol.restore_orb_lengths(orb_memo)
-        set_pivots(new_mol, suprafacial=suprafacial)
+            override=getattr(mol, '_orbital_override', None),
+            confs=[conf])
+        new_mol.restore_orb_lengths(orb_memo, confs=[conf])
+        set_pivots(new_mol, suprafacial=suprafacial, confs=[conf])
 
         current_len, p = _pivot_length(new_mol, conf, pivot_index)
         if current_len is None:

@@ -195,12 +195,18 @@ class Molecule:
     def reactive_atoms_classes_dict(self):
         return self.reactive_atoms
 
-    def compute_orbitals(self, override=None):
+    def compute_orbitals(self, override=None, confs=None):
         '''
         Classify reactive atom types, derive the sigmatropic / vicinal
         flags from the pre-init type names (faithful to the reference's
         init ordering, hypermolecule_class.py:195-217), then build each
         conformer's orbital geometry.
+
+        confs: optional conformer ids to (re)build; other conformers
+        keep their current atoms (containers are copied first, so a
+        scoped rebuild never mutates a molecule sharing them). Used by
+        the bending loop, where only the bent conformer's coordinates
+        change per iteration.
         '''
         if len(self.reactive_indices) == 0:
             # reference parity: one (empty) entry per conformer
@@ -220,14 +226,25 @@ class Molecule:
 
         self.sp3_sigmastar = is_vicinal_names(
             pre_names, self.reactive_indices, self.graph)
-        self.sigmatropic = [
-            is_sigmatropic_names(pre_names, self.atomcoords[c],
-                                 self.reactive_indices, self.graph)
-            for c in range(self.n_confs)]
+
+        if confs is None:
+            rebuild = range(self.n_confs)
+            self.sigmatropic = [
+                is_sigmatropic_names(pre_names, self.atomcoords[c],
+                                     self.reactive_indices, self.graph)
+                for c in range(self.n_confs)]
+            self.reactive_atoms = {}
+        else:
+            rebuild = confs
+            self.sigmatropic = list(self.sigmatropic)
+            for c in rebuild:
+                self.sigmatropic[c] = is_sigmatropic_names(
+                    pre_names, self.atomcoords[c],
+                    self.reactive_indices, self.graph)
+            self.reactive_atoms = dict(self.reactive_atoms)
 
         self._validate_lg()
-        self.reactive_atoms = {}
-        for c in range(self.n_confs):
+        for c in rebuild:
             self.reactive_atoms[c] = {
                 int(i): builders[int(i)](self, int(i), conf=c,
                                          **self._builder_kwargs(int(i)))
@@ -274,12 +291,15 @@ class Molecule:
                     self, i, conf=c, orb_dim=orb_dim * value,
                     **self._builder_kwargs(i))
 
-    def restore_orb_lengths(self, lengths):
+    def restore_orb_lengths(self, lengths, confs=None):
         '''Rebuild reactive atoms imposing per-atom orbital lengths
         (index -> A), preserving type override and leaving group — the
         analog of the reference's orb_memo + atom.init(update=True,
-        orb_dim=...) used during bending (ase_manipulations.py:849-858).'''
-        for c in range(self.n_confs):
+        orb_dim=...) used during bending (ase_manipulations.py:849-858).
+        confs: optional conformer ids to restrict the rebuild to (the
+        bending loop passes the bent conformer).'''
+        for c in (range(self.n_confs) if confs is None else confs):
+            self.reactive_atoms[c] = dict(self.reactive_atoms[c])
             for i in list(self.reactive_atoms[c]):
                 want = lengths.get(i)
                 if want is None:

@@ -13,48 +13,60 @@ from tscode_tpu.ops.linalg import cartesian_product
 from tscode_tpu.molecule import Pivot
 
 
+def _pivots_for_conf(mol, c):
+    '''One conformer's raw pivot list.'''
+    r_atoms = mol.get_r_atoms(c)
+    out = []
+
+    if len(r_atoms) == 2:
+        a1, a2 = r_atoms
+        indices = cartesian_product(np.arange(len(a1.center)),
+                                    np.arange(len(a2.center)))
+        for i, j in indices:
+            out.append(Pivot(a1.center[i], a2.center[j], a1, a2, i, j))
+
+    elif len(r_atoms) == 1:
+        # chelotropic: pivots connect two lobes of the same atom,
+        # keeping only ordered index pairs (i < j)
+        a1 = r_atoms[0]
+        indices = cartesian_product(np.arange(len(a1.center)),
+                                    np.arange(len(a1.center)))
+        for i, j in indices:
+            if i < j:
+                out.append(Pivot(a1.center[i], a1.center[j], a1, a1, i, j))
+
+    return out
+
+
 def get_pivots(mol):
     '''List (per conformer) of np.arrays of Pivot objects.'''
     if not mol.reactive_atoms:
         return []
-
-    pivots_list = [[] for _ in range(mol.n_confs)]
-
-    for c in range(mol.n_confs):
-        r_atoms = mol.get_r_atoms(c)
-
-        if len(r_atoms) == 2:
-            a1, a2 = r_atoms
-            indices = cartesian_product(np.arange(len(a1.center)),
-                                        np.arange(len(a2.center)))
-            for i, j in indices:
-                pivots_list[c].append(
-                    Pivot(a1.center[i], a2.center[j], a1, a2, i, j))
-
-        elif len(r_atoms) == 1:
-            # chelotropic: pivots connect two lobes of the same atom,
-            # keeping only ordered index pairs (i < j)
-            a1 = r_atoms[0]
-            indices = cartesian_product(np.arange(len(a1.center)),
-                                        np.arange(len(a1.center)))
-            for i, j in indices:
-                if i < j:
-                    pivots_list[c].append(
-                        Pivot(a1.center[i], a1.center[j], a1, a1, i, j))
-
-    return [np.array(l, dtype=object) for l in pivots_list]
+    return [np.array(_pivots_for_conf(mol, c), dtype=object)
+            for c in range(mol.n_confs)]
 
 
-def set_pivots(mol, suprafacial=False):
+def set_pivots(mol, suprafacial=False, confs=None):
     '''
     Attach mol.pivots with the embedder's filters:
      * suprafacial: of 4 pivots (2 lobes x 2 lobes), keep the 2 shortest
      * sigmastar molecules keep only the shortest pivot length
     (reference embedder.py:542-573)
+    confs: optional conformer ids to rebuild; other conformers keep
+    their current pivots (the list container is copied first, so a
+    scoped rebuild never mutates a molecule sharing it). Used by the
+    bending loop.
     '''
-    mol.pivots = get_pivots(mol)
+    if confs is None or not getattr(mol, 'pivots', None):
+        mol.pivots = get_pivots(mol)
+        confs = None
+    else:
+        mol.pivots = list(mol.pivots)
+        for c in confs:
+            mol.pivots[c] = np.array(_pivots_for_conf(mol, c),
+                                     dtype=object)
 
-    for c in range(mol.n_confs):
+    for c in (range(mol.n_confs) if confs is None else confs):
         if suprafacial and len(mol.pivots[c]) == 4:
             norms = np.array([np.linalg.norm(p.pivot) for p in mol.pivots[c]])
             # keep the two shortest (the reference scans samples until a
