@@ -37,6 +37,24 @@ _BLOCK_CHUNK = 64
 _DIRECTIONS = np.array([[0., 1., 0.], [0., -1., 0.]])
 
 
+def _auto_chunk(n_rows, n_angles, n_atoms):
+    '''Pow2 row-chunk size for the block screens, sized by the two
+    dominant intermediates — the (chunk*A, N, N) pose distance matrix
+    and the (chunk, A, A) angular-similarity matrices — instead of a
+    fixed tiny constant. On a tunneled accelerator every chunk costs
+    ~10 small uploads + a dispatch (~latency-bound at the old fixed 64
+    rows = 1.6k poses/dispatch); adaptive chunks put ~50k+ poses in
+    each program while keeping the intermediates bounded.'''
+    by_pairs = int(6e7) // max(1, n_angles * n_atoms * n_atoms)
+    # the angular-dedup pair tensor (chunk, A, A, N, 3) is the worst
+    # case if XLA materializes the broadcast (CPU does)
+    by_dedup = int(3e7) // max(1, n_angles * n_angles * n_atoms * 3)
+    want = max(64, min(by_pairs, by_dedup))
+    want = 1 << (int(want).bit_length() - 1)             # pow2 floor
+    cap = 1 << (max(1, int(n_rows)) - 1).bit_length()    # pow2 ceil
+    return int(min(want, cap, 4096))
+
+
 def _cyclical_ids_bimol(pivots, orientation, offsets):
     '''Constrained atom-index couples for a 2-molecule arrangement
     (reference _get_cyclical_reactive_indices, embeds.py:862-883).'''
@@ -284,12 +302,26 @@ class _ChunkAccumulator:
         if self._bytes >= _ACCUM_FLUSH_BYTES:
             self.flush()
 
+    @staticmethod
+    def _tree_concat(parts, arity=8):
+        '''Device concatenate with BOUNDED operand count: an eager
+        N-operand jnp.concatenate compiles an N-input XLA program whose
+        compile time explodes for large N (a ~400-chunk multiembed
+        union took minutes on CPU and wedged a remote-compile tunnel).
+        Fixed-arity rounds keep every executable small, and equal chunk
+        shapes mean each round reuses one compiled program.'''
+        while len(parts) > 1:
+            parts = [parts[i] if len(parts[i:i + arity]) == 1
+                     else jnp.concatenate(parts[i:i + arity])
+                     for i in range(0, len(parts), arity)]
+        return parts[0]
+
     def flush(self):
         if not self._chunks:
             return
-        poses_all = np.asarray(jnp.concatenate(
+        poses_all = np.asarray(self._tree_concat(
             [p for p, _, _ in self._chunks]))
-        keep_all = np.asarray(jnp.concatenate(
+        keep_all = np.asarray(self._tree_concat(
             [k for _, k, _ in self._chunks]))
         lo = 0
         for p, _, n_valid in self._chunks:
@@ -376,8 +408,7 @@ def _bimol_rigid_blocks(mol1, mol2, systematic_angles, max_norm_delta=10,
 
 
 def _bimol_rigid_screen_rows(blk, coords1, coords2, angle_grid, pair_mask,
-                             clash_thresh, mesh=None,
-                             block_chunk=_BLOCK_CHUNK):
+                             clash_thresh, mesh=None, block_chunk=None):
     '''Device section of the rigid bimolecular embed: chunked fused
     screens (geometry + poses + clash + angular gates + greedy dedup)
     over the block rows of `blk`. coords1/coords2/angle_grid/pair_mask
@@ -391,6 +422,9 @@ def _bimol_rigid_screen_rows(blk, coords1, coords2, angle_grid, pair_mask,
     ~40 ms/pull, ~100 pulls per multiembed arrangement).'''
     Bb = len(blk['c1'])
     A = angle_grid.shape[0]
+    if block_chunk is None:
+        block_chunk = _auto_chunk(
+            Bb, A, coords1.shape[1] + coords2.shape[1])
 
     use_mesh = _pick_mesh(Bb * A, mesh)
     sharded_fn = (_block_program_sharded(use_mesh, multi=False)
@@ -444,7 +478,7 @@ def _assemble_rows(results, ids_arr):
 def cyclical_embed_bimol_rigid(mol1, mol2, systematic_angles,
                                clash_thresh=1.5, max_norm_delta=10,
                                pairing_ok=None, log=print,
-                               block_chunk=_BLOCK_CHUNK, mesh=None):
+                               block_chunk=None, mesh=None):
     '''
     Rigid bimolecular cyclical embed.
 
@@ -641,8 +675,8 @@ def _cyclical_ids_trimol(pivots, orientation, offsets):
 
 
 def cyclical_embed_trimol_rigid(mols, systematic_angles, clash_thresh=1.5,
-                                pairing_ok=None, log=print, block_chunk=8,
-                                mesh=None):
+                                pairing_ok=None, log=print,
+                                block_chunk=None, mesh=None):
     '''
     Rigid trimolecular cyclical embed: triangle construction from pivot
     norms, 8 oriented triangles, device-batched direction adjustment,
@@ -778,6 +812,8 @@ def cyclical_embed_trimol_rigid(mols, systematic_angles, clash_thresh=1.5,
     coords = [jnp.asarray(m.atomcoords) for m in mols]
     pair_mask = jnp.asarray(cross_fragment_pair_mask(ids))
     angle_grid = jnp.asarray(angles)
+    if block_chunk is None:
+        block_chunk = _auto_chunk(Bb, A, sum(ids))
 
     use_mesh = _pick_mesh(Bb * A, mesh)
     sharded_fn = (_block_program_sharded(use_mesh, multi=True)
@@ -1155,7 +1191,7 @@ def cyclical_embed_nonrigid(embedder, max_norm_delta=5):
             dev_cache[key] = jnp.asarray(arr)
         return dev_cache[key]
 
-    block_chunk = _BLOCK_CHUNK if n_mols == 2 else 16
+    base_chunk = _auto_chunk(n_rows, A, sum(ids))
     row_lo = 0
     for g in groups:
         gn = len(g['rows'])
@@ -1168,6 +1204,9 @@ def cyclical_embed_nonrigid(embedder, max_norm_delta=5):
         gdirs = dirs_all[row_lo:row_lo + gn]
         row_lo += gn
 
+        # clamp to the group's pow2 ceiling so small bend-bounded
+        # groups don't pad to the global chunk
+        block_chunk = min(base_chunk, 1 << (gn - 1).bit_length())
         for lo in range(0, gn, block_chunk):
             hi = min(lo + block_chunk, gn)
             pad = block_chunk - (hi - lo)
