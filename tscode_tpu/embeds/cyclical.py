@@ -32,8 +32,6 @@ from tscode_tpu.ops.linalg import (align_vec_pair, polygonize,
                                    rot_mat_from_pointer)
 from tscode_tpu.ops.rmsd_prune import _maxdev_pairs, _rmsd_matrix_lambda_only
 
-_BLOCK_CHUNK = 64
-
 _DIRECTIONS = np.array([[0., 1., 0.], [0., -1., 0.]])
 
 
@@ -49,7 +47,9 @@ def _auto_chunk(n_rows, n_angles, n_atoms):
     # the angular-dedup pair tensor (chunk, A, A, N, 3) is the worst
     # case if XLA materializes the broadcast (CPU does)
     by_dedup = int(3e7) // max(1, n_angles * n_angles * n_atoms * 3)
-    want = max(64, min(by_pairs, by_dedup))
+    # the memory bounds win over the latency floor: a dense angle grid
+    # on a large system (A=216, N=150) NEEDS a tiny chunk
+    want = max(8, min(by_pairs, by_dedup))
     want = 1 << (int(want).bit_length() - 1)             # pow2 floor
     cap = 1 << (max(1, int(n_rows)) - 1).bit_length()    # pow2 ceil
     return int(min(want, cap, 4096))
@@ -340,8 +340,7 @@ def _pick_mesh(n_candidates, mesh):
     return mesh if mesh_wants(n_candidates) else None
 
 
-def _bimol_rigid_blocks(mol1, mol2, systematic_angles, max_norm_delta=10,
-                        pairing_ok=None):
+def _bimol_rigid_blocks(mol1, mol2, max_norm_delta=10, pairing_ok=None):
     '''Host section of the rigid bimolecular embed: enumerate blocks in
     reference order (conf pairs, c1 fastest -> pivot pairs, p1 fastest
     -> orientation; reference embeds.py:753-785) and pack their geometry
@@ -492,8 +491,7 @@ def cyclical_embed_bimol_rigid(mol1, mol2, systematic_angles,
     angles = np.asarray(systematic_angles, dtype=float)
     A = len(angles)
 
-    blk = _bimol_rigid_blocks(mol1, mol2, angles,
-                              max_norm_delta=max_norm_delta,
+    blk = _bimol_rigid_blocks(mol1, mol2, max_norm_delta=max_norm_delta,
                               pairing_ok=pairing_ok)
     if blk is None:
         raise ZeroCandidatesError(

@@ -74,8 +74,12 @@ def _build_child(parent, arrangement, i):
             # can batch them across arrangements (max_norm_delta=5 via
             # the cyclical_embed dispatcher, reference embeds.py:234-242)
             blk = _bimol_rigid_blocks(
-                run.objects[0], run.objects[1], run.systematic_angles,
+                run.objects[0], run.objects[1],
                 max_norm_delta=5, pairing_ok=run.pairing_ok_fn())
+            # every child is alive until its _finish_child runs: close
+            # the logfile now (reopened there) so a many-arrangement
+            # run doesn't hold hundreds of descriptors open at once
+            run.logfile.close()
     finally:
         os.chdir(start_dir)
     return run, foldername, blk
@@ -168,9 +172,19 @@ def multiembed_bifunctional(embedder):
     embedder.log(f'--> Multiembed: running {len(arrangements)} embeds '
                  f'(device-batched, in-process)')
 
-    # host phase: all children built + block rows packed, zero device work
-    children = [_build_child(embedder, arrangement, i)
-                for i, arrangement in enumerate(arrangements)]
+    # host phase: all children built + block rows packed, zero device
+    # work; on a mid-build failure, drop the already-built folders so
+    # nothing leaks
+    children = []
+    try:
+        for i, arrangement in enumerate(arrangements):
+            children.append(_build_child(embedder, arrangement, i))
+    except BaseException:
+        if not embedder.options.debug:
+            for _, foldername, _ in children:
+                rmtree(os.path.join(os.getcwd(), foldername),
+                       ignore_errors=True)
+        raise
 
     # device phase: one sweep over the union of rows
     t0 = time.perf_counter()
@@ -220,6 +234,9 @@ def _finish_child(parent, run, foldername, precomputed):
     try:
         from tscode_tpu.utils import suppress_stdout_stderr
         with suppress_stdout_stderr():
+            # _build_child closed the logfile to bound open descriptors
+            run.logfile = open(f'tscode_{run.stamp}.log', 'a',
+                               buffering=1, encoding='utf-8')
             run.precomputed_embed = precomputed
             try:
                 run.generate_candidates()
