@@ -15,30 +15,19 @@ Bent results are cached per (molecule, pivot indices, rounded target),
 like the reference's embedder.ase_bent_mols_dict (embedder.py:457-461).
 '''
 
-import contextlib
-
 import numpy as np
-import jax
 import jax.numpy as jnp
 
-from tscode_tpu.backend import small_job_device
+from tscode_tpu.backend import local_device_ctx
 from tscode_tpu.ff import build_ff_params, ff_energy, params_to_device
 from tscode_tpu.optimizers import fire_minimize_batch, spring_energy
 from tscode_tpu.pivots import set_pivots
 
 
-def _local_device_ctx():
-    '''Fresh context pinning the bend's tiny FIRE programs (one
-    conformer, tens of atoms) to the local CPU backend when the default
-    device is a tunneled accelerator: the loop is host-sequential
-    (orbitals rebuild between relaxations), so each iteration costs one
-    dispatch + one pull — ~40 ms of pure latency per iteration remotely
-    vs ~0.02 ms locally (profiled; the math itself is microseconds
-    either way). Returns a new context manager per call (jax config
-    contexts are not reentrant).'''
-    dev = small_job_device()
-    return (jax.default_device(dev) if dev is not None
-            else contextlib.nullcontext())
+# the bend loop is host-sequential (orbitals rebuild between
+# relaxations), so its one-conformer FIRE programs pin to the local
+# CPU backend — see backend.local_device_ctx
+_local_device_ctx = local_device_ctx
 
 
 _BEND_BOND_K = 2000.0   # kcal/mol/A^2: near-rigid bonds during bending

@@ -65,55 +65,61 @@ def _relax_point(embedder, mol, coords, pair=None, pair_dist=None,
             procs=embedder.procs, check=False, **kwargs)
         return new_coords, energy
 
-    # FF fallback
+    # FF fallback. The scan loop is host-sequential (each point starts
+    # from the previous relaxed geometry), so the one-structure FIRE
+    # programs and scalar dihedral evaluations pin to the local CPU
+    # backend — on a tunneled accelerator each would pay ~40 ms of
+    # dispatch/pull latency per scan point (backend.local_device_ctx).
+    from tscode_tpu.backend import local_device_ctx
     from tscode_tpu.ff import build_ff_params, ff_energy, params_to_device
     from tscode_tpu.optimizers import fire_minimize_batch, spring_energy
     from tscode_tpu.torsions import get_rotation_mask
 
-    params = getattr(mol, '_ff_params_dev', None)
-    if params is None:
-        params = params_to_device(build_ff_params(
-            mol.atomcoords[0], mol.atomnos, mol.graph))
-        mol._ff_params_dev = params
+    with local_device_ctx():
+        params = getattr(mol, '_ff_params_dev', None)
+        if params is None:
+            params = params_to_device(build_ff_params(
+                mol.atomcoords[0], mol.atomnos, mol.graph))
+            mol._ff_params_dev = params
 
-    work = coords.copy()
-    if dihedral is not None:
-        # impose the torsion geometrically, then relax with the four
-        # dihedral atoms frozen to hold the rotated value
-        from tscode_tpu.ops.linalg import dihedral as dihedral_fn
-        from tscode_tpu.rot_rmsd import _rotate
-        i1, i2, i3, i4 = dihedral
-        current = float(np.asarray(dihedral_fn(
-            jnp.asarray(work[[i1, i2, i3, i4]]))))
-        delta = dihedral_angle - current
-        mask = get_rotation_mask(mol.graph, tuple(dihedral))
-        cand = _rotate(work, tuple(dihedral), delta, mask)
-        # the rotation mask may have been inverted (its >half-atoms
-        # optimization), flipping the sign of the imposed change
-        achieved = float(np.asarray(dihedral_fn(
-            jnp.asarray(cand[[i1, i2, i3, i4]]))))
-        err_fwd = abs((achieved - dihedral_angle + 180) % 360 - 180)
-        if err_fwd > 1e-3:
-            cand = _rotate(work, tuple(dihedral), -delta, mask)
-        work = cand
-        freeze = np.zeros(len(work), dtype=bool)
-        freeze[[i1, i2, i3, i4]] = True
-    else:
-        freeze = None
+        work = coords.copy()
+        if dihedral is not None:
+            # impose the torsion geometrically, then relax with the four
+            # dihedral atoms frozen to hold the rotated value
+            from tscode_tpu.ops.linalg import dihedral as dihedral_fn
+            from tscode_tpu.rot_rmsd import _rotate
+            i1, i2, i3, i4 = dihedral
+            current = float(np.asarray(dihedral_fn(
+                jnp.asarray(work[[i1, i2, i3, i4]]))))
+            delta = dihedral_angle - current
+            mask = get_rotation_mask(mol.graph, tuple(dihedral))
+            cand = _rotate(work, tuple(dihedral), delta, mask)
+            # the rotation mask may have been inverted (its >half-atoms
+            # optimization), flipping the sign of the imposed change
+            achieved = float(np.asarray(dihedral_fn(
+                jnp.asarray(cand[[i1, i2, i3, i4]]))))
+            err_fwd = abs((achieved - dihedral_angle + 180) % 360 - 180)
+            if err_fwd > 1e-3:
+                cand = _rotate(work, tuple(dihedral), -delta, mask)
+            work = cand
+            freeze = np.zeros(len(work), dtype=bool)
+            freeze[[i1, i2, i3, i4]] = True
+        else:
+            freeze = None
 
-    if pair is not None:
-        pairs = jnp.asarray(np.array([pair]))
-        targets = jnp.asarray(np.array([pair_dist]))
-        relaxed, e, _ = fire_minimize_batch(
-            jnp.asarray(work)[None], _ff_spring_energy, n_steps=200,
-            fmax=0.05, freeze_mask=freeze,
-            energy_args=(params, pairs, targets))
-    else:
-        relaxed, e, _ = fire_minimize_batch(
-            jnp.asarray(work)[None], _ff_only_energy, n_steps=200,
-            fmax=0.05, freeze_mask=freeze, energy_args=(params,))
+        if pair is not None:
+            pairs = jnp.asarray(np.array([pair]))
+            targets = jnp.asarray(np.array([pair_dist]))
+            relaxed, e, _ = fire_minimize_batch(
+                jnp.asarray(work)[None], _ff_spring_energy, n_steps=200,
+                fmax=0.05, freeze_mask=freeze,
+                energy_args=(params, pairs, targets))
+        else:
+            relaxed, e, _ = fire_minimize_batch(
+                jnp.asarray(work)[None], _ff_only_energy, n_steps=200,
+                fmax=0.05, freeze_mask=freeze, energy_args=(params,))
 
-    return np.asarray(relaxed[0]), float(e[0])
+        return np.asarray(relaxed[0]), float(e[0])
 
 
 def scan_operator(embedder, mol):
