@@ -68,3 +68,58 @@ def flat_grid(*sizes):
     '''
     grids = np.indices(sizes).reshape(len(sizes), -1)
     return [g.astype(np.int32) for g in grids]
+
+
+# flush accumulated device chunks to the host once they exceed this many
+# bytes of data in the leading array (bounds HBM growth on very large
+# sweeps while keeping the pull count ~O(1) for typical runs)
+_ACCUM_FLUSH_BYTES = 512 * 1024 * 1024
+
+
+class ChunkAccumulator:
+    '''Collects per-chunk device array tuples and pulls them in as few
+    host transfers as possible: chunks are concatenated ON DEVICE and
+    fetched with one pull per field per flush instead of several per
+    chunk (dispatch of chunk i+1 overlaps the accumulated compute, and
+    pull latency — the tunnel bottleneck — is paid once per flush).'''
+
+    def __init__(self):
+        self._chunks = []        # (arrays tuple, n_valid)
+        self._bytes = 0
+        self.results = []        # host tuples, sliced to n_valid
+
+    def add(self, arrays, n_valid):
+        arrays = tuple(arrays)
+        self._chunks.append((arrays, n_valid))
+        self._bytes += arrays[0].size * arrays[0].dtype.itemsize
+        if self._bytes >= _ACCUM_FLUSH_BYTES:
+            self.flush()
+
+    @staticmethod
+    def _tree_concat(parts, arity=8):
+        '''Device concatenate with BOUNDED operand count: an eager
+        N-operand jnp.concatenate compiles an N-input XLA program whose
+        compile time explodes for large N (a ~400-chunk multiembed
+        union took minutes on CPU and wedged a remote-compile tunnel).
+        Fixed-arity rounds keep every executable small, and equal chunk
+        shapes mean each round reuses one compiled program.'''
+        while len(parts) > 1:
+            parts = [parts[i] if len(parts[i:i + arity]) == 1
+                     else jnp.concatenate(parts[i:i + arity])
+                     for i in range(0, len(parts), arity)]
+        return parts[0]
+
+    def flush(self):
+        if not self._chunks:
+            return
+        n_fields = len(self._chunks[0][0])
+        cats = [np.asarray(self._tree_concat(
+            [arrays[f] for arrays, _ in self._chunks]))
+            for f in range(n_fields)]
+        lo = 0
+        for arrays, n_valid in self._chunks:
+            self.results.append(tuple(
+                cat[lo:lo + n_valid] for cat in cats))
+            lo += len(arrays[0])
+        self._chunks = []
+        self._bytes = 0

@@ -278,58 +278,9 @@ def _block_screen_multi(coords1, coords2, coords3, c1, c2, c3, starts,
     return poses, keep
 
 
-# flush accumulated device chunks to the host once they exceed this many
-# bytes of pose data (bounds HBM growth on very large sweeps while
-# keeping the pull count ~O(1) for typical runs)
-_ACCUM_FLUSH_BYTES = 512 * 1024 * 1024
-
-
-class _ChunkAccumulator:
-    '''Collects per-chunk device (poses, keep) refs and pulls them in
-    as few host transfers as possible: chunks are concatenated ON
-    DEVICE and fetched with 2 pulls per flush instead of 2-4 per chunk
-    (dispatch of chunk i+1 overlaps the accumulated compute, and pull
-    latency — the tunnel bottleneck — is paid once per flush).'''
-
-    def __init__(self):
-        self._chunks = []        # (poses_dev, keep_dev, n_valid)
-        self._bytes = 0
-        self.results = []        # host (poses (v, A, N, 3), keep (v, A))
-
-    def add(self, poses, keep, n_valid):
-        self._chunks.append((poses, keep, n_valid))
-        self._bytes += poses.size * poses.dtype.itemsize
-        if self._bytes >= _ACCUM_FLUSH_BYTES:
-            self.flush()
-
-    @staticmethod
-    def _tree_concat(parts, arity=8):
-        '''Device concatenate with BOUNDED operand count: an eager
-        N-operand jnp.concatenate compiles an N-input XLA program whose
-        compile time explodes for large N (a ~400-chunk multiembed
-        union took minutes on CPU and wedged a remote-compile tunnel).
-        Fixed-arity rounds keep every executable small, and equal chunk
-        shapes mean each round reuses one compiled program.'''
-        while len(parts) > 1:
-            parts = [parts[i] if len(parts[i:i + arity]) == 1
-                     else jnp.concatenate(parts[i:i + arity])
-                     for i in range(0, len(parts), arity)]
-        return parts[0]
-
-    def flush(self):
-        if not self._chunks:
-            return
-        poses_all = np.asarray(self._tree_concat(
-            [p for p, _, _ in self._chunks]))
-        keep_all = np.asarray(self._tree_concat(
-            [k for _, k, _ in self._chunks]))
-        lo = 0
-        for p, _, n_valid in self._chunks:
-            self.results.append((poses_all[lo:lo + n_valid],
-                                 keep_all[lo:lo + n_valid]))
-            lo += len(p)
-        self._chunks = []
-        self._bytes = 0
+# per-chunk device (poses, keep) tuples pulled with one transfer per
+# field per flush — see embeds/common.ChunkAccumulator
+from tscode_tpu.embeds.common import ChunkAccumulator as _ChunkAccumulator
 
 
 def _pick_mesh(n_candidates, mesh):
@@ -454,7 +405,7 @@ def _bimol_rigid_screen_rows(blk, coords1, coords2, angle_grid, pair_mask,
             poses, keep = _block_screen(
                 coords1, coords2, *chunk_args,
                 angle_grid, pair_mask, float(clash_thresh))
-        acc.add(poses, keep, hi - lo)
+        acc.add((poses, keep), hi - lo)
     acc.flush()
     return acc.results
 
@@ -844,7 +795,7 @@ def cyclical_embed_trimol_rigid(mols, systematic_angles, clash_thresh=1.5,
             poses, keep = _block_screen_multi(
                 coords[0], coords[1], coords[2], *chunk_args,
                 angle_grid, pair_mask, float(clash_thresh))
-        acc.add(poses, keep, hi - lo)
+        acc.add((poses, keep), hi - lo)
     acc.flush()
 
     poses_out, cons_out = [], []
@@ -1231,7 +1182,7 @@ def cyclical_embed_nonrigid(embedder, max_norm_delta=5):
                     conf_cols[0], conf_cols[1], conf_cols[2],
                     *geom_args, angle_grid, pair_mask,
                     float(clash_thresh))
-            acc.add(poses, keep, hi - lo)
+            acc.add((poses, keep), hi - lo)
 
     acc.flush()
     poses_out, cons_out = [], []

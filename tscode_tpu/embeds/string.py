@@ -149,8 +149,13 @@ def string_embed(mol1, mol2, angles, clash_thresh=1.5, tfd_thresh=10,
                quadruplets=jnp.asarray(quadruplets, dtype=jnp.int32),
                angles=jnp.asarray(angles))
 
-    poses_out, order = [], []
-    all_tfps = None
+    # dispatch EVERY chunk before pulling anything: the accumulator
+    # fetches (poses, ok, tfps) with one transfer per field per flush
+    # instead of 3 pulls per chunk — pull latency, not math, dominates
+    # the sweep on a tunneled accelerator (~40 ms/pull)
+    from tscode_tpu.embeds.common import ChunkAccumulator
+    acc = ChunkAccumulator()
+    chunk_los = []
 
     for lo in range(0, total, chunk):
         hi = min(lo + chunk, total)
@@ -168,16 +173,23 @@ def string_embed(mol1, mol2, angles, clash_thresh=1.5, tfd_thresh=10,
                                        pallas_pairs=pallas_pairs)
         else:
             poses, ok, tfps = chunk_fn(*pos_args)
-        ok = np.asarray(ok)[:hi - lo]
-        tfps = np.asarray(tfps)[:hi - lo]
+        acc.add((poses, ok, tfps), hi - lo)
+        chunk_los.append(lo)
+    acc.flush()
+
+    poses_out, order = [], []
+    all_tfps = None
+    for lo, (poses, ok, tfps) in zip(chunk_los, acc.results):
         if all_tfps is None:
             all_tfps = np.empty((total, tfps.shape[1]), dtype=tfps.dtype)
-        all_tfps[lo:hi] = tfps
+        all_tfps[lo:lo + len(tfps)] = tfps
         # keep only clash-passing poses on host to bound memory
+        # (fancy indexing copies; the full pulled arrays release below)
         idx = np.nonzero(ok)[0]
         if len(idx):
-            poses_out.append(np.asarray(poses)[idx])
+            poses_out.append(poses[idx])
             order.append(idx + lo)
+    acc.results.clear()
 
     if not poses_out:
         raise ZeroCandidatesError(
