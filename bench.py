@@ -453,6 +453,15 @@ def main():
                 run_timeout)
             if attempt is not None:
                 attempt['clash_kernel'] = label
+                if attempt.get('backend') == 'cpu':
+                    # the child's flaky plugin registration can fall
+                    # back to CPU even after a successful parent probe;
+                    # never record that as an accelerator A/B number
+                    print(f'[bench] {label} child ran on CPU '
+                          f'(plugin registration failed?) — not '
+                          f'recording as accelerator result',
+                          file=sys.stderr)
+                    continue
                 ab[label] = attempt['total'] / attempt['seconds']
                 if res is None or ab[label] > res['total'] / res['seconds']:
                     res = attempt

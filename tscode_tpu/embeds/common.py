@@ -89,7 +89,13 @@ class ChunkAccumulator:
         self.results = []        # host tuples, sliced to n_valid
 
     def add(self, arrays, n_valid):
+        '''All fields must share arrays[0]'s leading length (flush
+        slices every field by the same row offsets), and the FIRST
+        field should be the byte-dominant one (only it counts toward
+        the flush budget).'''
         arrays = tuple(arrays)
+        assert all(len(a) == len(arrays[0]) for a in arrays[1:]), \
+            'ChunkAccumulator fields must share a leading length'
         self._chunks.append((arrays, n_valid))
         self._bytes += arrays[0].size * arrays[0].dtype.itemsize
         if self._bytes >= _ACCUM_FLUSH_BYTES:
