@@ -57,10 +57,10 @@ def _clash_call(coords_t, pairs, thresh, max_clashes, interpret):
         out_shape=jax.ShapeDtypeStruct((1, B), jnp.int32),
         grid=(B // bp,),
         in_specs=[pl.BlockSpec((N, 3, bp), lambda i: (0, 0, i),
-                               memory_space=pltpu.ANY if interpret
+                               memory_space=pl.ANY if interpret
                                else pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, bp), lambda i: (0, i),
-                               memory_space=pltpu.ANY if interpret
+                               memory_space=pl.ANY if interpret
                                else pltpu.VMEM),
         interpret=interpret,
     )(coords_t)
@@ -122,14 +122,14 @@ def clash_ok_traced(poses, pairs, thresh, max_clashes=0):
         grid=(B_pad // bp,),
         in_specs=[
             pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.ANY if interpret
+                         memory_space=pl.ANY if interpret
                          else pltpu.SMEM),
             pl.BlockSpec((N, 3, bp), lambda i: (0, 0, i),
-                         memory_space=pltpu.ANY if interpret
+                         memory_space=pl.ANY if interpret
                          else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bp), lambda i: (0, i),
-                               memory_space=pltpu.ANY if interpret
+                               memory_space=pl.ANY if interpret
                                else pltpu.VMEM),
         interpret=interpret,
     )(params, coords_t)

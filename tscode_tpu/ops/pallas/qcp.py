@@ -243,16 +243,16 @@ def qcp_kill_blocks_pallas(P_blocks, m_real, rmsd_thr, interpret=False):
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, L, N, 3), lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.ANY if interpret
+                         memory_space=pl.ANY if interpret
                          else pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY if interpret
+            pl.BlockSpec(memory_space=pl.ANY if interpret
                          else pltpu.SMEM),
         ],
         # _GROUP consecutive grid steps share one (8, L) output tile:
         # the tile stays in VMEM until the index map changes, each step
         # filling row b % _GROUP
         out_specs=pl.BlockSpec((_GROUP, L), lambda b: (b // _GROUP, 0),
-                               memory_space=pltpu.ANY if interpret
+                               memory_space=pl.ANY if interpret
                                else pltpu.VMEM),
         interpret=interpret,
     )(P_blocks.astype(jnp.float32), params)
