@@ -440,3 +440,28 @@ def test_greedy_keep_device_matches_host_oracle():
         got = np.asarray(_greedy_keep_device(clash_ok, similar))
         want = _greedy_angular_keep(clash_ok, similar)
         assert (got == want).all(), f'trial {trial}'
+
+
+def test_fused_sweep_matches_chunk_loop(monkeypatch):
+    '''The single-dispatch lax.map sweep (_block_screen_mapped) must be
+    bit-identical to the per-chunk host loop it replaces — including
+    row padding/trimming at non-pow2 row counts and multi-tile maps.'''
+    from tscode_tpu.embeds.cyclical import cyclical_embed_bimol_rigid
+
+    mol1 = Molecule(fix('C2H4.xyz'), reactive_indices=[0, 3])
+    mol2 = Molecule(fix('C2H4.xyz'), reactive_indices=[0, 3])
+    for m in (mol1, mol2):
+        m.compute_orbitals()
+        set_pivots(m)
+    angles = _angle_grid(2, 45)
+
+    outs = {}
+    for flag in ('0', '1'):
+        monkeypatch.setenv('TSCODE_FUSED_SWEEP', flag)
+        # block_chunk=2 forces several tiles through the map (and
+        # several chunks through the loop) even at test size
+        outs[flag] = cyclical_embed_bimol_rigid(
+            mol1, mol2, angles, log=lambda *a, **k: None, block_chunk=2)
+
+    np.testing.assert_array_equal(outs['0'][0], outs['1'][0])
+    np.testing.assert_array_equal(outs['0'][1], outs['1'][1])

@@ -21,6 +21,7 @@ keep/kill order.
 '''
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -263,6 +264,34 @@ def _block_screen(coords1, coords2, c1, c2, starts, ends, dirs, pvs,
     return poses, keep
 
 
+@functools.partial(jax.jit, static_argnames=('n_chunks',))
+def _block_screen_mapped(coords1, coords2, c1, c2, starts, ends, dirs,
+                         pvs, mds, apms, mps, rc_axes, angle_grid,
+                         pair_mask, clash_thresh, n_chunks):
+    '''Whole-sweep form of the fused block screen: the row axis arrives
+    padded to n_chunks * chunk and a lax.map over chunk tiles runs
+    _block_screen sequentially on device. Peak memory stays at ONE
+    chunk's intermediates (as in the host-orchestrated loop), but the
+    entire sweep is a single dispatch: on a tunneled accelerator the
+    per-chunk cost of the loop form is ~10 argument uploads + a
+    dispatch (~0.5-1 s of pure link latency each), which at multiembed
+    scale (48+ chunks) dwarfed the device math by ~20x. Chunking is
+    semantically invisible — the greedy angular dedup is block-local.'''
+
+    def tile(args):
+        return _block_screen.__wrapped__(
+            coords1, coords2, *args, angle_grid, pair_mask, clash_thresh)
+
+    def resh(x):
+        return x.reshape((n_chunks, x.shape[0] // n_chunks) + x.shape[1:])
+
+    tiles = tuple(resh(x) for x in (c1, c2, starts, ends, dirs, pvs,
+                                    mds, apms, mps, rc_axes))
+    poses, keep = jax.lax.map(tile, tiles)
+    return (poses.reshape((-1,) + poses.shape[2:]),
+            keep.reshape((-1,) + keep.shape[2:]))
+
+
 @jax.jit
 def _block_screen_multi(coords1, coords2, coords3, c1, c2, c3, starts,
                         ends, dirs, pvs, mds, apms, mps, rc_axes,
@@ -357,6 +386,105 @@ def _bimol_rigid_blocks(mol1, mol2, max_norm_delta=10, pairing_ok=None):
     return blk
 
 
+_SWEEP_FIELDS = ('c1', 'c2', 'starts', 'ends', 'dirs', 'pvs', 'mds',
+                 'apms', 'mps', 'rc_axes')
+
+
+def _mapped_slabs(blk, fields, coords1, coords2, angle_grid, pair_mask,
+                  clash_thresh, block_chunk):
+    '''Yield (poses_dev (rows, A, N, 3), keep_dev (rows, A), n_valid)
+    per memory-bounded slab of the whole-sweep lax.map program. Row
+    counts are padded to pow2 multiples of the chunk so executables
+    stay in fixed shape buckets; each slab costs ~10 uploads and ONE
+    dispatch regardless of its chunk count.'''
+    Bb = len(blk['c1'])
+    A = angle_grid.shape[0]
+    N = coords1.shape[1] + coords2.shape[1]
+    itemsize = 8 if jax.config.jax_enable_x64 else 4
+    rows_cap = max(block_chunk,
+                   int(1.2e9) // max(1, A * N * 3 * itemsize))
+    rows_cap = block_chunk * max(1, rows_cap // block_chunk)
+
+    for lo in range(0, Bb, rows_cap):
+        hi = min(lo + rows_cap, Bb)
+        n = hi - lo
+        n_pad = max(1 << (n - 1).bit_length(), block_chunk)
+        args = tuple(jnp.asarray(_pad_rows(blk[k][lo:hi], n_pad))
+                     for k in fields)
+        poses, keep = _block_screen_mapped(
+            coords1, coords2, *args, angle_grid, pair_mask,
+            jnp.asarray(float(clash_thresh)),
+            n_chunks=n_pad // block_chunk)
+        yield poses, keep, n
+
+
+def _bimol_rigid_screen_survivors(blk, coords1, coords2, angle_grid,
+                                  pair_mask, clash_thresh, mesh=None,
+                                  block_chunk=None):
+    '''Sweep the block rows and pull ONLY the survivors: returns
+    (surv_poses (S, N, 3), keep (Bb, A)), host numpy, survivors in
+    row-major (row, angle) generation order.
+
+    This is the tunnel-bandwidth fix for the pull-everything row API:
+    a multiembed-scale sweep materializes ~10^6 poses (hundreds of MB)
+    of which a few thousand survive the clash + angular-dedup gates —
+    pulling the full pose tensor over a ~5 MB/s tunneled link cost
+    ~50 s/rep. Here the device program's pose output stays device-
+    resident; the host pulls the (Bb, A) keep bitmask (~1 MB), gathers
+    the S survivor rows on device, and pulls just those (~100s of KB).
+    '''
+    Bb = len(blk['c1'])
+    A = angle_grid.shape[0]
+    N = coords1.shape[1] + coords2.shape[1]
+    if block_chunk is None:
+        block_chunk = _auto_chunk(Bb, A, N)
+
+    use_mesh = _pick_mesh(Bb * A, mesh)
+    if use_mesh is None \
+            and os.environ.get('TSCODE_FUSED_SWEEP', '1') != '0':
+        surv_parts, keep_parts = [], []
+        for poses, keep_dev, n in _mapped_slabs(
+                blk, _SWEEP_FIELDS, coords1, coords2, angle_grid,
+                pair_mask, clash_thresh, block_chunk):
+            keep_np = np.asarray(keep_dev)[:n]           # small pull
+            flat = np.nonzero(keep_np.reshape(-1))[0]
+            if len(flat):
+                # row-major flat index b*A + t is valid into the PADDED
+                # pose tensor for every real row b < n
+                surv_parts.append(np.asarray(jnp.take(
+                    poses.reshape((-1,) + poses.shape[2:]),
+                    jnp.asarray(flat), axis=0)))
+            keep_parts.append(keep_np)
+        keep = np.concatenate(keep_parts)
+        surv = (np.concatenate(surv_parts) if surv_parts
+                else np.zeros((0, N, 3)))
+        return surv, keep
+
+    # mesh / loop fallback (local backends): pull-everything semantics
+    results = _bimol_rigid_screen_rows(
+        blk, coords1, coords2, angle_grid, pair_mask, clash_thresh,
+        mesh=mesh, block_chunk=block_chunk)
+    poses_all = np.concatenate([p for p, _ in results])
+    keep = np.concatenate([k for _, k in results])
+    flat = np.nonzero(keep.reshape(-1))[0]
+    return poses_all.reshape((-1,) + poses_all.shape[2:])[flat], keep
+
+
+def _assemble_survivors(surv_poses, keep, ids_arr):
+    '''Fold the compacted survivor poses into per-row pose lists +
+    per-pose constraint ids, preserving generation order (reference
+    embeds.py:820-853 appends survivors block by block).'''
+    poses_out, cons_out = [], []
+    lo = 0
+    for b in range(len(keep)):
+        n = int(keep[b].sum())
+        if n:
+            poses_out.append(surv_poses[lo:lo + n])
+            cons_out.extend([ids_arr[b]] * n)
+        lo += n
+    return poses_out, cons_out
+
+
 def _bimol_rigid_screen_rows(blk, coords1, coords2, angle_grid, pair_mask,
                              clash_thresh, mesh=None, block_chunk=None):
     '''Device section of the rigid bimolecular embed: chunked fused
@@ -383,6 +511,19 @@ def _bimol_rigid_screen_rows(blk, coords1, coords2, angle_grid, pair_mask,
         block_chunk = -(-block_chunk // use_mesh.devices.size) \
             * use_mesh.devices.size
 
+    fields = ('c1', 'c2', 'starts', 'ends', 'dirs', 'pvs', 'mds',
+              'apms', 'mps', 'rc_axes')
+
+    if sharded_fn is None \
+            and os.environ.get('TSCODE_FUSED_SWEEP', '1') != '0':
+        acc = _ChunkAccumulator()
+        for poses, keep, n in _mapped_slabs(blk, fields, coords1, coords2,
+                                            angle_grid, pair_mask,
+                                            clash_thresh, block_chunk):
+            acc.add((poses, keep), n)
+        acc.flush()
+        return acc.results
+
     acc = _ChunkAccumulator()
     for lo in range(0, Bb, block_chunk):
         hi = min(lo + block_chunk, Bb)
@@ -393,10 +534,7 @@ def _bimol_rigid_screen_rows(blk, coords1, coords2, angle_grid, pair_mask,
                 [x[lo:hi]] + ([x[hi - 1:hi]] * pad if pad else []), axis=0)
                 if pad else x[lo:hi])
 
-        chunk_args = (slc(blk['c1']), slc(blk['c2']), slc(blk['starts']),
-                      slc(blk['ends']), slc(blk['dirs']), slc(blk['pvs']),
-                      slc(blk['mds']), slc(blk['apms']), slc(blk['mps']),
-                      slc(blk['rc_axes']))
+        chunk_args = tuple(slc(blk[k]) for k in fields)
         if sharded_fn is not None:
             poses, keep = sharded_fn(
                 coords1, coords2, *chunk_args,
@@ -408,21 +546,6 @@ def _bimol_rigid_screen_rows(blk, coords1, coords2, angle_grid, pair_mask,
         acc.add((poses, keep), hi - lo)
     acc.flush()
     return acc.results
-
-
-def _assemble_rows(results, ids_arr):
-    '''Fold the accumulator's (poses, keep) row pairs into survivor
-    pose/constraint lists (generation order preserved).'''
-    poses_out, cons_out = [], []
-    lo = 0
-    for poses, keep in results:
-        for b in range(len(poses)):
-            kept = np.nonzero(keep[b])[0]
-            if len(kept):
-                poses_out.append(poses[b, kept])
-                cons_out.extend([ids_arr[lo + b]] * len(kept))
-        lo += len(poses)
-    return poses_out, cons_out
 
 
 def cyclical_embed_bimol_rigid(mol1, mol2, systematic_angles,
@@ -452,12 +575,12 @@ def cyclical_embed_bimol_rigid(mol1, mol2, systematic_angles,
     log(f'--> Performing cyclical embed '
         f'({len(blk["c1"]) * A} candidates, {len(blk["c1"])} blocks)')
 
-    results = _bimol_rigid_screen_rows(
+    surv, keep = _bimol_rigid_screen_survivors(
         blk, jnp.asarray(mol1.atomcoords), jnp.asarray(mol2.atomcoords),
         jnp.asarray(angles), jnp.asarray(cross_fragment_pair_mask(ids)),
         clash_thresh, mesh=mesh, block_chunk=block_chunk)
 
-    poses_out, cons_out = _assemble_rows(results, blk['ids'])
+    poses_out, cons_out = _assemble_survivors(surv, keep, blk['ids'])
 
     if not poses_out:
         raise ZeroCandidatesError(

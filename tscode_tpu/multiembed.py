@@ -90,8 +90,8 @@ def _screen_arrangements(parent, children):
     block rows. Returns per-arrangement (poses, cons) lists.'''
     import jax.numpy as jnp
 
-    from tscode_tpu.embeds.cyclical import (_assemble_rows,
-                                            _bimol_rigid_screen_rows)
+    from tscode_tpu.embeds.cyclical import (_assemble_survivors,
+                                            _bimol_rigid_screen_survivors)
     from tscode_tpu.ops.clash import cross_fragment_pair_mask
 
     live = [(run, blk) for run, _, blk in children if blk is not None]
@@ -125,7 +125,7 @@ def _screen_arrangements(parent, children):
     if batched:
         cat = {k: np.concatenate([blk[k] for _, blk in batched])
                for k in batched[0][1].keys()}
-        results = _bimol_rigid_screen_rows(
+        surv_all, keep_all = _bimol_rigid_screen_survivors(
             cat,
             dev_coords(batched[0][0].objects[0]),
             dev_coords(batched[0][0].objects[1]),
@@ -134,26 +134,28 @@ def _screen_arrangements(parent, children):
                 (run0.objects[0].n_atoms, run0.objects[1].n_atoms))),
             run0.options.clash_thresh, mesh=parent._mesh())
 
-        # flatten the chunked results back to one (rows, A, ...) view,
-        # then slice per arrangement
-        poses_all = np.concatenate([p for p, _ in results])
-        keep_all = np.concatenate([k for _, k in results])
+        # slice the compacted survivor array per arrangement (survivors
+        # arrive in row-major generation order, so each arrangement's
+        # survivors are contiguous)
         lo = 0
+        s_lo = 0
         for run, blk in batched:
             n = len(blk['c1'])
-            poses_out, cons_out = _assemble_rows(
-                [(poses_all[lo:lo + n], keep_all[lo:lo + n])], blk['ids'])
+            keep = keep_all[lo:lo + n]
+            n_surv = int(keep.sum())
+            out[id(run)] = _assemble_survivors(
+                surv_all[s_lo:s_lo + n_surv], keep, blk['ids'])
             lo += n
-            out[id(run)] = (poses_out, cons_out)
+            s_lo += n_surv
 
     for run, blk in solo:
-        results = _bimol_rigid_screen_rows(
+        surv, keep = _bimol_rigid_screen_survivors(
             blk, dev_coords(run.objects[0]), dev_coords(run.objects[1]),
             jnp.asarray(np.asarray(run.systematic_angles, dtype=float)),
             jnp.asarray(cross_fragment_pair_mask(
                 (run.objects[0].n_atoms, run.objects[1].n_atoms))),
             run.options.clash_thresh, mesh=parent._mesh())
-        out[id(run)] = _assemble_rows(results, blk['ids'])
+        out[id(run)] = _assemble_survivors(surv, keep, blk['ids'])
 
     return out
 
