@@ -42,3 +42,64 @@ def test_flush_empty_is_noop():
     acc = ChunkAccumulator()
     acc.flush()
     assert acc.results == []
+
+
+def test_masked_pull_gathers_survivors_in_order():
+    from tscode_tpu.embeds.common import MaskedPullAccumulator
+    acc = MaskedPullAccumulator()
+    rng = np.random.default_rng(1)
+    want_p, want_t, want_m = [], [], []
+    for k in range(9):
+        p = rng.normal(size=(6, 4, 3))
+        t = rng.normal(size=(6, 5)).astype(np.float32)
+        m = rng.random(6) < 0.4
+        n_valid = 6 if k % 2 else 3        # padded chunks trim
+        acc.add((jnp.asarray(p), jnp.asarray(t)), jnp.asarray(m), n_valid)
+        want_p.append(p[:n_valid][m[:n_valid]])
+        want_t.append(t[:n_valid][m[:n_valid]])
+        want_m.append(m[:n_valid])
+    (got_p, got_t), got_m = acc.finish()
+    np.testing.assert_array_equal(got_m, np.concatenate(want_m))
+    np.testing.assert_allclose(got_p, np.concatenate(want_p))
+    np.testing.assert_allclose(got_t, np.concatenate(want_t))
+
+
+def test_masked_pull_multi_compact(monkeypatch):
+    monkeypatch.setattr(common, '_ACCUM_FLUSH_BYTES', 1)  # compact per add
+    from tscode_tpu.embeds.common import MaskedPullAccumulator
+    acc = MaskedPullAccumulator()
+    for k in range(5):
+        mask = np.asarray([True, k % 2 == 0])
+        acc.add((jnp.full((2, 3), k),), jnp.asarray(mask), 2)
+    (vals,), mask = acc.finish()
+    assert mask.tolist() == [True, True, True, False, True,
+                             True, True, False, True, True]
+    assert np.all(vals[:, 0] == [0, 0, 1, 2, 2, 3, 4, 4])
+
+
+def test_masked_pull_no_survivors():
+    from tscode_tpu.embeds.common import MaskedPullAccumulator
+    acc = MaskedPullAccumulator()
+    acc.add((jnp.ones((3, 2, 3)),), jnp.zeros(3, dtype=bool), 3)
+    (vals,), mask = acc.finish()
+    assert not mask.any()
+    assert vals.shape == (0, 2, 3)
+
+
+def test_survivor_accumulator_row_major_order():
+    from tscode_tpu.embeds.common import SurvivorAccumulator
+    acc = SurvivorAccumulator()
+    rng = np.random.default_rng(2)
+    want_s, want_k = [], []
+    for k in range(4):
+        poses = rng.normal(size=(5, 3, 4, 3))      # (rows, A, N, 3)
+        keep = rng.random((5, 3)) < 0.5
+        n_valid = 5 if k % 2 else 2
+        acc.add(jnp.asarray(poses), jnp.asarray(keep), n_valid)
+        pf = poses[:n_valid].reshape(-1, 4, 3)
+        kf = keep[:n_valid].reshape(-1)
+        want_s.append(pf[kf])
+        want_k.append(keep[:n_valid])
+    surv, keep = acc.finish(4)
+    np.testing.assert_array_equal(keep, np.concatenate(want_k))
+    np.testing.assert_allclose(surv, np.concatenate(want_s))

@@ -129,3 +129,94 @@ class ChunkAccumulator:
             lo += len(arrays[0])
         self._chunks = []
         self._bytes = 0
+
+class MaskedPullAccumulator:
+    '''Like ChunkAccumulator, but for screen results where only the
+    MASK-TRUE rows are ever needed on the host: the data tensors stay
+    device-resident, and `finish()` pulls the concatenated mask (small)
+    plus ONLY the surviving rows of each field (device gather, one
+    small pull per field). On a tunneled accelerator this is the
+    difference between pulling ~10^6 screened poses (hundreds of MB,
+    ~50 s at link bandwidth) and pulling a few thousand survivors
+    (~100s of KB).
+
+    add(arrays, mask, n_valid): `arrays` a tuple of device arrays
+    sharing a leading dimension with `mask` (a device bool vector),
+    trimmed to the first n_valid rows. Survivor order across add()
+    calls is generation order.
+
+    HBM growth is bounded: once accumulated bytes (first field) pass
+    the flush budget, the pending chunks are compacted early (device
+    gather of their survivors) so the full tensors can be freed.
+    '''
+
+    def __init__(self):
+        self._chunks = []        # tuples of trimmed device arrays
+        self._masks = []         # trimmed device bool vectors
+        self._bytes = 0
+        self._parts = []         # tuples of host survivor arrays
+        self._mask_parts = []    # host mask arrays, in order
+
+    def add(self, arrays, mask, n_valid):
+        arrays = tuple(a[:n_valid] for a in arrays)
+        self._chunks.append(arrays)
+        self._masks.append(mask[:n_valid])
+        self._bytes += arrays[0].size * arrays[0].dtype.itemsize
+        if self._bytes >= _ACCUM_FLUSH_BYTES:
+            self._compact()
+
+    def _compact(self):
+        if not self._chunks:
+            return
+        mask = np.asarray(ChunkAccumulator._tree_concat(self._masks))
+        mask = mask.astype(bool)
+        idx = np.nonzero(mask)[0]
+        n_fields = len(self._chunks[0])
+        gathered = []
+        for f in range(n_fields):
+            cat = ChunkAccumulator._tree_concat(
+                [c[f] for c in self._chunks])
+            gathered.append(
+                np.asarray(jnp.take(cat, jnp.asarray(idx), axis=0))
+                if len(idx) else np.asarray(cat[:0]))
+        self._parts.append(tuple(gathered))
+        self._mask_parts.append(mask)
+        self._chunks = []
+        self._masks = []
+        self._bytes = 0
+
+    def finish(self):
+        '''Returns (fields tuple of (S, ...) host arrays, mask (B,)).'''
+        self._compact()
+        mask = (np.concatenate(self._mask_parts) if self._mask_parts
+                else np.zeros(0, dtype=bool))
+        if not self._parts:
+            return (), mask
+        fields = tuple(np.concatenate([p[f] for p in self._parts])
+                       for f in range(len(self._parts[0])))
+        return fields, mask
+
+
+class SurvivorAccumulator:
+    '''MaskedPullAccumulator specialization for the cyclical block
+    screens' (poses (rows, A, N, 3), keep (rows, A)) results: rows are
+    flattened to row-major (row, angle) order — generation order — and
+    only surviving poses are pulled.'''
+
+    def __init__(self):
+        self._g = MaskedPullAccumulator()
+        self._A = None
+
+    def add(self, poses, keep, n_valid):
+        self._A = keep.shape[1]
+        pf = poses[:n_valid].reshape((-1,) + poses.shape[2:])
+        kf = keep[:n_valid].reshape(-1)
+        self._g.add((pf,), kf, len(kf))
+
+    def finish(self, n_atoms):
+        '''Returns (surv_poses (S, N, 3), keep (B, A)) host arrays.'''
+        fields, mask = self._g.finish()
+        surv = fields[0] if fields else np.zeros((0, n_atoms, 3))
+        keep = (mask.reshape(-1, self._A) if self._A
+                else np.zeros((0, 0), dtype=bool))
+        return surv, keep

@@ -307,9 +307,35 @@ def _block_screen_multi(coords1, coords2, coords3, c1, c2, c3, starts,
     return poses, keep
 
 
+@functools.partial(jax.jit, static_argnames=('n_chunks',))
+def _block_screen_multi_mapped(coords1, coords2, coords3, c1, c2, c3,
+                               starts, ends, dirs, pvs, mds, apms, mps,
+                               rc_axes, angle_grid, pair_mask,
+                               clash_thresh, n_chunks):
+    '''Trimolecular twin of _block_screen_mapped: the whole row sweep
+    as ONE lax.map dispatch over chunk tiles (see that docstring for
+    the tunnel-latency rationale).'''
+
+    def tile(args):
+        return _block_screen_multi.__wrapped__(
+            coords1, coords2, coords3, *args, angle_grid, pair_mask,
+            clash_thresh)
+
+    def resh(x):
+        return x.reshape((n_chunks, x.shape[0] // n_chunks) + x.shape[1:])
+
+    tiles = tuple(resh(x) for x in (c1, c2, c3, starts, ends, dirs,
+                                    pvs, mds, apms, mps, rc_axes))
+    poses, keep = jax.lax.map(tile, tiles)
+    return (poses.reshape((-1,) + poses.shape[2:]),
+            keep.reshape((-1,) + keep.shape[2:]))
+
+
 # per-chunk device (poses, keep) tuples pulled with one transfer per
 # field per flush — see embeds/common.ChunkAccumulator
 from tscode_tpu.embeds.common import ChunkAccumulator as _ChunkAccumulator
+from tscode_tpu.embeds.common import \
+    SurvivorAccumulator as _SurvivorAccumulator
 
 
 def _pick_mesh(n_candidates, mesh):
@@ -390,16 +416,16 @@ _SWEEP_FIELDS = ('c1', 'c2', 'starts', 'ends', 'dirs', 'pvs', 'mds',
                  'apms', 'mps', 'rc_axes')
 
 
-def _mapped_slabs(blk, fields, coords1, coords2, angle_grid, pair_mask,
-                  clash_thresh, block_chunk):
+def _mapped_slabs(cols, block_chunk, A, N, call):
     '''Yield (poses_dev (rows, A, N, 3), keep_dev (rows, A), n_valid)
-    per memory-bounded slab of the whole-sweep lax.map program. Row
-    counts are padded to pow2 multiples of the chunk so executables
-    stay in fixed shape buckets; each slab costs ~10 uploads and ONE
-    dispatch regardless of its chunk count.'''
-    Bb = len(blk['c1'])
-    A = angle_grid.shape[0]
-    N = coords1.shape[1] + coords2.shape[1]
+    per memory-bounded slab of a whole-sweep lax.map program.
+
+    cols: tuple of row-aligned host arrays (uploaded once per slab);
+    call(args, n_chunks) dispatches the mapped screen on the padded
+    device args. Row counts are padded to pow2 multiples of the chunk
+    so executables stay in fixed shape buckets; each slab costs
+    ~len(cols) uploads and ONE dispatch regardless of its chunk count.'''
+    Bb = len(cols[0])
     itemsize = 8 if jax.config.jax_enable_x64 else 4
     rows_cap = max(block_chunk,
                    int(1.2e9) // max(1, A * N * 3 * itemsize))
@@ -409,12 +435,9 @@ def _mapped_slabs(blk, fields, coords1, coords2, angle_grid, pair_mask,
         hi = min(lo + rows_cap, Bb)
         n = hi - lo
         n_pad = max(1 << (n - 1).bit_length(), block_chunk)
-        args = tuple(jnp.asarray(_pad_rows(blk[k][lo:hi], n_pad))
-                     for k in fields)
-        poses, keep = _block_screen_mapped(
-            coords1, coords2, *args, angle_grid, pair_mask,
-            jnp.asarray(float(clash_thresh)),
-            n_chunks=n_pad // block_chunk)
+        args = tuple(jnp.asarray(_pad_rows(c[lo:hi], n_pad))
+                     for c in cols)
+        poses, keep = call(args, n_pad // block_chunk)
         yield poses, keep, n
 
 
@@ -442,23 +465,19 @@ def _bimol_rigid_screen_survivors(blk, coords1, coords2, angle_grid,
     use_mesh = _pick_mesh(Bb * A, mesh)
     if use_mesh is None \
             and os.environ.get('TSCODE_FUSED_SWEEP', '1') != '0':
-        surv_parts, keep_parts = [], []
+        thresh_dev = jnp.asarray(float(clash_thresh))
+
+        def call(args, n_chunks):
+            return _block_screen_mapped(
+                coords1, coords2, *args, angle_grid, pair_mask,
+                thresh_dev, n_chunks=n_chunks)
+
+        acc = _SurvivorAccumulator()
         for poses, keep_dev, n in _mapped_slabs(
-                blk, _SWEEP_FIELDS, coords1, coords2, angle_grid,
-                pair_mask, clash_thresh, block_chunk):
-            keep_np = np.asarray(keep_dev)[:n]           # small pull
-            flat = np.nonzero(keep_np.reshape(-1))[0]
-            if len(flat):
-                # row-major flat index b*A + t is valid into the PADDED
-                # pose tensor for every real row b < n
-                surv_parts.append(np.asarray(jnp.take(
-                    poses.reshape((-1,) + poses.shape[2:]),
-                    jnp.asarray(flat), axis=0)))
-            keep_parts.append(keep_np)
-        keep = np.concatenate(keep_parts)
-        surv = (np.concatenate(surv_parts) if surv_parts
-                else np.zeros((0, N, 3)))
-        return surv, keep
+                tuple(blk[k] for k in _SWEEP_FIELDS), block_chunk,
+                A, N, call):
+            acc.add(poses, keep_dev, n)
+        return acc.finish(N)
 
     # mesh / loop fallback (local backends): pull-everything semantics
     results = _bimol_rigid_screen_rows(
@@ -511,15 +530,21 @@ def _bimol_rigid_screen_rows(blk, coords1, coords2, angle_grid, pair_mask,
         block_chunk = -(-block_chunk // use_mesh.devices.size) \
             * use_mesh.devices.size
 
-    fields = ('c1', 'c2', 'starts', 'ends', 'dirs', 'pvs', 'mds',
-              'apms', 'mps', 'rc_axes')
+    fields = _SWEEP_FIELDS
 
     if sharded_fn is None \
             and os.environ.get('TSCODE_FUSED_SWEEP', '1') != '0':
+        thresh_dev = jnp.asarray(float(clash_thresh))
+
+        def call(args, n_chunks):
+            return _block_screen_mapped(
+                coords1, coords2, *args, angle_grid, pair_mask,
+                thresh_dev, n_chunks=n_chunks)
+
         acc = _ChunkAccumulator()
-        for poses, keep, n in _mapped_slabs(blk, fields, coords1, coords2,
-                                            angle_grid, pair_mask,
-                                            clash_thresh, block_chunk):
+        for poses, keep, n in _mapped_slabs(
+                tuple(blk[k] for k in fields), block_chunk, A,
+                coords1.shape[1] + coords2.shape[1], call):
             acc.add((poses, keep), n)
         acc.flush()
         return acc.results
@@ -894,42 +919,58 @@ def cyclical_embed_trimol_rigid(mols, systematic_angles, clash_thresh=1.5,
         block_chunk = -(-block_chunk // use_mesh.devices.size) \
             * use_mesh.devices.size
 
-    # same dispatch-then-pull restructure as the bimol sweep: fused
-    # (poses, keep) per chunk, ~2 pulls total via the accumulator
-    acc = _ChunkAccumulator()
-    for lo in range(0, Bb, block_chunk):
-        hi = min(lo + block_chunk, Bb)
-        pad = block_chunk - (hi - lo)
+    cols = (conf_arr[:, 0], conf_arr[:, 1], conf_arr[:, 2],
+            starts, ends, directions, pvs, mds, apms, mps, rc_axes)
 
-        def slc(x):
-            return jnp.asarray(np.concatenate(
-                [x[lo:hi]] + ([x[hi - 1:hi]] * pad if pad else []), axis=0)
-                if pad else x[lo:hi])
+    if sharded_fn is None \
+            and os.environ.get('TSCODE_FUSED_SWEEP', '1') != '0':
+        # whole sweep as slabbed lax.map dispatches; only survivors
+        # cross the device link (same restructure as the bimol sweep)
+        thresh_dev = jnp.asarray(float(clash_thresh))
 
-        chunk_args = (slc(conf_arr[:, 0]), slc(conf_arr[:, 1]),
-                      slc(conf_arr[:, 2]),
-                      slc(starts), slc(ends), slc(directions), slc(pvs),
-                      slc(mds), slc(apms), slc(mps), slc(rc_axes))
-        if sharded_fn is not None:
-            poses, keep = sharded_fn(
-                coords[0], coords[1], coords[2], *chunk_args,
-                angle_grid, pair_mask, jnp.asarray(float(clash_thresh)))
-        else:
-            poses, keep = _block_screen_multi(
-                coords[0], coords[1], coords[2], *chunk_args,
-                angle_grid, pair_mask, float(clash_thresh))
-        acc.add((poses, keep), hi - lo)
-    acc.flush()
+        def call(args, n_chunks):
+            return _block_screen_multi_mapped(
+                coords[0], coords[1], coords[2], *args, angle_grid,
+                pair_mask, thresh_dev, n_chunks=n_chunks)
 
-    poses_out, cons_out = [], []
-    lo = 0
-    for poses, keep in acc.results:
-        for b in range(len(poses)):
-            kept = np.nonzero(keep[b])[0]
-            if len(kept):
-                poses_out.append(poses[b, kept])
-                cons_out.extend([ids_arr[lo + b]] * len(kept))
-        lo += len(poses)
+        sacc = _SurvivorAccumulator()
+        for poses, keep, n in _mapped_slabs(cols, block_chunk, A,
+                                            sum(ids), call):
+            sacc.add(poses, keep, n)
+        surv, keep_all = sacc.finish(sum(ids))
+        poses_out, cons_out = _assemble_survivors(surv, keep_all, ids_arr)
+    else:
+        acc = _ChunkAccumulator()
+        for lo in range(0, Bb, block_chunk):
+            hi = min(lo + block_chunk, Bb)
+            pad = block_chunk - (hi - lo)
+
+            def slc(x):
+                return jnp.asarray(np.concatenate(
+                    [x[lo:hi]] + ([x[hi - 1:hi]] * pad if pad else []),
+                    axis=0) if pad else x[lo:hi])
+
+            chunk_args = tuple(slc(c) for c in cols)
+            if sharded_fn is not None:
+                poses, keep = sharded_fn(
+                    coords[0], coords[1], coords[2], *chunk_args,
+                    angle_grid, pair_mask, jnp.asarray(float(clash_thresh)))
+            else:
+                poses, keep = _block_screen_multi(
+                    coords[0], coords[1], coords[2], *chunk_args,
+                    angle_grid, pair_mask, float(clash_thresh))
+            acc.add((poses, keep), hi - lo)
+        acc.flush()
+
+        poses_out, cons_out = [], []
+        lo = 0
+        for poses, keep in acc.results:
+            for b in range(len(poses)):
+                kept = np.nonzero(keep[b])[0]
+                if len(kept):
+                    poses_out.append(poses[b, kept])
+                    cons_out.extend([ids_arr[lo + b]] * len(kept))
+            lo += len(poses)
 
     if not poses_out:
         raise ZeroCandidatesError(
@@ -1254,7 +1295,7 @@ def cyclical_embed_nonrigid(embedder, max_norm_delta=5):
     # row axis (the greedy dedup is row-local, so rows from different
     # combos batch freely); device coordinate uploads are cached per
     # coordinates array so unchanged molecules upload once
-    acc = _ChunkAccumulator()
+    acc = _SurvivorAccumulator()
     dev_cache = {}
 
     def _dev(arr):
@@ -1305,19 +1346,17 @@ def cyclical_embed_nonrigid(embedder, max_norm_delta=5):
                     conf_cols[0], conf_cols[1], conf_cols[2],
                     *geom_args, angle_grid, pair_mask,
                     float(clash_thresh))
-            acc.add((poses, keep), hi - lo)
+            acc.add(poses, keep, hi - lo)
 
-    acc.flush()
+    surv, keep_all = acc.finish(sum(ids))
     poses_out, cons_out = [], []
-    idx = 0
-    for poses, keep in acc.results:
-        for b in range(len(poses)):
-            kept = np.nonzero(keep[b])[0]
-            if len(kept):
-                poses_out.append(poses[b, kept])
-                cons_out.extend([np.array(all_rows[idx]['ids'])]
-                                * len(kept))
-            idx += 1
+    lo = 0
+    for b in range(len(keep_all)):
+        n_kept = int(keep_all[b].sum())
+        if n_kept:
+            poses_out.append(surv[lo:lo + n_kept])
+            cons_out.extend([np.array(all_rows[b]['ids'])] * n_kept)
+        lo += n_kept
 
     if not poses_out:
         raise ZeroCandidatesError(

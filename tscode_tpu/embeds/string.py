@@ -149,13 +149,13 @@ def string_embed(mol1, mol2, angles, clash_thresh=1.5, tfd_thresh=10,
                quadruplets=jnp.asarray(quadruplets, dtype=jnp.int32),
                angles=jnp.asarray(angles))
 
-    # dispatch EVERY chunk before pulling anything: the accumulator
-    # fetches (poses, ok, tfps) with one transfer per field per flush
-    # instead of 3 pulls per chunk — pull latency, not math, dominates
-    # the sweep on a tunneled accelerator (~40 ms/pull)
-    from tscode_tpu.embeds.common import ChunkAccumulator
-    acc = ChunkAccumulator()
-    chunk_los = []
+    # dispatch EVERY chunk before pulling anything, and pull ONLY the
+    # clash survivors: the pose and fingerprint tensors stay device-
+    # resident; the accumulator pulls the ok bitmask plus the gathered
+    # survivor rows (reference-order). On a tunneled accelerator the
+    # full-grid pose pull — not math — dominated this sweep.
+    from tscode_tpu.embeds.common import MaskedPullAccumulator
+    acc = MaskedPullAccumulator()
 
     for lo in range(0, total, chunk):
         hi = min(lo + chunk, total)
@@ -173,37 +173,20 @@ def string_embed(mol1, mol2, angles, clash_thresh=1.5, tfd_thresh=10,
                                        pallas_pairs=pallas_pairs)
         else:
             poses, ok, tfps = chunk_fn(*pos_args)
-        acc.add((poses, ok, tfps), hi - lo)
-        chunk_los.append(lo)
-    acc.flush()
+        acc.add((poses, tfps), ok, hi - lo)
 
-    poses_out, order = [], []
-    all_tfps = None
-    for lo, (poses, ok, tfps) in zip(chunk_los, acc.results):
-        if all_tfps is None:
-            all_tfps = np.empty((total, tfps.shape[1]), dtype=tfps.dtype)
-        all_tfps[lo:lo + len(tfps)] = tfps
-        # keep only clash-passing poses on host to bound memory
-        # (fancy indexing copies; the full pulled arrays release below)
-        idx = np.nonzero(ok)[0]
-        if len(idx):
-            poses_out.append(poses[idx])
-            order.append(idx + lo)
-    acc.results.clear()
-
-    if not poses_out:
+    fields, ok_all = acc.finish()
+    if not ok_all.any():
         raise ZeroCandidatesError(
             '--> String embed did not find any suitable disposition of '
             'molecules.\n    Try expanding the conformational space with '
             'the csearch> operator or see the SHRINK keyword.')
-
-    kept_poses = np.concatenate(poses_out)
-    kept_order = np.concatenate(order)
+    kept_poses, kept_tfps = fields
 
     # order-dependent TFD novelty filter, replayed over survivors only
     # (reference embeds.py:47-69 via is_new_structure)
-    novel = is_new_structure_lru(all_tfps[kept_order],
-                                 np.ones(len(kept_order), dtype=bool),
+    novel = is_new_structure_lru(kept_tfps,
+                                 np.ones(len(kept_tfps), dtype=bool),
                                  thresh=tfd_thresh)
     final = kept_poses[novel]
 
