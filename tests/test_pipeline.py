@@ -287,6 +287,7 @@ def test_neb_operator_two_structures(tmp_path):
 
     assert (tmp_path / 'ends_MEP.xyz').exists()
     assert (tmp_path / 'ends_NEB_TS.xyz').exists()
+    assert (tmp_path / 'ends_NEB_plt.svg').exists()
     frames = _read_frames(tmp_path / 'ends_MEP.xyz')
     assert len(frames) == 7
 

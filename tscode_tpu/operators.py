@@ -181,10 +181,34 @@ def _neb_operator(embedder, mol, name):
         write_xyz(chain[ts], mol.atomnos, f,
                   title=f'NEB TS guess - Rel. E = '
                         f'{float(energies[ts] - energies[0]):.2f} kcal/mol')
+    _write_neb_plot(mol.rootname, energies, ts)
     embedder.log(f'    TS guess at image {ts + 1}, barrier '
                  f'{float(energies[ts] - energies[0]):.2f} kcal/mol; wrote '
-                 f'{mol.rootname}_MEP.xyz and {mol.rootname}_NEB_TS.xyz')
+                 f'{mol.rootname}_MEP.xyz, {mol.rootname}_NEB_TS.xyz and '
+                 f'{mol.rootname}_NEB_plt.svg')
     return mol
+
+
+def _write_neb_plot(rootname, energies, ts):
+    '''Relative-energy band plot with the TS image marked (reference
+    ase_neb write_plot, ase_manipulations.py:500-524).'''
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+
+    energies = np.asarray(energies, dtype=float)
+    rel = energies - energies.min()
+    plt.figure()
+    plt.plot(range(1, len(rel) + 1), rel, color='tab:blue',
+             label='Image energies', linewidth=3)
+    plt.plot([ts + 1], [rel[ts]], color='gold', label='TS guess',
+             marker='o', markersize=3)
+    plt.legend()
+    plt.title(rootname)
+    plt.xlabel('Image number')
+    plt.ylabel('Rel. E. (kcal/mol)')
+    plt.savefig(f'{rootname}_NEB_plt.svg')
+    plt.close()
 
 
 def _mep_relax_operator(embedder, mol, name):
