@@ -62,28 +62,23 @@ def build_workload():
     return mols
 
 
-@functools.partial(__import__('jax').jit,
-                   static_argnames=('n_angles', 'pallas_pairs'))
-def _embed_clash_all(coords1, coords2, centers1, vecs1, centers2, vecs2,
-                     pair_mask, angles, n_angles, pallas_pairs=None):
-    '''Whole-grid string embed + clash screen in ONE device program.
-    Grid indices are decoded on device from a flat arange — no index
-    transfers. Returns (poses, clash_ok), both device-resident.
-    pallas_pairs: STATIC cross-fragment (i, j) tuple — when given, the
-    clash screen runs the Pallas lane-layout kernel fused into this
-    program instead of the XLA matmul form (accelerator backends;
-    ops/clash.use_pallas_clash decides).'''
+def _embed_clash_body(r, coords1, coords2, centers1, vecs1, centers2,
+                      vecs2, pair_mask, angles, n_angles, pallas_pairs,
+                      n_total):
+    '''Decode flat grid indices `r` -> (poses, clash_ok). Indices past
+    n_total (tile padding) clamp to a valid pose and report clash_ok
+    False, so padded tails never contribute survivors.'''
     import jax.numpy as jnp
     from tscode_tpu.ops.linalg import (rot_mat_from_pointer,
                                        rotation_matrix_from_vectors)
 
     n1c, k1 = centers1.shape[0], centers1.shape[1]
-    n2c, k2 = centers2.shape[0], centers2.shape[1]
-    B = n1c * n2c * k1 * k2 * n_angles
+    k2 = centers2.shape[1]
 
-    r = jnp.arange(B, dtype=jnp.int32)
-    ai = r % n_angles
-    rest = r // n_angles
+    real = r < n_total
+    rc = jnp.minimum(r, n_total - 1)
+    ai = rc % n_angles
+    rest = rc // n_angles
     l1 = rest % k1
     rest = rest // k1
     l2 = rest % k2
@@ -114,15 +109,91 @@ def _embed_clash_all(coords1, coords2, centers1, vecs1, centers2, vecs2,
         d2 = jnp.maximum(a2[:, :, None] + a2[:, None, :] - 2.0 * ab, 0.0)
         clash_ok = jnp.sum((d2 < 1.5 * 1.5) & pair_mask,
                            axis=(-2, -1)) <= 0
-    return poses, clash_ok
+    return poses, clash_ok & real
+
+
+@functools.partial(__import__('jax').jit,
+                   static_argnames=('n_angles', 'pallas_pairs'))
+def _embed_clash_all(coords1, coords2, centers1, vecs1, centers2, vecs2,
+                     pair_mask, angles, n_angles, pallas_pairs=None):
+    '''Whole-grid string embed + clash screen in ONE device program.
+    Grid indices are decoded on device from a flat arange — no index
+    transfers. Returns (poses, clash_ok), both device-resident.
+    pallas_pairs: STATIC cross-fragment (i, j) tuple — when given, the
+    clash screen runs the Pallas lane-layout kernel fused into this
+    program instead of the XLA matmul form (accelerator backends;
+    ops/clash.use_pallas_clash decides).'''
+    import jax.numpy as jnp
+
+    n1c, k1 = centers1.shape[0], centers1.shape[1]
+    n2c, k2 = centers2.shape[0], centers2.shape[1]
+    B = n1c * n2c * k1 * k2 * n_angles
+
+    r = jnp.arange(B, dtype=jnp.int32)
+    return _embed_clash_body(r, coords1, coords2, centers1, vecs1,
+                             centers2, vecs2, pair_mask, angles,
+                             n_angles, pallas_pairs, B)
+
+
+# whole-grid embed programs past this many poses exceed single-chip HBM
+# (XLA holds several whole-grid intermediates at once; the 3.36M-pose
+# compile died 278 MB past 15.75 GB — BASELINE.md scale table). Above
+# it, a lax.map over grid tiles bounds live intermediates to one tile.
+_WHOLE_GRID_MAX = int(os.environ.get('TSCODE_BENCH_WHOLE_GRID_MAX',
+                                     str(1 << 21)))
+_GRID_TILE = 1 << 18
+
+
+@functools.partial(__import__('jax').jit,
+                   static_argnames=('n_angles', 'n_tiles', 'tile_b',
+                                    'pallas_pairs'))
+def _embed_clash_all_mapped(coords1, coords2, centers1, vecs1, centers2,
+                            vecs2, pair_mask, angles, n_angles, n_tiles,
+                            tile_b, pallas_pairs=None):
+    '''Tiled form of _embed_clash_all: a lax.map over flat-index tiles
+    keeps the live intermediates (distance matrices, einsum temps) at
+    one tile's footprint while still being ONE dispatch. Returns
+    (poses, clash_ok) padded to n_tiles*tile_b rows; padded tails have
+    clash_ok False.'''
+    import jax
+    import jax.numpy as jnp
+
+    n1c, k1 = centers1.shape[0], centers1.shape[1]
+    n2c, k2 = centers2.shape[0], centers2.shape[1]
+    B = n1c * n2c * k1 * k2 * n_angles
+
+    def tile(r0):
+        r = r0 + jnp.arange(tile_b, dtype=jnp.int32)
+        return _embed_clash_body(r, coords1, coords2, centers1, vecs1,
+                                 centers2, vecs2, pair_mask, angles,
+                                 n_angles, pallas_pairs, B)
+
+    starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile_b
+    poses, ok = jax.lax.map(tile, starts)
+    return (poses.reshape((-1,) + poses.shape[2:]), ok.reshape(-1))
+
+
+def _embed_clash(args, n_angles, pallas_pairs):
+    '''Select whole-grid vs tiled embed+clash by grid size.'''
+    centers1, centers2 = args[2], args[4]
+    B = (centers1.shape[0] * centers2.shape[0] * centers1.shape[1]
+         * centers2.shape[1] * n_angles)
+    if B <= _WHOLE_GRID_MAX:
+        return _embed_clash_all(*args, n_angles=n_angles,
+                                pallas_pairs=pallas_pairs)
+    n_tiles = -(-B // _GRID_TILE)
+    return _embed_clash_all_mapped(*args, n_angles=n_angles,
+                                   n_tiles=n_tiles, tile_b=_GRID_TILE,
+                                   pallas_pairs=pallas_pairs)
 
 
 @functools.partial(
     __import__('jax').jit,
-    static_argnames=('n_angles', 'n_ok', 's_pool', 'pallas_pairs'))
+    static_argnames=('n_angles', 'n_ok', 's_pool', 'pallas_pairs',
+                     'n_tiles', 'tile_b'))
 def _pipeline_fused(coords1, coords2, centers1, vecs1, centers2, vecs2,
                     pair_mask, angles, heavy_idx, n_angles, n_ok, s_pool,
-                    pallas_pairs=None):
+                    pallas_pairs=None, n_tiles=None, tile_b=None):
     '''The ENTIRE pipeline as one device program: embed grid -> clash ->
     survivor compaction -> whole-schedule RMSD prune. The pruned
     ensemble stays device-resident (as it would feeding a downstream
@@ -134,9 +205,15 @@ def _pipeline_fused(coords1, coords2, centers1, vecs1, centers2, vecs2,
 
     from tscode_tpu.ops.rmsd_prune import _device_schedule, _FINISH_MAX
 
-    poses, ok = _embed_clash_all.__wrapped__(
-        coords1, coords2, centers1, vecs1, centers2, vecs2,
-        pair_mask, angles, n_angles, pallas_pairs=pallas_pairs)
+    if n_tiles is None:
+        poses, ok = _embed_clash_all.__wrapped__(
+            coords1, coords2, centers1, vecs1, centers2, vecs2,
+            pair_mask, angles, n_angles, pallas_pairs=pallas_pairs)
+    else:
+        poses, ok = _embed_clash_all_mapped.__wrapped__(
+            coords1, coords2, centers1, vecs1, centers2, vecs2,
+            pair_mask, angles, n_angles, n_tiles=n_tiles, tile_b=tile_b,
+            pallas_pairs=pallas_pairs)
     B = poses.shape[0]
     n_ok_dev = jnp.sum(ok)
 
@@ -199,12 +276,20 @@ def run_device_pipeline(mol1, mol2):
                     if use_pallas_clash() else None)
     vlog(f'clash kernel: {"pallas" if pallas_pairs else "xla"}')
 
-    # warmup compile of the embed program
-    poses, ok = _embed_clash_all(*args, n_angles=N_ANGLES,
-                                 pallas_pairs=pallas_pairs)
+    # warmup compile of the embed program (whole-grid or tiled by size)
+    B_total = (mol1.n_confs * mol2.n_confs * centers1.shape[1]
+               * centers2.shape[1] * N_ANGLES)
+    if B_total <= _WHOLE_GRID_MAX:
+        tiling = dict(n_tiles=None, tile_b=None)
+    else:
+        tiling = dict(n_tiles=-(-B_total // _GRID_TILE),
+                      tile_b=_GRID_TILE)
+    poses, ok = _embed_clash(args, N_ANGLES, pallas_pairs)
     poses.block_until_ready()
-    B = poses.shape[0]
-    vlog(f'embed program compiled, B={B}')
+    B = poses.shape[0]                 # padded rows for the tiled form
+    vlog(f'embed program compiled, B={B_total}'
+         + (f' (tiled x{tiling["n_tiles"]})' if tiling['n_tiles']
+            else ''))
 
     # warm the fully fused single-program pipeline: the clash survivor
     # count fixes the prune schedule's chunk boundaries at trace time
@@ -214,7 +299,7 @@ def run_device_pipeline(mol1, mol2):
     fused_args = args + (heavy_idx,)
     keep, stats = _pipeline_fused(
         *fused_args, n_angles=N_ANGLES, n_ok=n_ok_warm, s_pool=pool_pad,
-        pallas_pairs=pallas_pairs)
+        pallas_pairs=pallas_pairs, **tiling)
     keep.block_until_ready()
     stats = np.asarray(stats)
     assert stats[1] == n_ok_warm
@@ -230,7 +315,7 @@ def run_device_pipeline(mol1, mol2):
         t0 = time.perf_counter()
         keep, stats = _pipeline_fused(
             *fused_args, n_angles=N_ANGLES, n_ok=n_ok_warm,
-            s_pool=pool_pad, pallas_pairs=pallas_pairs)
+            s_pool=pool_pad, pallas_pairs=pallas_pairs, **tiling)
         stats = np.asarray(stats)                 # single host pull
         if not stats[2]:
             # survivors exceeded the single-program finish block:
@@ -238,8 +323,7 @@ def run_device_pipeline(mol1, mol2):
             # (timed — the fallback is part of the honest pipeline)
             from tscode_tpu.ops.rmsd_prune import \
                 prune_conformers_rmsd_device
-            poses2, ok2 = _embed_clash_all(*args, n_angles=N_ANGLES,
-                                           pallas_pairs=pallas_pairs)
+            poses2, ok2 = _embed_clash(args, N_ANGLES, pallas_pairs)
             idx2 = jnp.nonzero(ok2, size=pool_pad, fill_value=B)[0]
             hs2 = poses2[jnp.clip(idx2, 0, B - 1)][:, heavy_idx]
             mask = prune_conformers_rmsd_device(
@@ -252,7 +336,7 @@ def run_device_pipeline(mol1, mol2):
         vlog(f'rep {rep}: {n_ok} clash-ok, {n_final} final '
              f'({elapsed:.2f}s)')
         if best is None or elapsed < best[1]:
-            best = (B, elapsed, n_ok, n_final)
+            best = (B_total, elapsed, n_ok, n_final)
 
     return best
 

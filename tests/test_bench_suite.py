@@ -34,3 +34,45 @@ def test_unknown_config_rejected():
     import bench_suite
     with pytest.raises(SystemExit):
         bench_suite._config_files('nope', '/tmp')
+
+
+def test_tiled_embed_matches_whole_grid(monkeypatch):
+    '''The lax.map tiled embed+clash (used past the single-program HBM
+    ceiling) must reproduce the whole-grid program exactly, including
+    the padded-tail clash_ok=False contract.'''
+    import numpy as np
+    import jax.numpy as jnp
+
+    import bench
+    monkeypatch.setattr(bench, 'N_CONFS', 4)
+    mol1, mol2 = bench.build_workload()
+
+    from tscode_tpu.embeds.common import stacked_lobes
+    from tscode_tpu.ops.clash import cross_fragment_pair_mask
+
+    centers1, vecs1 = stacked_lobes(mol1)
+    centers2, vecs2 = stacked_lobes(mol2)
+    ids = (mol1.n_atoms, mol2.n_atoms)
+    angles = np.linspace(0.0, 350.0, bench.N_ANGLES)
+    args = (jnp.asarray(mol1.atomcoords), jnp.asarray(mol2.atomcoords),
+            jnp.asarray(centers1), jnp.asarray(vecs1),
+            jnp.asarray(centers2), jnp.asarray(vecs2),
+            jnp.asarray(cross_fragment_pair_mask(ids)),
+            jnp.asarray(angles))
+
+    poses_w, ok_w = bench._embed_clash_all(
+        *args, n_angles=bench.N_ANGLES, pallas_pairs=None)
+    B = poses_w.shape[0]                               # 4*4*2*36 = 1152
+
+    tile_b = 256                                       # pads B -> 1280
+    n_tiles = -(-B // tile_b)
+    poses_t, ok_t = bench._embed_clash_all_mapped(
+        *args, n_angles=bench.N_ANGLES, n_tiles=n_tiles, tile_b=tile_b,
+        pallas_pairs=None)
+
+    assert poses_t.shape[0] == n_tiles * tile_b
+    np.testing.assert_array_equal(np.asarray(ok_t[:B]),
+                                  np.asarray(ok_w))
+    assert not np.asarray(ok_t[B:]).any(), 'padded tail must not survive'
+    np.testing.assert_allclose(np.asarray(poses_t[:B]),
+                               np.asarray(poses_w), atol=0)

@@ -392,9 +392,29 @@ def _inplace_body(hs, alive, rmsd_thr, span_real, span_pad, n_chunks,
     a = jnp.pad(alive[:span].reshape(n_chunks, span_real),
                 ((0, 0), (0, span_pad - span_real)))
     r = jnp.arange(span_pad, dtype=jnp.int32)
-    valid = a[:, :, None] & a[:, None, :] & \
-        (r[None, None, :] > r[None, :, None])
-    kill = _pair_kill_core(P, valid, rmsd_thr)[:, :span_real]
+    tri = r[None, :] > r[:, None]
+
+    def kill_chunks(Pc, ac):
+        valid = ac[:, :, None] & ac[:, None, :] & tri[None]
+        return _pair_kill_core(Pc, valid, rmsd_thr)[:, :span_real]
+
+    # the pair covariance tensor is (chunks, span_pad, span_pad, 3, 3):
+    # past the budget (multi-million-pose pools: 10k chunks at span 256
+    # is a 23.6 GB allocation) the chunk axis runs through a lax.map of
+    # group-sized steps — chunks are independent, so this is pure
+    # memory bounding with identical results
+    group = max(1, _PAIR_CHUNK_BUDGET // (span_pad * span_pad))
+    if n_chunks <= group:
+        kill = kill_chunks(P, a)
+    else:
+        n_groups = -(-n_chunks // group)
+        pad_c = n_groups * group - n_chunks
+        Pg = jnp.pad(P, ((0, pad_c), (0, 0), (0, 0), (0, 0))) \
+            .reshape(n_groups, group, span_pad, N, 3)
+        ag = jnp.pad(a, ((0, pad_c), (0, 0))) \
+            .reshape(n_groups, group, span_pad)
+        kill = jax.lax.map(lambda t: kill_chunks(*t), (Pg, ag))
+        kill = kill.reshape(n_groups * group, span_real)[:n_chunks]
 
     # tail chunk: rows [span, span + tail_real), contiguous slice
     tail_take = min(tail_pad, n_pool - span)
@@ -866,6 +886,14 @@ _BLOCK_BUCKETS = ((64, 512), (256, 32))
 # passes whose chunk span (padded) is at most this run as ONE fused
 # device program (_inplace_pass); larger spans use the gathered path
 _INPLACE_SPAN_MAX = 256
+
+# pair-tensor budget for one in-place evaluation step, in PAIRS: the
+# (group, span, span, 3, 3) covariance block costs 36 B/pair, so 2^24
+# pairs ~= 600 MB; chunk counts past group = budget/span^2 lax.map in
+# group-sized steps (see _inplace_body). Sized so the 416k-pose
+# headline workload (k=10^4, span_pad 32 -> group 16384 >= 9999
+# chunks) keeps its original single-call executable.
+_PAIR_CHUNK_BUDGET = 1 << 24
 
 # once the active count fits this bound, ALL remaining schedule passes
 # run as ONE device program (_finish_passes)
