@@ -477,3 +477,66 @@ def test_mid_regime_band_equivalence():
     assert bool(ok1) and bool(ok2)
     assert bool(jnp.array_equal(a1, a2))
     assert int(a1.sum()) == 1000          # 8 near-duplicates per survivor
+
+
+def test_tail_kill_tiled_matches_single_block(monkeypatch):
+    '''The tiled tail evaluation (row-map x col-scan) must reproduce
+    the single-block _pair_kill_core kill bits exactly — for N <= 4
+    (maxdev implied) AND N > 4 (rect exact/ambiguous path), with dead
+    rows and padded tails. Tile shrunk so several tiles are exercised
+    at CPU-test size.'''
+    import tscode_tpu.ops.rmsd_prune as rp
+
+    monkeypatch.setattr(rp, '_TAIL_TILE', 32)
+    rng = np.random.default_rng(11)
+    for N in (4, 8):
+        Tp = 128                        # 4 tiles of 32
+        tail_real = 100                 # non-pow2 real rows
+        base = rng.normal(size=(15, N, 3)) * 2.0
+        pool = (base[rng.integers(0, len(base), Tp)]
+                + rng.normal(size=(Tp, N, 3)) * 0.05)
+        alive = rng.random(Tp) < 0.8
+        alive[tail_real:] = False
+
+        Pt = jnp.asarray(pool)
+        at = jnp.asarray(alive)
+
+        rt = np.arange(Tp)
+        valid = (alive[None, :, None] & alive[None, None, :]
+                 & (rt[None, None, :] > rt[None, :, None]))
+        want = np.asarray(rp._pair_kill_core(Pt[None], jnp.asarray(valid),
+                                             0.5)[0])
+        got = np.asarray(rp._tail_kill_tiled(Pt, at, 0.5))
+        np.testing.assert_array_equal(got, want, err_msg=f'N={N}')
+        assert want.sum() > 0           # the case actually prunes
+
+
+def test_inplace_body_big_tail_matches_single_block(monkeypatch):
+    '''_inplace_body with a tail past _TAIL_BLOCK_MAX (tiled path)
+    must equal the single-block path, pinning the reference's
+    remainder-chunk semantics (rmsd_pruning.py:139-148).'''
+    import tscode_tpu.ops.rmsd_prune as rp
+
+    rng = np.random.default_rng(12)
+    n_pool = 512
+    n = 480
+    base = rng.normal(size=(40, 4, 3)) * 2.5
+    pool = (base[rng.integers(0, len(base), n_pool)]
+            + rng.normal(size=(n_pool, 4, 3)) * 0.04)
+    alive = np.arange(n_pool) < n
+
+    # 3 chunks of 64 + a 288-row tail (pad 512)
+    kw = dict(rmsd_thr=jnp.asarray(0.5), span_real=64, span_pad=64,
+              n_chunks=3, tail_real=288, tail_pad=512)
+
+    monkeypatch.setattr(rp, '_TAIL_BLOCK_MAX', 256)   # force tiled
+    monkeypatch.setattr(rp, '_TAIL_TILE', 64)
+    got = np.asarray(rp._inplace_body(jnp.asarray(pool),
+                                      jnp.asarray(alive), **kw))
+
+    monkeypatch.setattr(rp, '_TAIL_BLOCK_MAX', 1 << 20)  # single block
+    want = np.asarray(rp._inplace_body(jnp.asarray(pool),
+                                       jnp.asarray(alive), **kw))
+
+    np.testing.assert_array_equal(got, want)
+    assert got.sum() < n               # the pass actually pruned

@@ -343,6 +343,44 @@ def _pair_kill_core(P, valid, rmsd_thr):
     return jnp.any((gate1 & ~ambiguous) | hit2, axis=2)
 
 
+def _tail_kill_tiled(Pt, at, rmsd_thr):
+    '''
+    Within-chunk pass-start-mask kill over ONE large chunk, evaluated
+    as (tile x tile) pair blocks — lax.map over row tiles, lax.scan
+    over column tiles — so peak pair memory is tile^2 regardless of
+    the chunk size. Matches the reference's LAST-chunk semantics for
+    the k-bucket passes (rmsd_pruning.py:139-148: the remainder chunk
+    can be arbitrarily large) without the (tail, tail, 3, 3)
+    covariance block that OOMs past ~16k rows.
+    Pt (Tp, N, 3) padded pow2, at (Tp,) pass-start liveness.
+    '''
+    tile = _TAIL_TILE
+    Tp = Pt.shape[0]
+    N = Pt.shape[1]
+    nt = Tp // tile
+    Pb = Pt.reshape(nt, tile, N, 3)
+    ab = at.reshape(nt, tile)
+    pos = jnp.arange(Tp, dtype=jnp.int32).reshape(nt, tile)
+
+    def row_tile(args):
+        Pr, ar, pr = args
+
+        def col_step(kill_r, cargs):
+            Pc, ac, pc = cargs
+            valid = ar[:, None] & ac[None, :] & \
+                (pc[None, :] > pr[:, None])
+            hit = _pair_kill_rect(Pr[None], Pc[None], valid[None],
+                                  rmsd_thr)[0]
+            return kill_r | hit, None
+
+        kill_r, _ = jax.lax.scan(col_step,
+                                 jnp.zeros(tile, dtype=bool),
+                                 (Pb, ab, pos))
+        return kill_r
+
+    return jax.lax.map(row_tile, (Pb, ab, pos)).reshape(Tp)
+
+
 @jax.jit
 def _gathered_kill_blocks(hs, idx, m_real, rmsd_thr):
     '''
@@ -416,16 +454,21 @@ def _inplace_body(hs, alive, rmsd_thr, span_real, span_pad, n_chunks,
         kill = jax.lax.map(lambda t: kill_chunks(*t), (Pg, ag))
         kill = kill.reshape(n_groups * group, span_real)[:n_chunks]
 
-    # tail chunk: rows [span, span + tail_real), contiguous slice
+    # tail chunk: rows [span, span + tail_real), contiguous slice. Past
+    # _TAIL_BLOCK_MAX padded rows the single (tail, tail, 3, 3) block
+    # would be multi-GB — evaluate tiled instead (identical results)
     tail_take = min(tail_pad, n_pool - span)
-    Pt = jnp.pad(hs[span:span + tail_take],
-                 ((0, tail_pad - tail_take), (0, 0), (0, 0)))[None]
     rt = jnp.arange(tail_pad, dtype=jnp.int32)
-    at = (jnp.pad(alive[span:span + tail_take],
-                  (0, tail_pad - tail_take)) & (rt < tail_real))[None]
-    valid_t = at[:, :, None] & at[:, None, :] & \
-        (rt[None, None, :] > rt[None, :, None])
-    kill_t = _pair_kill_core(Pt, valid_t, rmsd_thr)[0][:tail_take]
+    Pt = jnp.pad(hs[span:span + tail_take],
+                 ((0, tail_pad - tail_take), (0, 0), (0, 0)))
+    at = jnp.pad(alive[span:span + tail_take],
+                 (0, tail_pad - tail_take)) & (rt < tail_real)
+    if tail_pad > _TAIL_BLOCK_MAX:
+        kill_t = _tail_kill_tiled(Pt, at, rmsd_thr)[:tail_take]
+    else:
+        valid_t = at[None, :, None] & at[None, None, :] & \
+            (rt[None, None, :] > rt[None, :, None])
+        kill_t = _pair_kill_core(Pt[None], valid_t, rmsd_thr)[0][:tail_take]
 
     kill_flat = jnp.concatenate([
         kill.reshape(span),
@@ -894,6 +937,16 @@ _INPLACE_SPAN_MAX = 256
 # headline workload (k=10^4, span_pad 32 -> group 16384 >= 9999
 # chunks) keeps its original single-call executable.
 _PAIR_CHUNK_BUDGET = 1 << 24
+
+# the remainder ("tail") chunk of an in-place pass holds the last
+# n - (k-1)*(n//k) rows — up to k + span rows (reference
+# rmsd_pruning.py:139-148), which at multi-million-row pools is a
+# multi-GB (tail, tail, 3, 3) covariance block. Past this padded size
+# the tail evaluates as tiled (row-map x col-scan) pair blocks
+# instead (_tail_kill_tiled). 8192 keeps every previously-measured
+# workload (tails <= 8192) on its original single-block executable.
+_TAIL_BLOCK_MAX = 8192
+_TAIL_TILE = 1024
 
 # once the active count fits this bound, ALL remaining schedule passes
 # run as ONE device program (_finish_passes)
