@@ -465,3 +465,28 @@ def test_fused_sweep_matches_chunk_loop(monkeypatch):
 
     np.testing.assert_array_equal(outs['0'][0], outs['1'][0])
     np.testing.assert_array_equal(outs['0'][1], outs['1'][1])
+
+
+def test_string_fused_sweep_matches_chunk_loop(monkeypatch):
+    '''The device-decoded lax.map string sweep must be bit-identical to
+    the host-indexed chunk loop — including at chunk sizes that force
+    several tiles/chunks and a padded tail.'''
+    mol1 = Molecule(fix('C2H4.xyz'), reactive_indices=[0])
+    mol2 = Molecule(fix('CH3Cl.xyz'), reactive_indices=[0])
+    for m in (mol1, mol2):
+        m.compute_orbitals()
+    angles = np.linspace(0.0, 350.0, 36)
+
+    import tscode_tpu.embeds.string as string_mod
+    monkeypatch.setattr(string_mod, '_SWEEP_TILE_CAP', 8)
+
+    outs = {}
+    for flag in ('0', '1'):
+        monkeypatch.setenv('TSCODE_FUSED_SWEEP', flag)
+        # chunk=8 forces several chunks through the loop path; the
+        # shrunk tile cap forces several tiles through the map path
+        outs[flag] = string_embed(mol1, mol2, angles, chunk=8,
+                                  log=lambda *a, **k: None)
+
+    np.testing.assert_array_equal(outs['0'][0], outs['1'][0])
+    np.testing.assert_array_equal(outs['0'][1], outs['1'][1])

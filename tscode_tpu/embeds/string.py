@@ -25,6 +25,9 @@ from tscode_tpu.ops.linalg import rot_mat_from_pointer, rotation_matrix_from_vec
 from tscode_tpu.ops.tfd import is_new_structure_lru, torsion_fingerprints
 
 _CHUNK = 4096
+# lax.map tile size cap for the fused sweep (pow2; tests shrink it to
+# force multi-tile maps at small grids)
+_SWEEP_TILE_CAP = 1 << 16
 
 
 @functools.partial(jax.jit, static_argnames=('pallas_pairs',))
@@ -67,6 +70,59 @@ def _pairwise_d2(poses):
     a2 = jnp.sum(poses * poses, axis=-1)
     ab = jnp.einsum('bni,bmi->bnm', poses, poses)
     return jnp.maximum(a2[..., :, None] + a2[..., None, :] - 2.0 * ab, 0.0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('n_tiles', 'tile_b', 'pallas_pairs'))
+def _string_sweep_mapped(coords1, coords2, centers1, vecs1, centers2,
+                         vecs2, pair_mask, quadruplets, angles,
+                         clash_thresh, r_base, r_hi, n_tiles, tile_b,
+                         pallas_pairs=None):
+    '''Grid-slab string sweep as ONE device program: flat grid indices
+    [r_base, r_hi) are decoded on device (C order matching
+    embeds.common.flat_grid(n2c, n1c, k2, k1, n_ang) — the reference's
+    nested-loop generation order) and a lax.map over tiles bounds live
+    intermediates at one tile. Zero per-chunk uploads/dispatches — on a
+    tunneled accelerator the host loop's index uploads were the
+    dominant sweep cost after the survivor-pull fix. Rows are padded
+    to n_tiles*tile_b; padded tails report clash_ok False. r_base/r_hi
+    are traced, so every same-shape slab reuses one executable.'''
+    n1c, k1 = centers1.shape[0], centers1.shape[1]
+    n2c, k2 = centers2.shape[0], centers2.shape[1]
+    n_ang = angles.shape[0]
+    total = n2c * n1c * k2 * k1 * n_ang
+
+    def tile(r0):
+        r = r_base + r0 + jnp.arange(tile_b, dtype=jnp.int32)
+        real = r < r_hi
+        rc = jnp.minimum(r, total - 1)
+        ai = rc % n_ang
+        rest = rc // n_ang
+        a1 = rest % k1
+        rest = rest // k1
+        a2 = rest % k2
+        rest = rest // k2
+        c1 = rest % n1c
+        c2 = rest // n1c
+        poses, ok, tfps = _string_chunk.__wrapped__(
+            coords1, coords2, centers1, vecs1, centers2, vecs2,
+            pair_mask, quadruplets, angles, c1, c2, a1, a2, ai,
+            clash_thresh, pallas_pairs=pallas_pairs)
+        return poses, ok & real, tfps
+
+    starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile_b
+    poses, ok, tfps = jax.lax.map(tile, starts)
+    return (poses.reshape((-1,) + poses.shape[2:]),
+            ok.reshape(-1),
+            tfps.reshape((-1,) + tfps.shape[2:]))
+
+
+def _string_sweep_slab(base_args, clash_thresh, lo, hi, n_tiles, tile_b,
+                       pallas_pairs):
+    return _string_sweep_mapped(
+        *base_args, jnp.asarray(float(clash_thresh)),
+        jnp.asarray(lo, jnp.int32), jnp.asarray(hi, jnp.int32),
+        n_tiles=n_tiles, tile_b=tile_b, pallas_pairs=pallas_pairs)
 
 
 @functools.lru_cache(maxsize=8)
@@ -149,7 +205,7 @@ def string_embed(mol1, mol2, angles, clash_thresh=1.5, tfd_thresh=10,
                quadruplets=jnp.asarray(quadruplets, dtype=jnp.int32),
                angles=jnp.asarray(angles))
 
-    # dispatch EVERY chunk before pulling anything, and pull ONLY the
+    # dispatch the sweep before pulling anything, and pull ONLY the
     # clash survivors: the pose and fingerprint tensors stay device-
     # resident; the accumulator pulls the ok bitmask plus the gathered
     # survivor rows (reference-order). On a tunneled accelerator the
@@ -157,23 +213,50 @@ def string_embed(mol1, mol2, angles, clash_thresh=1.5, tfd_thresh=10,
     from tscode_tpu.embeds.common import MaskedPullAccumulator
     acc = MaskedPullAccumulator()
 
-    for lo in range(0, total, chunk):
-        hi = min(lo + chunk, total)
-        pad = chunk - (hi - lo)
-        sl = lambda g: jnp.asarray(np.pad(g[lo:hi], (0, pad), mode='edge'))
-        # positional call: shard_map-wrapped programs take no kwargs
-        pos_args = (
+    import os as _os
+    if chunk_fn is _string_chunk \
+            and _os.environ.get('TSCODE_FUSED_SWEEP', '1') != '0':
+        # single-device: the WHOLE grid as memory-bounded slabs of ONE
+        # lax.map program each — indices decode on device, so a slab
+        # costs ~9 uploads + 1 dispatch regardless of grid size
+        itemsize = 8 if jax.config.jax_enable_x64 else 4
+        n_atoms = mol1.n_atoms + mol2.n_atoms
+        tile_b = min(_SWEEP_TILE_CAP,
+                     1 << max(1, (total - 1).bit_length()))
+        rows_cap = tile_b * max(
+            1, int(1.2e9) // max(1, tile_b * n_atoms * 3 * itemsize))
+        base_args = (
             dev['coords1'], dev['coords2'], dev['centers1'], dev['vecs1'],
             dev['centers2'], dev['vecs2'], dev['pair_mask'],
-            dev['quadruplets'], dev['angles'],
-            sl(c1g), sl(c2g), sl(a1g), sl(a2g), sl(aig),
-            jnp.asarray(float(clash_thresh)))
-        if chunk_fn is _string_chunk and pallas_pairs is not None:
-            poses, ok, tfps = chunk_fn(*pos_args,
-                                       pallas_pairs=pallas_pairs)
-        else:
-            poses, ok, tfps = chunk_fn(*pos_args)
-        acc.add((poses, tfps), ok, hi - lo)
+            dev['quadruplets'], dev['angles'])
+        for lo in range(0, total, rows_cap):
+            hi = min(lo + rows_cap, total)
+            n_tiles = -(-(hi - lo) // tile_b)
+            # shift the decode window: slabs after the first start at
+            # lo, handled by offsetting the flat arange
+            poses, ok, tfps = _string_sweep_slab(
+                base_args, float(clash_thresh), lo, hi, n_tiles, tile_b,
+                pallas_pairs)
+            acc.add((poses, tfps), ok, hi - lo)
+    else:
+        for lo in range(0, total, chunk):
+            hi = min(lo + chunk, total)
+            pad = chunk - (hi - lo)
+            sl = lambda g: jnp.asarray(
+                np.pad(g[lo:hi], (0, pad), mode='edge'))
+            # positional call: shard_map-wrapped programs take no kwargs
+            pos_args = (
+                dev['coords1'], dev['coords2'], dev['centers1'],
+                dev['vecs1'], dev['centers2'], dev['vecs2'],
+                dev['pair_mask'], dev['quadruplets'], dev['angles'],
+                sl(c1g), sl(c2g), sl(a1g), sl(a2g), sl(aig),
+                jnp.asarray(float(clash_thresh)))
+            if chunk_fn is _string_chunk and pallas_pairs is not None:
+                poses, ok, tfps = chunk_fn(*pos_args,
+                                           pallas_pairs=pallas_pairs)
+            else:
+                poses, ok, tfps = chunk_fn(*pos_args)
+            acc.add((poses, tfps), ok, hi - lo)
 
     fields, ok_all = acc.finish()
     if not ok_all.any():
