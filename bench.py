@@ -273,7 +273,7 @@ def run_device_pipeline(mol1, mol2):
     # TSCODE_USE_PALLAS_CLASH=0/1)
     from tscode_tpu.ops.clash import static_pairs, use_pallas_clash
     pallas_pairs = (static_pairs(cross_fragment_pair_mask(ids))
-                    if use_pallas_clash() else None)
+                    if use_pallas_clash(n_pairs=ids[0] * ids[1]) else None)
     vlog(f'clash kernel: {"pallas" if pallas_pairs else "xla"}')
 
     # warmup compile of the embed program (whole-grid or tiled by size)

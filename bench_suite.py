@@ -12,6 +12,7 @@ Configs (BASELINE.md:23-27):
   torsion_drive   csearch> torsion driving + batched clash pruning
   trimolecular    3-mol cyclical embed (BYPASS dumps every pose)
   multiembed      combinatorial docking, ensemble-wide RMSD pruning
+  large_n_string  148-atom poses (2x C24H49Cl): the MXU-regime config
 
 Prints one JSON line per config:
   {"config": ..., "backend": ..., "candidates": N, "final": N,
@@ -51,6 +52,73 @@ def _write_noisy(src, dst, n_confs, rng, noise=NOISE):
                       data.atomnos, f, title=f'conf {c}')
 
 
+def _chloroalkane(n_carbons):
+    '''Idealized zigzag 1-chloroalkane Cl-(CH2)_{n-1}-CH3 as
+    (coords (N, 3), atomnos (N,)) — the large-molecule benchmark
+    fixture (no external SMILES/3D tool in the image, so the geometry
+    is built from tetrahedral angles directly). Atom 0 is the Cl-bearing
+    carbon: with exactly one leaving-group neighbor the sp3 orbital
+    builder resolves it hermetically (orbitals.build_sp3).'''
+    cc, ch, ccl = 1.526, 1.09, 1.79
+    alpha = np.deg2rad(35.2644)          # half the 70.53 deg zigzag turn
+    u = np.array([[np.cos(alpha), 0.0, np.sin(alpha)],
+                  [np.cos(alpha), 0.0, -np.sin(alpha)]])
+    y = np.array([0.0, 1.0, 0.0])
+    sin_d, cos_d = 0.8165, 0.57735       # tetrahedral H fan components
+
+    backbone = np.zeros((n_carbons, 3))
+    for i in range(1, n_carbons):
+        backbone[i] = backbone[i - 1] + cc * u[(i - 1) % 2]
+
+    def h_pair(c, d1, d2):
+        b = d1 + d2
+        b /= np.linalg.norm(b)
+        return [c + ch * (-cos_d * b + sin_d * y),
+                c + ch * (-cos_d * b - sin_d * y)]
+
+    coords, nos = [], []
+    for i, c in enumerate(backbone):
+        coords.append(c)
+        nos.append(6)
+        if i == 0:
+            # Cl takes an OUT-OF-PLANE tetrahedral position so the sp3
+            # orbital (anti to Cl) points perpendicular to the chain:
+            # docked chains then extend sideways from the approach axis
+            # instead of into each other (an in-plane Cl leaves the
+            # orbital only ~35 deg off the chain direction and every
+            # pose clashes)
+            back = -u[1]                 # virtual previous-bond direction
+            b = back + u[0]
+            b /= np.linalg.norm(b)
+            cl_dir = -cos_d * b + sin_d * y
+            coords.append(c + ccl * cl_dir)
+            nos.append(17)
+            coords.append(c + ch * (-cos_d * b - sin_d * y))
+            nos.append(1)
+            coords.append(c + ch * back)
+            nos.append(1)
+        elif i < n_carbons - 1:
+            coords.extend(h_pair(c, -u[(i - 1) % 2], u[i % 2]))
+            nos.extend([1, 1])
+        else:                            # terminal CH3
+            cont = u[i % 2]
+            coords.append(c + ch * cont)
+            nos.append(1)
+            coords.extend(h_pair(c, -u[(i - 1) % 2], cont))
+            nos.extend([1, 1])
+    return np.array(coords), np.array(nos)
+
+
+def _write_chloroalkane(dst, n_carbons, n_confs, rng, noise=0.05):
+    '''Write n_confs jittered conformers of the synthetic chloroalkane.'''
+    from tscode_tpu.io_xyz import write_xyz
+    coords, nos = _chloroalkane(n_carbons)
+    with open(dst, 'w') as f:
+        for c in range(n_confs):
+            write_xyz(coords + rng.normal(size=coords.shape) * noise,
+                      nos, f, title=f'conf {c}')
+
+
 def _config_files(name, workdir):
     '''Write input.txt + molecule files for a config; returns input path.'''
     rng = np.random.default_rng(7)
@@ -76,6 +144,20 @@ def _config_files(name, workdir):
         content = ('BYPASS DIST(A=2.5,x=2,y=2.5,C=1) SHRINK ROTRANGE=10 '
                    'STEPS=2\nm1.xyz 0A 4y\nm2.xyz 1A 4x 0C 2C\n'
                    'm2.xyz 1x 4y\n')
+    elif name == 'large_n_string':
+        # 74-atom molecules, 148-atom poses: the MXU-regime demo (the
+        # clash screen's B x N x N distance matmul does real MXU work
+        # here; the Pallas unrolled kernel is auto-gated OFF past 1024
+        # cross pairs — ops/clash.use_pallas_clash). Same string-embed
+        # program as sn2_string, ~25x the per-pose arithmetic.
+        # DIST: at the default 1.0 A sp3 orbital the docked chain ends
+        # sit 2.0 A apart and every end-group H/Cl fan clashes; 3.2 A
+        # is a van-der-Waals-contact docking distance and passes the
+        # anti-anti spin angles (a strict ~5% screen yield, which is
+        # the interesting regime for a screening benchmark)
+        _write_chloroalkane(j(workdir, 'm1.xyz'), 24, N_CONFS, rng)
+        _write_chloroalkane(j(workdir, 'm2.xyz'), 24, N_CONFS, rng)
+        content = 'NOOPT DIST(a=3.2)\nm1.xyz 0a\nm2.xyz 0a\n'
     elif name == 'multiembed':
         _write_noisy(j(FIX, 'HCOOH.xyz'), j(workdir, 'm1.xyz'), N_CONFS, rng)
         _write_noisy(j(FIX, 'C2H4.xyz'), j(workdir, 'm2.xyz'), N_CONFS, rng)
@@ -136,7 +218,7 @@ def run_config(name, reps=1):
 
 
 ALL = ('sn2_string', 'da_cyclical', 'torsion_drive', 'trimolecular',
-       'multiembed')
+       'multiembed', 'large_n_string')
 
 
 def main():

@@ -30,6 +30,65 @@ def test_suite_config_runs(config):
     assert 'generate_candidates' in names
 
 
+@pytest.mark.parametrize('config', ['large_n_string'])
+def test_large_n_config_runs(config):
+    '''The MXU-regime config (148-atom poses) drives the same production
+    string-embed program; at 74x74 cross pairs the Pallas unrolled
+    kernel must be auto-gated off in favor of the XLA matmul form.'''
+    import bench_suite
+    res = bench_suite.run_config(config)
+    assert 'error' not in res, res
+    assert res['candidates'] > 0
+    assert res['final'] > 0
+
+
+def test_chloroalkane_geometry_is_chemically_sane():
+    '''The synthetic large-N fixture must graphize to exactly the
+    intended bond graph (no spurious/missing bonds) and resolve its sp3
+    orbital hermetically — otherwise the benchmark would measure a
+    different molecule than it claims.'''
+    import numpy as np
+    import bench_suite
+    from tscode_tpu.graphs import graphize
+
+    n_c = 24
+    coords, nos = bench_suite._chloroalkane(n_c)
+    assert len(coords) == n_c + 1 + (2 * n_c + 1)      # C + Cl + H
+    g = graphize(coords, nos)
+    # graphize keeps the reference's self-loop quirk: every node has a
+    # self-edge, which nx counts as +2 degree
+    degree = {i: d - 2 for i, d in g.degree}
+    carbons = [i for i, z in enumerate(nos) if z == 6]
+    assert all(degree[i] == 4 for i in carbons), 'every C tetravalent'
+    assert all(degree[i] == 1 for i, z in enumerate(nos) if z != 6)
+    # backbone is one simple chain: C-C bond count == n_c - 1
+    cc_bonds = [e for e in g.edges
+                if e[0] != e[1] and nos[e[0]] == 6 and nos[e[1]] == 6]
+    assert len(cc_bonds) == n_c - 1
+    # atom 0 carries the Cl -> sp3 leaving group resolves without input
+    cl = [i for i, z in enumerate(nos) if z == 17]
+    assert len(cl) == 1 and g.has_edge(0, cl[0])
+
+
+def test_pallas_clash_pair_cap(monkeypatch):
+    '''Past the unroll cap the clash policy must fall back to the XLA
+    matmul form even on accelerator backends.'''
+    from tscode_tpu.ops import clash
+
+    monkeypatch.delenv('TSCODE_USE_PALLAS_CLASH', raising=False)
+    monkeypatch.setattr(clash.jax, 'default_backend', lambda: 'tpu')
+    assert clash.use_pallas_clash(n_pairs=30)
+    assert not clash.use_pallas_clash(n_pairs=74 * 74)
+    monkeypatch.setenv('TSCODE_PALLAS_CLASH_MAX_PAIRS', '10000')
+    assert clash.use_pallas_clash(n_pairs=74 * 74)
+    # explicit =1 forces Pallas regardless of size (debug/A-B override)
+    monkeypatch.delenv('TSCODE_PALLAS_CLASH_MAX_PAIRS')
+    monkeypatch.setenv('TSCODE_USE_PALLAS_CLASH', '1')
+    assert clash.use_pallas_clash(n_pairs=74 * 74)
+    monkeypatch.setenv('TSCODE_USE_PALLAS_CLASH', '0')
+    assert not clash.use_pallas_clash(n_pairs=30)
+
+
 def test_unknown_config_rejected():
     import bench_suite
     with pytest.raises(SystemExit):

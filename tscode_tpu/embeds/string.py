@@ -186,7 +186,7 @@ def string_embed(mol1, mol2, angles, clash_thresh=1.5, tfd_thresh=10,
     # the mesh-sharded variant keeps the XLA form inside shard_map
     from tscode_tpu.ops.clash import static_pairs, use_pallas_clash
     pallas_pairs = (static_pairs(cross_fragment_pair_mask(ids))
-                    if use_pallas_clash() else None)
+                    if use_pallas_clash(n_pairs=ids[0] * ids[1]) else None)
 
     chunk_fn = _string_chunk
     if mesh is not None and mesh.devices.size > 1:

@@ -234,8 +234,23 @@ def _finish_child(parent, run, foldername, precomputed):
     start_dir = os.getcwd()
     os.chdir(os.path.join(start_dir, foldername))
     try:
+        import contextlib
+
+        from tscode_tpu.backend import local_device_ctx
         from tscode_tpu.utils import suppress_stdout_stderr
-        with suppress_stdout_stderr():
+
+        # the shared sweep already ran the heavy screen on the
+        # accelerator; what remains per child (TFD/MOI prunes over a
+        # few hundred survivors) is LATENCY-bound on a tunneled device
+        # (~40 ms per dispatch/pull x 2 stages x N arrangements), so
+        # pin it to the local CPU backend — unless the ensemble is big
+        # enough that the mesh-sharded prune variants would engage
+        n_poses = sum(len(p) for p in precomputed[0]) \
+            if isinstance(precomputed[0], list) else len(precomputed[0])
+        device_ctx = (local_device_ctx()
+                      if parent._mesh(max(1, n_poses)) is None
+                      and n_poses < 20_000 else contextlib.nullcontext())
+        with device_ctx, suppress_stdout_stderr():
             # _build_child closed the logfile to bound open descriptors
             run.logfile = open(f'tscode_{run.stamp}.log', 'a',
                                buffering=1, encoding='utf-8')

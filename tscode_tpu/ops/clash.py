@@ -16,14 +16,33 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def use_pallas_clash():
+# The Pallas clash kernel unrolls the static cross-fragment pair list
+# at trace time (one VPU sub/mul/sum triple per pair): past ~1k pairs
+# the unrolled Mosaic body stops paying off vs the XLA matmul form,
+# whose B x N x N distance computation tiles onto the MXU — exactly the
+# regime (100+-atom molecules) the matmul form was designed for. The
+# A/B win measured for Pallas (BASELINE.md "Pallas vs XLA") was at ~30
+# cross pairs.
+_PALLAS_CLASH_MAX_PAIRS = 1024
+
+
+def use_pallas_clash(n_pairs=None):
     '''Backend policy for the clash screen: the Pallas lane-layout
     kernel on accelerator backends (A/B-measured on the chip — see
-    BASELINE.md "Pallas vs XLA"), the XLA matmul form on CPU.
-    TSCODE_USE_PALLAS_CLASH=0/1 overrides.'''
+    BASELINE.md "Pallas vs XLA"), the XLA matmul form on CPU — and the
+    matmul form whenever the static pair list would unroll past
+    TSCODE_PALLAS_CLASH_MAX_PAIRS (default 1024) kernel statements
+    (large molecules belong on the MXU, not in an unrolled VPU loop).
+    TSCODE_USE_PALLAS_CLASH=0/1 overrides the backend choice (the
+    pair-count cap still applies unless =1 is forced).'''
     env = os.environ.get('TSCODE_USE_PALLAS_CLASH')
     if env is not None:
         return env == '1'
+    if n_pairs is not None:
+        cap = int(os.environ.get('TSCODE_PALLAS_CLASH_MAX_PAIRS',
+                                 _PALLAS_CLASH_MAX_PAIRS))
+        if n_pairs > cap:
+            return False
     return jax.default_backend() not in ('cpu',)
 
 
