@@ -490,3 +490,66 @@ def test_string_fused_sweep_matches_chunk_loop(monkeypatch):
 
     np.testing.assert_array_equal(outs['0'][0], outs['1'][0])
     np.testing.assert_array_equal(outs['0'][1], outs['1'][1])
+
+
+# ------------------------------------------------- block builder fast path
+
+def _noisy_molecule(tmp_path, name, n_confs, reactive, seed=3):
+    from tscode_tpu.io_xyz import read_xyz, write_xyz
+    rng = np.random.default_rng(seed)
+    data = read_xyz(fix(name))
+    path = os.path.join(tmp_path, f'noisy_{seed}_{name}')
+    with open(path, 'w') as f:
+        for c in range(n_confs):
+            write_xyz(data.atomcoords[0]
+                      + rng.normal(size=data.atomcoords[0].shape) * 0.08,
+                      data.atomnos, f, title=f'conf {c}')
+    mol = Molecule(path, reactive_indices=reactive)
+    mol.compute_orbitals()
+    set_pivots(mol)
+    return mol
+
+
+def test_bimol_blocks_fast_matches_loop(tmp_path):
+    '''The vectorized block-grid builder must reproduce the scalar loop
+    field-for-field (values AND row order) — multi-conformer molecules,
+    norm gate, pairing gate.'''
+    from tscode_tpu.embeds.cyclical import (_bimol_rigid_blocks_fast,
+                                            _bimol_rigid_blocks_loop)
+
+    mol1 = _noisy_molecule(str(tmp_path), 'C2H4.xyz', 3, [0, 3], seed=3)
+    mol2 = _noisy_molecule(str(tmp_path), 'HCOOH.xyz', 4, [0, 1], seed=4)
+
+    def pairing_ok(arr_ids):             # reject one id combination
+        return arr_ids[0][0] != arr_ids[0][1] - mol1.n_atoms
+
+    for gate in (None, pairing_ok):
+        for delta in (10, 0.15):         # 0.15 exercises the norm gate
+            fast = _bimol_rigid_blocks_fast(mol1, mol2, delta, gate)
+            loop = _bimol_rigid_blocks_loop(mol1, mol2, delta, gate)
+            assert fast is not NotImplemented
+            if loop is None:
+                assert fast is None
+                continue
+            assert set(fast.keys()) == set(loop.keys())
+            for k in loop:
+                np.testing.assert_array_equal(
+                    fast[k], loop[k], err_msg=f'field {k!r}')
+
+
+def test_bimol_blocks_ragged_pivots_fall_back(tmp_path):
+    '''Conformers with differing pivot lists (suprafacial-style
+    raggedness) must route through the scalar loop, not crash.'''
+    from tscode_tpu.embeds.cyclical import (_bimol_rigid_blocks,
+                                            _bimol_rigid_blocks_fast)
+
+    mol1 = _noisy_molecule(str(tmp_path), 'C2H4.xyz', 3, [0, 3], seed=5)
+    mol2 = _noisy_molecule(str(tmp_path), 'C2H4.xyz', 3, [0, 3], seed=6)
+    mol1.pivots = list(mol1.pivots)
+    mol1.pivots[1] = mol1.pivots[1][:-1]          # drop one pivot
+
+    assert _bimol_rigid_blocks_fast(mol1, mol2, 10, None) is NotImplemented
+    blk = _bimol_rigid_blocks(mol1, mol2, 10, None)
+    assert blk is not None
+    # 3*3 conf pairs x (4*4 minus one conf's missing pivot row) x 2
+    assert len(blk['c1']) == 2 * (3 * 4 * 4 * 3 - 3 * 4)

@@ -247,9 +247,13 @@ def _finish_child(parent, run, foldername, precomputed):
         # enough that the mesh-sharded prune variants would engage
         n_poses = sum(len(p) for p in precomputed[0]) \
             if isinstance(precomputed[0], list) else len(precomputed[0])
-        device_ctx = (local_device_ctx()
-                      if parent._mesh(max(1, n_poses)) is None
-                      and n_poses < 20_000 else contextlib.nullcontext())
+        use_local = (parent._mesh(max(1, n_poses)) is None
+                     and n_poses < 20_000)
+        env = os.environ.get('TSCODE_MULTIEMBED_LOCAL')
+        if env is not None:                 # A/B override
+            use_local = env == '1'
+        device_ctx = (local_device_ctx() if use_local
+                      else contextlib.nullcontext())
         with device_ctx, suppress_stdout_stderr():
             # _build_child closed the logfile to bound open descriptors
             run.logfile = open(f'tscode_{run.stamp}.log', 'a',
