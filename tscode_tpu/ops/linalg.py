@@ -243,18 +243,22 @@ def _qcp_lambda_max(S, GA, GB, newton_iters=None):
         + (SxypSyx * SyzpSzy + SxzpSzx * (SxxmSyy + Szz)) * (-(SxymSyx) * SyzmSzy + SxzpSzx * (SxxpSyy + Szz)) \
         + (SxypSyx * SyzmSzy + SxzmSzx * (SxxmSyy - Szz)) * (-(SxymSyx) * SyzpSzy + SxzmSzx * (SxxpSyy - Szz))
 
-    lam0 = 0.5 * (GA + GB)
+    lam = 0.5 * (GA + GB)
 
-    def newton(lam, _):
+    # UNROLLED Newton steps (not lax.scan): a scan compiles to a
+    # while-loop whose per-step kernels re-read/re-write the full
+    # lambda tensor from HBM every iteration — on (chunks, span, span)
+    # pair grids that traffic dominates the pass. Inlined, XLA fuses
+    # the whole chain (quartic coefficients -> all Newton steps ->
+    # the rmsd compare downstream) into one elementwise kernel over
+    # the pair grid. Identical op sequence, bitwise-same results.
+    for _ in range(newton_iters):
         lam2 = lam * lam
         b = (lam2 + C2) * lam
         a = b + C1
         num = a * lam + C0
         den = 2.0 * lam2 * lam + b + a
         lam = lam - num / jnp.where(jnp.abs(den) > 1e-30, den, 1e-30)
-        return lam, None
-
-    lam, _ = jax.lax.scan(newton, lam0, None, length=newton_iters)
     return lam
 
 
