@@ -19,8 +19,8 @@ import logging
 import os
 import re
 import time
+from collections import Counter
 from copy import deepcopy
-from itertools import groupby
 
 import numpy as np
 
@@ -156,38 +156,51 @@ class Embedder:
 
     # ------------------------------------------------------------ parsing
 
+    def _echo_input(self, filename, raw_lines):
+        '''Render the input file into the log, framed and line-numbered.'''
+        body = [line.rstrip('\n') for line in raw_lines]
+        width = max(map(len, body), default=0)
+        frame = '    ' + '=' * (width + 8)
+        self.log(f'--> Input file: {filename}\n')
+        self.log(frame)
+        for num, text in enumerate(body, start=1):
+            self.log(f'{num:>3} |  {text:<{width}}  |')
+        self.log(frame + '\n')
+
+    @staticmethod
+    def _reactive_indices_of(fragments):
+        '''Bare reactive indices from letter-tagged fragments like
+        ["2a", "5b", "7"]. A letter appearing on two fragments of the
+        SAME line marks an internal constraint, whose indices are not
+        reactive (reference embedder.py:265-269).'''
+        parsed = [(int(re.sub(r'\D', '', frag)),
+                   re.sub(r'[^A-Za-z]', '', frag)) for frag in fragments]
+        tag_uses = Counter(tag for _, tag in parsed if tag)
+        return tuple(idx for idx, tag in parsed
+                     if tag_uses.get(tag, 0) <= 1)
+
     def _parse_input(self, filename):
         '''
-        Input DSL: optional keyword line, then one molecule line each:
+        Input DSL: an optional keyword line, then one molecule line each:
         `op1> op2> file.xyz 2a 5b k=v` (reference embedder.py:243-305).
         Returns [(filename, reactive_indices, attrs)].
         '''
         with open(filename, 'r') as f:
-            lines = f.readlines()
+            raw_lines = f.readlines()
 
-        self.log(f'--> Input file: {filename}\n')
-        longest = max(len(line.rstrip('\n')) for line in lines)
-        self.log('    ' + '-' * (longest + 6))
-        for l, line in enumerate(lines):
-            self.log(f'{l + 1:2}> | ' + line.rstrip('\n').ljust(longest) + '   |')
-        self.log('    ' + '-' * (longest + 6) + '\n')
+        self._echo_input(filename, raw_lines)
 
-        lines = [line.replace(', ', ',') for line in lines
+        # drop comments/blanks; allow "DIST(a=1.8, b=2.0)"-style spaces
+        lines = [line.replace(', ', ',') for line in raw_lines
                  if line[0] not in ('#', '\n')]
-
-        def _remove_internal_constraints(strings):
-            # an index letter-tagged twice on the same line is an internal
-            # constraint, not a reactive index (reference :265-269)
-            numbers = [int(re.sub('[^0-9]', '', s)) for s in strings]
-            letters = [re.sub('[^A-Za-z]', '', s) for s in strings]
-            count = [letters.count(l) if l != '' else 1 for l in letters]
-            return tuple(n for n, c in zip(numbers, count) if c == 1)
 
         from tscode_tpu.options import KEYWORDS
         try:
-            keywords = [l.split('=')[0] if '(' not in l else l.split('(')[0]
-                        for l in lines[0].split()]
-            if any(k.upper() in KEYWORDS for k in keywords):
+            # the first line is a keyword line iff any token's stem
+            # (before any '=' or '(') is a known keyword
+            first_stems = (re.split(r'[=(]', tok, maxsplit=1)[0].upper()
+                           for tok in lines[0].split())
+            if any(stem in KEYWORDS for stem in first_stems):
                 self.kw_line, *self.mol_lines = lines
             else:
                 self.kw_line = ''
@@ -196,27 +209,28 @@ class Embedder:
             inp = []
             for _l, line in enumerate(self.mol_lines):
                 if '>' in line:
-                    self.options.operators_dict[_l] = [
-                        op.strip() for op in
-                        reversed(line.rstrip('\n').split('>')[:-1])]
-                    self.options.operators.append(line.rstrip('\n'))
-                    line = line.split('>')[-1].lstrip()
+                    # nested operators apply right-to-left
+                    *ops, line = (part.strip()
+                                  for part in line.rstrip('\n').split('>'))
+                    self.options.operators_dict[_l] = list(reversed(ops))
+                    self.options.operators.append(
+                        self.mol_lines[_l].rstrip('\n'))
 
                 molname, *fragments = line.split()
                 attrs = {}
                 reactive = []
                 for frag in fragments:
                     if '=' in frag:
-                        parts = frag.split('=')
-                        if len(parts) != 2:
+                        key, eq, value = frag.partition('=')
+                        if not key or not value or '=' in value:
                             raise InputError(
                                 f"Error reading attribute '{frag}'. "
                                 f"Syntax: 'var=value'")
-                        attrs[parts[0]] = parts[1]
+                        attrs[key] = value
                     else:
                         reactive.append(frag)
 
-                reactive_indices = (_remove_internal_constraints(reactive)
+                reactive_indices = (self._reactive_indices_of(reactive)
                                     if reactive else None)
                 inp.append((molname, reactive_indices, attrs))
             return inp
@@ -229,74 +243,74 @@ class Embedder:
                 f'Error in reading molecule input for {filename}. '
                 f'Please check your syntax.')
 
+    # one molecule-line fragment: an atom index plus optional letter tags
+    _TAGGED_INDEX = re.compile(r'(\d+)([A-Za-z]*)\Z')
+
     def _read_pairings(self):
         '''Letter pairings (a-z interactions, A-Z fixed, x/y/z NCI) from
-        molecule lines (reference embedder.py:369-499).'''
-        parsed = []
-        unlabeled_list = []
-        self.pairings_dict = {i: {} for i, _ in enumerate(self.objects)}
+        molecule lines (reference embedder.py:369-499).
 
-        for i, line in enumerate(self.mol_lines):
-            fragments = [f for f in line.split('>')[-1].split()[1:]
-                         if '=' not in f]
+        Builds, in global (concatenated-pose) atom numbering:
+          pairings_table  {letter: [atom, atom]}  across molecules
+          pairings_dict   {mol: {letter: local_atom | (atom, atom)}}
+          internal_constraints  pairs tagged twice on ONE molecule that
+            also carry an imposed distance on the keyword line
+        '''
+        self.pairings_dict = {m: {} for m in range(len(self.objects))}
+        self.kw_line = getattr(self, 'kw_line', '')
+        mol_offsets = np.concatenate([[0], np.cumsum(self.ids)])[:-1] \
+            if self.ids is not None else np.zeros(len(self.mol_lines), int)
 
-            unlabeled, pairings = [], []
-            for fragment in fragments:
-                if not fragment.lower().islower():
-                    unlabeled.append(int(fragment))
-                else:
-                    index, letters = [''.join(g) for _, g in
-                                      groupby(fragment, str.isalpha)]
-                    for letter in letters:
-                        pairings.append([int(index), letter])
+        by_letter = {}          # letter -> [global atom, ...]
+        untagged = []           # bare indices (implicit '?' pairing)
 
-            for index, letter in pairings:
-                if self.pairings_dict[i].get(letter) is not None:
-                    prev = self.pairings_dict[i][letter]
-                    self.pairings_dict[i][letter] = (prev, index)
-                else:
-                    self.pairings_dict[i][letter] = index
+        for mol, line in enumerate(self.mol_lines):
+            tokens = line.split('>')[-1].split()[1:]
+            offset = int(mol_offsets[mol]) if mol < len(mol_offsets) else 0
 
-            if i > 0:
-                for z in pairings:
-                    z[0] += sum(self.ids[:i])
-                unlabeled = [z + sum(self.ids[:i]) for z in unlabeled]
-            unlabeled_list.extend(unlabeled)
-            parsed.extend(pairings)
+            for token in tokens:
+                if '=' in token:
+                    continue    # molecule attribute, not an index
+                match = self._TAGGED_INDEX.match(token)
+                if match is None:
+                    continue
+                local = int(match.group(1))
+                tags = match.group(2)
 
-        links = {tag: [] for tag in set(p[1] for p in parsed)}
-        for index, tag in parsed:
-            links[tag].append(index)
+                if not tags:
+                    untagged.append(local + offset)
+                    continue
+                for letter in tags:
+                    by_letter.setdefault(letter, []).append(local + offset)
+                    # per-molecule view keeps LOCAL numbering; a repeat
+                    # on the same molecule upgrades the entry to a tuple
+                    seen = self.pairings_dict[mol].get(letter)
+                    self.pairings_dict[mol][letter] = \
+                        local if seen is None else (seen, local)
 
-        self.pairings_table = {
-            letter: sorted(idxs)
-            for letter, idxs in sorted(links.items(), key=lambda x: x[0])}
+        self.pairings_table = {letter: sorted(atoms)
+                               for letter, atoms in sorted(by_letter.items())}
 
-        for letter, idxs in self.pairings_table.items():
-            if len(idxs) == 1:
+        for letter, atoms in self.pairings_table.items():
+            if len(atoms) == 1:
                 raise SyntaxError(
                     f"Letter '{letter}' is only specified once. "
                     f"Please flag the second reactive atom.")
-            if len(idxs) > 2:
+            if len(atoms) > 2:
                 raise SyntaxError(
                     f"Letter '{letter}' is specified more than two times. "
                     f"Please remove the unwanted letters.")
 
-        if len(self.mol_lines) in (2, 3) and len(unlabeled_list) == 2:
-            self.pairings_table['?'] = sorted(unlabeled_list)
+        if len(self.mol_lines) in (2, 3) and len(untagged) == 2:
+            self.pairings_table['?'] = sorted(untagged)
 
-        # internal constraints: letters used twice on one molecule AND
-        # given an imposed distance on the keyword line
-        self.internal_constraints = []
-        self.kw_line = getattr(self, 'kw_line', '')
-        for letter, pair in self.pairings_table.items():
-            for mol_id in self.pairings_dict:
-                if isinstance(self.pairings_dict[mol_id].get(letter), tuple):
-                    if f'{letter}=' in self.kw_line:
-                        self.internal_constraints.append([pair])
-        self.internal_constraints = (
-            np.concatenate(self.internal_constraints)
-            if self.internal_constraints else np.array([], dtype=int))
+        internal = [
+            [pair] for letter, pair in self.pairings_table.items()
+            if f'{letter}=' in self.kw_line
+            and any(isinstance(view.get(letter), tuple)
+                    for view in self.pairings_dict.values())]
+        self.internal_constraints = (np.concatenate(internal) if internal
+                                     else np.array([], dtype=int))
 
     # ------------------------------------------------------------- checks
 

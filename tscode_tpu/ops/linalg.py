@@ -532,36 +532,32 @@ def polygonize(lengths):
     lengths = np.asarray(lengths, dtype=float)
     assert len(lengths) in (2, 3)
 
-    arr = np.zeros((len(lengths), 2, 3))
-
     if len(lengths) == 2:
-        arr[0, 0] = np.array([-lengths[0] / 2, 0, 0])
-        arr[0, 1] = np.array([+lengths[0] / 2, 0, 0])
-        arr[1, 0] = np.array([-lengths[1] / 2, 0, 0])
-        arr[1, 1] = np.array([+lengths[1] / 2, 0, 0])
+        # two x-axis segments centered on the origin; orientation 1
+        # reverses the second segment (antiparallel pivot pairing)
+        ends = np.outer(lengths / 2.0, [1.0, 0.0, 0.0])   # (2, 3)
+        segments = np.stack([-ends, ends], axis=1)        # (mol, 2, 3)
+        return np.stack([segments,
+                         segments * [[[1]], [[-1]]]])     # (2, 2, 2, 3)
 
-        out = np.vstack(([arr], [arr]))
-        out[1, 1] *= -1
-        return out
+    if not np.all(lengths < np.roll(lengths, 1) + np.roll(lengths, 2)):
+        raise TriangleError(
+            f'Impossible to build a triangle with sides {lengths}')
 
-    if not all(lengths[i] < lengths[i - 1] + lengths[i - 2] for i in (0, 1, 2)):
-        raise TriangleError(f'Impossible to build a triangle with sides {lengths}')
+    # canonical triangle: base along +x, apex above it (law of cosines)
+    base, flank, closing = lengths
+    apex_x = (base * base - flank * flank + closing * closing) / (2 * base)
+    apex = np.array([apex_x, np.sqrt(closing * closing - apex_x * apex_x), 0])
+    vertices = np.array([[0.0, 0.0, 0.0], [base, 0.0, 0.0], apex])
+    sides = vertices[[[0, 1], [1, 2], [2, 0]]]            # (side, 2, 3)
 
-    arr[0, 1] = np.array([lengths[0], 0, 0])
-    arr[1, 0] = np.array([lengths[0], 0, 0])
-
-    a, b, c = lengths[0] ** 2, lengths[1] ** 2, lengths[2] ** 2
-    x = (a - b + c) / (2 * a ** 0.5)
-    y = (c - x ** 2) ** 0.5
-
-    arr[1, 1] = np.array([x, y, 0])
-    arr[2, 0] = np.array([x, y, 0])
-
-    out = np.vstack([[arr]] * 8)
-    swaps = [(1, 2), (2, 1), (3, 1), (3, 2), (4, 0), (5, 0),
-             (5, 1), (6, 0), (6, 2), (7, 0), (7, 1), (7, 2)]
-    for t, v in swaps:
-        out[t, v][[0, 1]] = out[t, v][[1, 0]]
+    # all 8 per-side direction choices; subset order is a pinned quirk
+    # (the reference enumerates them via its `swaps` table in this order)
+    flip_sets = [(), (2,), (1,), (1, 2), (0,), (0, 1), (0, 2), (0, 1, 2)]
+    out = np.broadcast_to(sides, (8,) + sides.shape).copy()
+    for orient, flips in enumerate(flip_sets):
+        for side in flips:
+            out[orient, side] = out[orient, side, ::-1]
     return out
 
 
