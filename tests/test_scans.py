@@ -65,36 +65,42 @@ def test_distance_scan_end_to_end(tmp_path):
 
 def test_dihedral_scan_end_to_end(tmp_path):
     '''F-C-C-F torsion drive on 1,2-difluoroethane: full-turn coarse
-    scan completes on the FF surface and writes the torsion trajectory.'''
+    scans complete on the FF surface in BOTH directions, each writing
+    its own trajectory and SVG plot (reference runs a clockwise and a
+    counterclockwise preliminary scan, atropisomer_module.py:107-131).'''
     _run_scan(tmp_path, 'NOOPT\nscan> C2F2H4.xyz 3 0 1 5\n', 'tscan',
               ('C2F2H4.xyz',))
-    out = tmp_path / 'C2F2H4_torsion_scan.xyz'
-    assert out.exists(), 'torsion scan trajectory not written'
 
-    lines = out.read_text().splitlines()
-    n = int(lines[0])
-    assert n == 8
-    # 10-degree preliminary steps over the full turn
-    frames = []
-    i = 0
-    while i < len(lines):
-        if not lines[i].strip():
-            i += 1
-            continue
-        frames.append(np.array([[float(x) for x in ln.split()[1:4]]
-                                for ln in lines[i + 2:i + 2 + n]]))
-        i += 2 + n
-    assert len(frames) == 36
+    for direction in ('clockwise', 'counterclockwise'):
+        out = tmp_path / f'C2F2H4_torsion_scan_{direction}.xyz'
+        assert out.exists(), f'{direction} torsion trajectory not written'
+        assert (tmp_path / f'C2F2H4_torsion_scan_{direction}_plt.svg'
+                ).exists(), f'{direction} scan SVG not written'
 
-    # the driven dihedral actually sweeps: consecutive-frame deltas
-    # cluster near the 10-degree step
-    import jax.numpy as jnp
+        lines = out.read_text().splitlines()
+        n = int(lines[0])
+        assert n == 8
+        # 10-degree preliminary steps over the full turn
+        frames = []
+        i = 0
+        while i < len(lines):
+            if not lines[i].strip():
+                i += 1
+                continue
+            frames.append(np.array([[float(x) for x in ln.split()[1:4]]
+                                    for ln in lines[i + 2:i + 2 + n]]))
+            i += 2 + n
+        assert len(frames) == 36
 
-    from tscode_tpu.ops.linalg import dihedral as dihedral_fn
-    angles = [float(np.asarray(dihedral_fn(jnp.asarray(f[[3, 0, 1, 5]]))))
-              for f in frames]
-    deltas = np.abs((np.diff(angles) + 180) % 360 - 180)
-    assert np.median(deltas) == pytest.approx(10, abs=3)
+        # the driven dihedral actually sweeps: consecutive-frame deltas
+        # cluster near the 10-degree step
+        import jax.numpy as jnp
+
+        from tscode_tpu.ops.linalg import dihedral as dihedral_fn
+        angles = [float(np.asarray(dihedral_fn(
+            jnp.asarray(f[[3, 0, 1, 5]])))) for f in frames]
+        deltas = np.abs((np.diff(angles) + 180) % 360 - 180)
+        assert np.median(deltas) == pytest.approx(10, abs=3)
 
 
 def test_scan_rejects_bad_index_count(tmp_path):
@@ -122,15 +128,16 @@ def test_single_scan_no_cumulative_plot(tmp_path):
 
 
 def test_dihedral_scan_peak_refinement(tmp_path, monkeypatch):
-    '''Peak detection + 1-degree fine re-scan + TS-guess output, driven
-    by an analytic 2-fold torsion potential patched into _relax_point
-    (the internal FF has no torsion terms, so real peaks need this).'''
+    '''Peak detection + 1-degree ad-libitum re-scan + pruned MOI-aligned
+    maxima output, driven by an analytic 2-fold torsion potential
+    patched into _relax_point (the internal FF has no torsion terms, so
+    real peaks need this).'''
     import jax.numpy as jnp
 
     from tscode_tpu.ops.linalg import dihedral as dihedral_fn
 
     def fake_relax(embedder, mol, coords, pair=None, pair_dist=None,
-                   dihedral=None, dihedral_angle=None):
+                   dihedral=None, dihedral_angle=None, move_mask=None):
         # impose the requested dihedral exactly, energy = 2-fold cosine
         from tscode_tpu.rot_rmsd import _rotate
         from tscode_tpu.torsions import get_rotation_mask
@@ -154,18 +161,75 @@ def test_dihedral_scan_peak_refinement(tmp_path, monkeypatch):
     _run_scan(tmp_path, 'NOOPT\nscan> C2F2H4.xyz 3 0 1 5\n', 'tspeak',
               ('C2F2H4.xyz',))
 
-    out = tmp_path / 'C2F2H4_TSs_guesses.xyz'
-    assert out.exists(), 'fine scan produced no TS guesses'
+    out = tmp_path / 'tscode_maxima_tspeak.xyz'
+    assert out.exists(), 'scan produced no maxima ensemble'
     lines = out.read_text().splitlines()
-    titles = [ln for ln in lines if 'TS guess' in ln]
-    assert 1 <= len(titles) <= 2          # one per 2-fold barrier
+    titles = [ln for ln in lines if 'maxima' in ln]
+    # 2-fold potential, 2 directions: 1-4 distinct maxima after the
+    # RMSD prune of the collected sub-peaks
+    assert 1 <= len(titles) <= 4
     log = (tmp_path / 'tscode_tspeak.log').read_text()
     assert 'refined to' in log
-    # the refined peaks sit at the analytic maxima: E - E(start) is
-    # identical for both 2-fold barriers and close to the 12 kcal/mol
-    # amplitude minus the starting-angle offset
+    # barrier heights: relative energies within the maxima ensemble are
+    # all ~equal (same 2-fold barrier) -> Rel. E. spread near zero
     import re
-    rel_es = [float(re.search(r'Rel. E = ([-\d.]+)', t).group(1))
+    rel_es = [float(re.search(r'Rel. E. = ([-\d.]+)', t).group(1))
               for t in titles]
     assert all(abs(e - rel_es[0]) < 0.2 for e in rel_es)
-    assert all(e > 6.0 for e in rel_es)
+    # and the log records the ~12 kcal/mol barrier during refinement
+    barriers = [float(m) for m in
+                re.findall(r'refined to [-\d.]+ deg \(([-\d.]+) kcal',
+                           log)]
+    assert barriers and all(b > 6.0 for b in barriers)
+
+
+def test_dihedral_scan_noncontiguous_needs_let(tmp_path):
+    '''Non-contiguous quad indices abort without LET (reference
+    atropisomer_module.py:86-92).'''
+    with pytest.raises(Exception, match='LET|non-contiguous|syntax'):
+        _run_scan(tmp_path, 'NOOPT\nscan> C2F2H4.xyz 3 0 1 4\n',
+                  'tsnc', ('C2F2H4.xyz',))
+
+
+def test_dihedral_scan_saddle_subpeak_refinement(tmp_path, monkeypatch):
+    '''SADDLE keyword routes every sub-peak through the saddle driver
+    (reference atropisomer_module.py:218-235): the refined geometries
+    land in the maxima ensemble.'''
+    import jax.numpy as jnp
+
+    from tscode_tpu.ops.linalg import dihedral as dihedral_fn
+
+    def fake_relax(embedder, mol, coords, pair=None, pair_dist=None,
+                   dihedral=None, dihedral_angle=None, move_mask=None):
+        from tscode_tpu.rot_rmsd import _rotate
+        from tscode_tpu.torsions import get_rotation_mask
+        i1, i2, i3, i4 = dihedral
+        cur = float(np.asarray(dihedral_fn(
+            jnp.asarray(coords[[i1, i2, i3, i4]]))))
+        mask = get_rotation_mask(mol.graph, tuple(dihedral))
+        cand = _rotate(coords, tuple(dihedral), dihedral_angle - cur, mask)
+        ach = float(np.asarray(dihedral_fn(
+            jnp.asarray(cand[[i1, i2, i3, i4]]))))
+        if abs((ach - dihedral_angle + 180) % 360 - 180) > 1e-3:
+            cand = _rotate(coords, tuple(dihedral), cur - dihedral_angle,
+                           mask)
+            ach = float(np.asarray(dihedral_fn(
+                jnp.asarray(cand[[i1, i2, i3, i4]]))))
+        return cand, 6.0 * (1 - np.cos(np.radians(2 * ach - 180.0)))
+
+    calls = []
+
+    def fake_saddle(coords, atomnos, graph, fmax=0.05):
+        calls.append(1)
+        return coords, 12.0, True
+
+    monkeypatch.setattr('tscode_tpu.scans._relax_point', fake_relax)
+    monkeypatch.setattr('tscode_tpu.saddle.saddle_refine_structure',
+                        fake_saddle)
+    _run_scan(tmp_path, 'SADDLE\nscan> C2F2H4.xyz 3 0 1 5\n',
+              'tssad', ('C2F2H4.xyz',))
+
+    assert calls, 'SADDLE scan never reached the saddle driver'
+    assert (tmp_path / 'tscode_maxima_tssad.xyz').exists()
+    log = (tmp_path / 'tscode_tssad.log').read_text()
+    assert 'Saddle opt on sub-peak' in log

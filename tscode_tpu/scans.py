@@ -17,6 +17,7 @@ import time
 import numpy as np
 import jax.numpy as jnp
 
+from tscode_tpu.errors import InputError
 from tscode_tpu.io_xyz import write_xyz
 from tscode_tpu.pt import COVALENT_RADII
 from tscode_tpu.utils import get_scan_peak_index, time_to_string
@@ -44,7 +45,7 @@ def _ff_only_energy(c, p):
 
 
 def _relax_point(embedder, mol, coords, pair=None, pair_dist=None,
-                 dihedral=None, dihedral_angle=None):
+                 dihedral=None, dihedral_angle=None, move_mask=None):
     '''One constrained relaxation: external calculator when present,
     internal FF otherwise. Returns (coords, energy kcal/mol).'''
     if embedder.options.calculator is not None:
@@ -92,7 +93,8 @@ def _relax_point(embedder, mol, coords, pair=None, pair_dist=None,
             current = float(np.asarray(dihedral_fn(
                 jnp.asarray(work[[i1, i2, i3, i4]]))))
             delta = dihedral_angle - current
-            mask = get_rotation_mask(mol.graph, tuple(dihedral))
+            mask = (move_mask if move_mask is not None
+                    else get_rotation_mask(mol.graph, tuple(dihedral)))
             cand = _rotate(work, tuple(dihedral), delta, mask)
             # the rotation mask may have been inverted (its >half-atoms
             # optimization), flipping the sign of the imposed change
@@ -232,82 +234,277 @@ def atropisomer_peaks(energies, min_thr=0.1, max_thr=75):
             and max_thr > energies[i] > min_thr]
 
 
-def dihedral_scan(embedder, mol, prelim_step=10, accurate_step=1):
+def _moved_atoms_mask(embedder, mol, quad):
+    '''Which atoms rotate when driving the quad torsion. Contiguous
+    acyclic quads rotate the i2-side subtree (default mask); a quad
+    inside a cycle, or a deliberately non-contiguous one (LET), moves
+    only the last atom and lets relaxation carry the rest (reference
+    atropisomer_module.py:60-99).'''
+    import networkx as nx
+
+    i1, i2, i3, i4 = quad
+    contiguous = all(mol.graph.has_edge(a, b)
+                     for a, b in zip(quad[:-1], quad[1:]))
+    if not contiguous:
+        if not embedder.options.let:
+            raise InputError(
+                'The specified dihedral angle is made up of non-contiguous '
+                'atoms. To prevent errors, the run has been stopped. '
+                'Override this behavior with the LET keyword.')
+        embedder.log('    Non-contiguous dihedral indices: moving only the '
+                     'last index (LET override).')
+    else:
+        graph = mol.graph.copy()
+        graph.remove_edge(i2, i3)
+        if nx.has_path(graph, i1, i3):
+            embedder.log('    The dihedral angle is comprised within a '
+                         'cycle: switching to safe scan (moving only the '
+                         'last index).')
+        else:
+            return None          # default: full subtree rotation mask
+
+    mask = np.zeros(mol.n_atoms, dtype=bool)
+    mask[i4] = True
+    return mask
+
+
+def _dihedral_sweep(embedder, mol, start_coords, quad, step_deg, min_steps,
+                    move_mask, title, ad_libitum=False, max_steps=1000):
+    '''Sequential relaxed sweep of the quad torsion by step_deg per
+    point. Fixed length (min_steps) by default; with ad_libitum, keeps
+    going past min_steps until the energy profile shows the hill was
+    crossed (reference ase_dih_scan, atropisomer_module.py:309-412).
+    Returns (angles deg, absolute energies kcal/mol, structures).'''
+    from tscode_tpu.ops.linalg import dihedral as dihedral_fn
+
+    coords = np.asarray(start_coords).copy()
+    angle = float(np.asarray(dihedral_fn(jnp.asarray(coords[list(quad)]))))
+    angles, energies, structures = [], [], []
+
+    for k in range(max_steps):
+        coords, energy = _relax_point(embedder, mol, coords, dihedral=quad,
+                                      dihedral_angle=angle,
+                                      move_mask=move_mask)
+        angles.append(angle)
+        energies.append(energy)
+        structures.append(coords.copy())
+        angle += step_deg
+
+        if k + 1 >= min_steps:
+            if not ad_libitum:
+                break
+            crest = max(energies)
+            if ((crest - energies[-1]) > 1.0
+                    or energies[-1] < energies[0]
+                    or (energies[-1] - min(energies)) > 50.0):
+                break
+
+    embedder.log(f'    {title}: {len(structures)} points '
+                 f'({step_deg:+g} deg steps)', p=False)
+    return angles, energies, structures
+
+
+def _refine_subpeak(embedder, mol, fine_S, fine_E, sub_peak, label):
+    '''SADDLE/NEB refinement of one accurate-scan sub-peak, per run
+    options; plain sub-peak geometry otherwise (reference
+    atropisomer_module.py:201-260). Returns (coords, abs energy) or
+    None when the refined geometry scrambled.'''
+    from tscode_tpu.utils import molecule_check
+
+    guess = fine_S[sub_peak]
+
+    if embedder.options.saddle:
+        embedder.log(f'  > Saddle opt on {label}')
+        if embedder.options.calculator is not None:
+            from tscode_tpu.calculators.gradients import make_gradient_fn
+            from tscode_tpu.saddle import dimer_saddle_callback
+            grad_fn = make_gradient_fn(
+                mol.atomnos, calculator=embedder.options.calculator,
+                method=embedder.options.theory_level,
+                solvent=embedder.options.solvent,
+                charge=embedder.options.charge, procs=embedder.procs)
+            refined, energy, _ = dimer_saddle_callback(guess, grad_fn)
+        else:
+            from tscode_tpu.saddle import saddle_refine_structure
+            refined, energy, _ = saddle_refine_structure(
+                guess, mol.atomnos, mol.graph)
+        if molecule_check(guess, refined, mol.atomnos):
+            return refined, energy
+        embedder.log(f'    {label}: saddle opt scrambled the structure - '
+                     'discarded')
+        return None
+
+    if embedder.options.neb:
+        embedder.log(f'  > NEB TS opt on {label}')
+        lo = fine_S[sub_peak - 2]
+        hi = fine_S[(sub_peak + 1) % len(fine_S)]
+        if embedder.options.calculator is not None:
+            from tscode_tpu.calculators.gradients import \
+                make_chain_gradient_fn
+            from tscode_tpu.neb import run_neb_callback
+            chain_fn = make_chain_gradient_fn(
+                mol.atomnos, calculator=embedder.options.calculator,
+                method=embedder.options.theory_level,
+                solvent=embedder.options.solvent,
+                charge=embedder.options.charge, procs=embedder.procs)
+            chain, energies, ts_index = run_neb_callback(lo, hi, chain_fn,
+                                                         n_images=5)
+        else:
+            from tscode_tpu.ff import ff_energy
+            from tscode_tpu.neb import run_neb
+            params = mol._ff_params_dev
+            chain, energies, ts_index = run_neb(
+                lo, hi, lambda ch: ff_energy(ch, params), n_images=5)
+        refined = np.asarray(chain[ts_index])
+        if molecule_check(lo, refined, mol.atomnos):
+            return refined, float(energies[ts_index])
+        embedder.log(f'    {label}: NEB TS scrambled the structure - '
+                     'discarded')
+        return None
+
+    return guess, fine_E[sub_peak]
+
+
+def dihedral_scan(embedder, mol, prelim_step=10):
     '''
-    Atropisomer workflow: coarse relaxed dihedral scan (prelim_step deg),
-    peak detection, fine re-scan around each peak, TS-candidate output
-    (reference dihedral_scan, atropisomer_module.py:433-511 +
-    ase_torsion_TSs :38-284, scan core).
+    Atropisomer workflow (reference dihedral_scan + ase_torsion_TSs,
+    atropisomer_module.py:38-284, 433-511): clockwise AND
+    counterclockwise coarse scans of the driven torsion, peak detection
+    above the kcal threshold, ad-libitum 1-degree re-scan over each
+    peak, optional SADDLE/NEB refinement of every sub-peak, then RMSD
+    pruning of the collected maxima and an MOI-aligned 'maxima'
+    ensemble with barrier heights. Per-direction trajectory + SVG files.
     '''
     embedder.t_start_run = time.perf_counter()
     quad = tuple(int(i) for i in mol.reactive_indices)
     coords0 = mol.atomcoords[0].copy()
 
-    from tscode_tpu.ops.linalg import dihedral as dihedral_fn
-    start_angle = float(np.asarray(dihedral_fn(
-        jnp.asarray(coords0[list(quad)]))))
+    # scans default to a 5 kcal/mol peak threshold unless KCAL was given
+    # (reference atropisomer_module.py:441-443)
+    thr_kcal = (embedder.options.kcal_thresh
+                if 'KCAL' in embedder.kw_line.upper() else 5.0)
+
+    from tscode_tpu.molecule import align_structures
 
     embedder.log(f'--> {mol.rootname} - dihedral scan on atoms {quad}, '
-                 f'starting angle {round(start_angle, 1)} deg, '
-                 f'{prelim_step} deg preliminary steps '
+                 f'{prelim_step} deg preliminary steps, both directions '
                  f'({embedder.options.calculator or "internal FF"})')
 
-    # coarse scan over the full turn
-    angles = [start_angle + k * prelim_step
-              for k in range(int(360 / prelim_step))]
-    energies, structures = [], []
-    coords = coords0.copy()
-    e_0 = None
-    for a in angles:
-        coords, energy = _relax_point(embedder, mol, coords,
-                                      dihedral=quad, dihedral_angle=a)
-        if e_0 is None:
-            e_0 = energy
-        energies.append(energy - e_0)
-        structures.append(coords.copy())
+    move_mask = _moved_atoms_mask(embedder, mol, quad)
+    n_coarse = int(360 / prelim_step)
 
-    peaks = atropisomer_peaks(energies)
-    embedder.log(f'    coarse scan found {len(peaks)} peak'
-                 f'{"s" if len(peaks) != 1 else ""}')
+    maxima_S, maxima_E = [], []
+    for step_deg, direction in ((prelim_step, 'clockwise'),
+                                (-prelim_step, 'counterclockwise')):
+        angles, energies, structures = _dihedral_sweep(
+            embedder, mol, coords0, quad, step_deg, n_coarse, move_mask,
+            title=f'Preliminary scan ({direction})')
+        e_min = min(energies)
 
-    ts_structures, ts_energies = [], []
-    for p in peaks:
-        # fine scan around the peak
-        lo = angles[p] - prelim_step
-        fine_angles = [lo + k * accurate_step
-                       for k in range(int(2 * prelim_step / accurate_step) + 1)]
-        fine_E, fine_S = [], []
-        c = structures[p - 1].copy()
-        for a in fine_angles:
-            c, energy = _relax_point(embedder, mol, c,
-                                     dihedral=quad, dihedral_angle=a)
-            fine_E.append(energy - e_0)
-            fine_S.append(c.copy())
-        i_best = int(np.argmax(fine_E))
-        ts_structures.append(fine_S[i_best])
-        ts_energies.append(fine_E[i_best])
-        embedder.log(f'    peak near {round(angles[p], 1)} deg refined to '
-                     f'{round(fine_angles[i_best], 1)} deg '
-                     f'({round(fine_E[i_best], 2)} kcal/mol)')
-
-    with open(f'{mol.rootname}_torsion_scan.xyz', 'w') as f:
-        for i, (s, a, e) in enumerate(zip(structures, angles, energies)):
-            write_xyz(s, mol.atomnos, f,
-                      title=f'Scan point {i + 1}/{len(structures)} - '
-                            f'dihedral = {round(a, 1)} deg - '
-                            f'Rel. E = {round(e, 2)} kcal/mol')
-
-    if ts_structures:
-        with open(f'{mol.rootname}_TSs_guesses.xyz', 'w') as f:
-            for i, (s, e) in enumerate(zip(ts_structures, ts_energies)):
+        # per-direction trajectory, energies relative to the scan minimum
+        scan_name = f'{mol.rootname}_torsion_scan_{direction}.xyz'
+        with open(scan_name, 'w') as f:
+            aligned = align_structures(np.array(structures),
+                                       indices=list(quad[:-1]))
+            for i, s in enumerate(aligned):
                 write_xyz(s, mol.atomnos, f,
-                          title=f'TS guess {i + 1}/{len(ts_structures)} - '
-                                f'Rel. E = {round(e, 2)} kcal/mol')
-        embedder.log(f'--> Written {len(ts_structures)} TS guesses to '
-                     f'{mol.rootname}_TSs_guesses.xyz\n')
+                          title=f'Scan point {i + 1}/{len(structures)} - '
+                                f'dihedral = {round(angles[i], 1)} deg - '
+                                f'Rel. E = {round(energies[i] - e_min, 2)}'
+                                ' kcal/mol')
+
+        if _HAS_MPL:
+            plt.figure()
+            plt.plot(angles, [e - e_min for e in energies], '-',
+                     color='tab:blue', linewidth=3, alpha=0.5,
+                     label=f'Preliminary scan ({direction})')
+
+        peaks = atropisomer_peaks(energies, min_thr=e_min + thr_kcal,
+                                  max_thr=e_min + 75.0)
+        embedder.log(f'    {direction} scan: {len(peaks)} peak'
+                     f'{"s" if len(peaks) != 1 else ""} above '
+                     f'{thr_kcal} kcal/mol')
+
+        for p, peak in enumerate(peaks):
+            # accurate re-scan: 1-degree steps from one coarse point
+            # before the peak, ad libitum until the hill is crossed
+            fine_A, fine_E, fine_S = _dihedral_sweep(
+                embedder, mol, structures[peak - 1], quad, step_deg / 10,
+                min_steps=20, move_mask=move_mask, ad_libitum=True,
+                title=f'Accurate scan {p + 1}/{len(peaks)} ({direction})')
+
+            if _HAS_MPL:
+                plt.plot(fine_A, [e - e_min for e in fine_E], '-o',
+                         color='tab:red', markersize=1, linewidth=2,
+                         alpha=0.5,
+                         label='Accurate scan' if p == 0 else None)
+
+            sub_peaks = atropisomer_peaks(fine_E, min_thr=e_min + thr_kcal,
+                                          max_thr=e_min + 75.0)
+            if not sub_peaks:
+                embedder.log('    No suitable sub-peaks found.')
+                continue
+
+            for sp_i, sp in enumerate(sub_peaks):
+                label = (f'sub-peak {sp_i + 1}/{len(sub_peaks)} of peak '
+                         f'{p + 1} ({direction})')
+                result = _refine_subpeak(embedder, mol, fine_S, fine_E,
+                                         sp, label)
+                if result is None:
+                    continue
+                refined, energy = result
+                maxima_S.append(refined)
+                maxima_E.append(energy)
+                embedder.log(
+                    f'    peak near {round(angles[peak], 1)} deg refined '
+                    f'to {round(fine_A[sp], 1)} deg '
+                    f'({round(energy - e_min, 2)} kcal/mol)')
+                if _HAS_MPL:
+                    plt.plot(fine_A[sp], fine_E[sp] - e_min, color='gold',
+                             marker='o', markersize=3,
+                             label='Maxima' if not maxima_S[:-1] else None)
+
+        if _HAS_MPL:
+            plt.legend()
+            plt.xlabel(f'Dihedral angle {quad}')
+            plt.ylabel('Rel. E (kcal/mol)')
+            plt.savefig(f'{mol.rootname}_torsion_scan_{direction}_plt.svg')
+            plt.close()
+
+    if not maxima_S:
+        embedder.log(
+            '\n--> Dihedral scan did not find any suitable maxima above '
+            f'the set threshold ({thr_kcal} kcal/mol). Observe the '
+            'generated energy plots and try lowering the threshold value '
+            '(KCAL keyword).')
+        mol.torsion_scan_data = None
+        return [], [], []
+
+    # hand the collected maxima to the embedder: RMSD prune, energy
+    # sort, MOI-aligned 'maxima' ensemble with barrier heights
+    # (reference atropisomer_module.py:493-510)
+    from tscode_tpu.ops import rmsd_prune as rmsd_ops
+
+    structures = np.array(maxima_S)
+    energies = np.array(maxima_E, dtype=float)
+    structures, keep = rmsd_ops.prune_conformers_rmsd(
+        structures, mol.atomnos, rmsd_thr=embedder.options.rmsd)
+    energies = energies[np.asarray(keep, bool)]
+    if not np.all(keep):
+        embedder.log(f'Discarded {int(np.sum(~np.asarray(keep, bool)))} '
+                     'maxima for RMSD similarity '
+                     f'({len(structures)} left)')
+
+    order = np.argsort(energies)
+    embedder.structures = structures[order]
+    embedder.energies = energies[order]
+    embedder.atomnos = mol.atomnos
+    embedder.write_structures('maxima', indices=list(quad), relative=True,
+                              extra='(barrier height)', align='moi')
 
     # NOT stored as mol.scan_data: that attribute feeds the cumulative
     # DISTANCE plot of scan_termination (the reference likewise only sets
     # it in distance scans, operators.py:752)
-    mol.torsion_scan_data = (angles, energies)
-    return angles, energies, ts_structures
+    mol.torsion_scan_data = (embedder.energies.copy(),)
+    return list(embedder.structures), list(embedder.energies), \
+        list(embedder.structures)
