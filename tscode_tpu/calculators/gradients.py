@@ -87,6 +87,179 @@ def xtb_gradient(coords, atomnos, method='GFN2-xTB', solvent=None,
     return e_h * EH_TO_KCAL, grad_hb * GRAD_TO_KCAL_A
 
 
+def parse_orca_engrad(text):
+    '''
+    Parse an ORCA `.engrad` file (written by `! method EnGrad`):
+    comment blocks introduced by '#' separate three data sections —
+    atom count, total energy (Eh), then 3N gradient components
+    (Eh/Bohr, x/y/z per atom). Returns (energy_Eh, grad (N, 3) Eh/Bohr).
+    Reference capability: ORCA forces through ASE's calculator in
+    get_ase_calc (ase_manipulations.py:123-214).
+    '''
+    # data lines in the count/energy/gradient sections hold exactly one
+    # value; the trailing atoms-and-coordinates section (4 tokens/row)
+    # and '#' comment lines are skipped
+    values = []
+    for ln in text.splitlines():
+        tokens = ln.split()
+        if len(tokens) != 1 or tokens[0].startswith('#'):
+            continue
+        try:
+            values.append(float(tokens[0]))
+        except ValueError:
+            continue
+    if len(values) < 2:
+        raise ValueError('engrad file has no data sections')
+    n_atoms = int(values[0])
+    energy = values[1]
+    flat = values[2:2 + 3 * n_atoms]
+    if len(flat) < 3 * n_atoms:
+        raise ValueError(f'engrad file truncated: expected {3 * n_atoms} '
+                         f'gradient components, found {len(flat)}')
+    return energy, np.array(flat).reshape(n_atoms, 3)
+
+
+def parse_gaussian_forces(text, n_atoms):
+    '''
+    Energy + gradient from a Gaussian single-point `force` log: the last
+    'SCF Done:' (or semiempirical 'Energy=') line gives the energy (Eh);
+    the last 'Forces (Hartrees/Bohr)' table gives per-atom FORCES, which
+    we negate into a gradient. Returns (energy_Eh, grad (N, 3) Eh/Bohr).
+    '''
+    lines = text.splitlines()
+    energy = None
+    forces = None
+    for i, line in enumerate(lines):
+        if 'SCF Done' in line:
+            energy = float(line.split()[4])
+        elif line.lstrip().startswith('Energy=') and 'NIter' in line:
+            energy = float(line.split()[1])
+        elif 'Forces (Hartrees/Bohr)' in line:
+            block = []
+            for row in lines[i + 3:i + 3 + n_atoms]:
+                parts = row.split()
+                block.append([float(x) for x in parts[2:5]])
+            forces = np.array(block)
+    if energy is None or forces is None:
+        raise ValueError('Gaussian force output missing energy or '
+                         'forces table')
+    if len(forces) != n_atoms:
+        raise ValueError(f'Gaussian forces table truncated: expected '
+                         f'{n_atoms} rows, found {len(forces)}')
+    return energy, -forces
+
+
+def parse_mopac_gradients(text):
+    '''
+    Energy + gradient from a MOPAC `1SCF GRADIENTS` output: the FINAL
+    POINT AND DERIVATIVES table lists one CARTESIAN X/Y/Z row per
+    coordinate with the gradient in kcal/mol/Angstrom (already our
+    units); FINAL HEAT OF FORMATION gives kcal/mol directly.
+    Returns (energy_kcal, grad (N, 3) kcal/mol/A).
+    '''
+    energy = None
+    rows = []
+    in_table = False
+    for line in text.splitlines():
+        if 'FINAL HEAT OF FORMATION' in line:
+            energy = float(line.split('=')[1].split()[0])
+        if 'FINAL  POINT  AND  DERIVATIVES' in line:
+            in_table = True
+            rows = []
+            continue
+        if in_table:
+            parts = line.split()
+            if 'CARTESIAN' in line and len(parts) >= 7:
+                rows.append(float(parts[6]))
+            elif rows and not line.strip():
+                in_table = False
+    if energy is None or not rows or len(rows) % 3:
+        raise ValueError('MOPAC gradient output missing energy or a '
+                         'complete derivative table')
+    return energy, np.array(rows).reshape(-1, 3)
+
+
+def orca_gradient(coords, atomnos, method='PM3', solvent=None, charge=0,
+                  procs=1, title='grad_sp'):
+    '''Single-point energy + gradient via `! method EnGrad`.
+    Returns (energy kcal/mol, gradient (N, 3) kcal/mol/Angstrom).'''
+    from tscode_tpu.calculators.orca import write_orca_input
+    from tscode_tpu.settings import COMMANDS
+
+    coords = np.asarray(coords, dtype=float)
+    with tempfile.TemporaryDirectory(prefix='tscode_grad_') as cwd:
+        write_orca_input(os.path.join(cwd, f'{title}.inp'), coords,
+                         atomnos, method=method, task='EnGrad',
+                         charge=charge, procs=procs, solvent=solvent)
+        with open(os.path.join(cwd, 'out.log'), 'w') as f:
+            subprocess.check_call(
+                [COMMANDS['ORCA'], f'{title}.inp', '--oversubscribe'],
+                stdout=f, stderr=subprocess.STDOUT, cwd=cwd)
+        with open(os.path.join(cwd, f'{title}.engrad')) as f:
+            e_h, grad_hb = parse_orca_engrad(f.read())
+    return e_h * EH_TO_KCAL, grad_hb * GRAD_TO_KCAL_A
+
+
+def gaussian_gradient(coords, atomnos, method='PM6', solvent=None,
+                      charge=0, procs=1, title='grad_sp'):
+    '''Single-point energy + gradient via a `# force method` route.
+    Returns (energy kcal/mol, gradient (N, 3) kcal/mol/Angstrom).'''
+    from tscode_tpu.calculators.gaussian import write_gaussian_input
+    from tscode_tpu.settings import COMMANDS
+
+    coords = np.asarray(coords, dtype=float)
+    with tempfile.TemporaryDirectory(prefix='tscode_grad_') as cwd:
+        write_gaussian_input(os.path.join(cwd, f'{title}.com'), coords,
+                             atomnos, method=method, route='force',
+                             charge=charge, procs=procs, solvent=solvent)
+        subprocess.check_call([COMMANDS['GAUSSIAN'], f'{title}.com'],
+                              stdout=subprocess.DEVNULL,
+                              stderr=subprocess.STDOUT, cwd=cwd)
+        for ext in ('log', 'out'):
+            path = os.path.join(cwd, f'{title}.{ext}')
+            if os.path.isfile(path):
+                with open(path) as f:
+                    e_h, grad_hb = parse_gaussian_forces(f.read(),
+                                                         len(coords))
+                break
+        else:
+            raise FileNotFoundError('no Gaussian output written')
+    return e_h * EH_TO_KCAL, grad_hb * GRAD_TO_KCAL_A
+
+
+def mopac_gradient(coords, atomnos, method='PM7', solvent=None, charge=0,
+                   procs=1, title='grad_sp'):
+    '''Single-point energy + gradient via `1SCF GRADIENTS`.
+    Returns (energy kcal/mol, gradient (N, 3) kcal/mol/Angstrom) — MOPAC
+    already reports both in these units.'''
+    from tscode_tpu.pt import SYMBOLS
+    from tscode_tpu.settings import COMMANDS
+
+    coords = np.asarray(coords, dtype=float)
+    keywords = f'{method} 1SCF GRADIENTS CHARGE={int(charge)}'
+    body = ''.join(
+        f'{SYMBOLS[int(a)]} {x: .8f} 1 {y: .8f} 1 {z: .8f} 1\n'
+        for a, (x, y, z) in zip(atomnos, coords))
+    with tempfile.TemporaryDirectory(prefix='tscode_grad_') as cwd:
+        with open(os.path.join(cwd, f'{title}.mop'), 'w') as f:
+            f.write(f'{keywords}\n{title}\n\n{body}')
+        subprocess.check_call([COMMANDS['MOPAC'], f'{title}.mop'],
+                              stdout=subprocess.DEVNULL,
+                              stderr=subprocess.STDOUT, cwd=cwd)
+        with open(os.path.join(cwd, f'{title}.out')) as f:
+            return parse_mopac_gradients(f.read())
+
+
+# resolved by NAME at call time so tests can monkeypatch the per-engine
+# adapters on this module
+GRADIENT_FUNCS = {
+    'XTB': 'xtb_gradient',
+    'ORCA': 'orca_gradient',
+    'GAUSSIAN': 'gaussian_gradient',
+    'MOPAC': 'mopac_gradient',
+}
+
+
 def make_chain_gradient_fn(atomnos, calculator='XTB', method='GFN2-xTB',
                            solvent=None, charge=0, procs=1, maxthreads=4):
     '''
@@ -94,19 +267,22 @@ def make_chain_gradient_fn(atomnos, calculator='XTB', method='GFN2-xTB',
     evaluating every image concurrently on a thread pool (the work is
     subprocess-bound, mirroring calculators/dispatch.py). Results are
     keyed by submission index — completion order never scrambles the
-    band.
+    band. Dispatches on the run calculator like the reference's
+    get_ase_calc (ase_manipulations.py:123-214).
     '''
-    if calculator != 'XTB':
+    if calculator not in GRADIENT_FUNCS:
         raise NotImplementedError(
-            f'QM gradients are implemented for XTB (--grad); '
-            f'{calculator} has no single-point gradient adapter yet.')
+            f'QM gradients are implemented for '
+            f'{sorted(GRADIENT_FUNCS)}; {calculator} has no single-point '
+            f'gradient adapter.')
 
     from concurrent.futures import ThreadPoolExecutor
 
     def chain_gradient(chain):
+        grad_func = globals()[GRADIENT_FUNCS[calculator]]
         chain = np.asarray(chain)
         with ThreadPoolExecutor(max_workers=maxthreads) as pool:
-            futures = [pool.submit(xtb_gradient, image, atomnos,
+            futures = [pool.submit(grad_func, image, atomnos,
                                    method=method, solvent=solvent,
                                    charge=charge, procs=procs,
                                    title=f'grad_im{i}')

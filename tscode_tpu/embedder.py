@@ -1257,39 +1257,57 @@ class RunEmbedding(Embedder):
 
     @_timed_stage
     def saddle_refining(self):
-        '''First-order saddle refinement of every candidate via the dimer
-        method on the internal FF (reference embedder.py:1985-2051 uses
-        Sella + the QM calculator).'''
-        from tscode_tpu.ff import (build_ff_params, ff_energy,
-                                   merge_ff_params, params_to_device)
-        from tscode_tpu.saddle import dimer_saddle
-        import jax
+        '''First-order saddle refinement of every candidate via the
+        dimer method — on the run's QM surface when a calculator is
+        configured (the reference uses Sella + the run calculator,
+        embedder.py:1985-2051), on the internal FF otherwise.'''
+        if self.options.calculator is not None:
+            self.log(f'--> Saddle refinement (dimer method, '
+                     f'{self.options.theory_level} via '
+                     f'{self.options.calculator})')
+            from tscode_tpu.calculators.gradients import make_gradient_fn
+            from tscode_tpu.saddle import dimer_saddle_callback
+            grad_fn = make_gradient_fn(
+                self.atomnos, calculator=self.options.calculator,
+                method=self.options.theory_level,
+                solvent=self.options.solvent,
+                charge=self.options.charge, procs=self.procs)
 
-        self.log('--> Saddle refinement (dimer method, internal FF)')
-        offsets = np.cumsum([0] + [len(g.nodes) for g in self.graphs])[:-1]
-        params_list = []
-        pos = 0
-        for g in self.graphs:
-            n_at = len(g.nodes)
-            params_list.append(build_ff_params(
-                self.structures[0][pos:pos + n_at],
-                self.atomnos[pos:pos + n_at], g))
-            pos += n_at
-        params = params_to_device(merge_ff_params(params_list, offsets))
+            new_structures, statuses = [], []
+            for i, structure in enumerate(self.structures):
+                c, e, ok = dimer_saddle_callback(structure, grad_fn)
+                new_structures.append(np.asarray(c))
+                statuses.append(bool(ok))
+                self.energies[i] = float(e)
+        else:
+            self.log('--> Saddle refinement (dimer method, internal FF)')
+            from tscode_tpu.ff import (build_ff_params, merge_ff_params,
+                                       params_to_device)
+            from tscode_tpu.saddle import _ff_energy_single, dimer_saddle
 
-        from tscode_tpu.saddle import _ff_energy_single
+            offsets = np.cumsum(
+                [0] + [len(g.nodes) for g in self.graphs])[:-1]
+            params_list = []
+            pos = 0
+            for g in self.graphs:
+                n_at = len(g.nodes)
+                params_list.append(build_ff_params(
+                    self.structures[0][pos:pos + n_at],
+                    self.atomnos[pos:pos + n_at], g))
+                pos += n_at
+            params = params_to_device(merge_ff_params(params_list,
+                                                      offsets))
 
-        new_structures = []
-        statuses = []
-        for i, structure in enumerate(self.structures):
-            # params flow through energy_args: one compiled dimer
-            # program serves every structure
-            c, e, ok = dimer_saddle(jnp.asarray(structure),
-                                    _ff_energy_single,
-                                    energy_args=(params,))
-            new_structures.append(np.asarray(c))
-            statuses.append(bool(ok))
-            self.energies[i] = float(e)
+            new_structures, statuses = [], []
+            for i, structure in enumerate(self.structures):
+                # params flow through energy_args: one compiled dimer
+                # program serves every structure
+                c, e, ok = dimer_saddle(jnp.asarray(structure),
+                                        _ff_energy_single,
+                                        energy_args=(params,))
+                new_structures.append(np.asarray(c))
+                statuses.append(bool(ok))
+                self.energies[i] = float(e)
 
         self.structures = np.array(new_structures)
         self.exit_status = np.array(statuses)
