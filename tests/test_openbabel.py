@@ -91,3 +91,51 @@ def test_scramble_check_flags_broken_geometry(monkeypatch):
     _, _, success = ob_mod.openbabel_opt(
         mol.atomcoords[0], mol.atomnos, check=True, graphs=[graph])
     assert not success
+
+
+def test_ffcalc_ob_routes_force_field_refining(tmp_path, monkeypatch):
+    '''FFCALC=OB wires force_field_refining through openbabel_opt
+    (the reference left its adapter disconnected, _openbabel.py:18-21 —
+    here the keyword reaches the pipeline).'''
+    import shutil
+
+    from tscode_tpu.embedder import Embedder
+
+    calls = {'n': 0}
+
+    def fake_ob_opt(coords, atomnos, constrained_indices=None,
+                    constrained_distances=None, method='UFF', **kw):
+        calls['n'] += 1
+        assert method == 'UFF', 'FFCALC=OB must remap the FF level'
+        coords = np.asarray(coords, dtype=float)
+        out = coords * 0.999 + coords.mean(axis=0) * 0.001
+        return out, float(np.sum(out ** 2)) * 0.01, True
+
+    def fake_xtb_opt(coords, atomnos, **kw):
+        coords = np.asarray(coords, dtype=float)
+        return coords, float(np.sum(coords ** 2)) * 0.01, True
+
+    monkeypatch.setattr('tscode_tpu.calculators.openbabel.openbabel_opt',
+                        fake_ob_opt)
+    monkeypatch.setattr('tscode_tpu.calculators.xtb.xtb_opt',
+                        fake_xtb_opt)
+
+    fix = os.path.join(os.path.dirname(__file__), 'fixtures')
+    for name in ('C2H4.xyz', 'CH3Cl.xyz'):
+        shutil.copy(os.path.join(fix, name), tmp_path)
+    inp = tmp_path / 'input.txt'
+    inp.write_text('CALC=XTB FFCALC=OB FFOPT=ON ONLYREFINED KCAL=50\n'
+                   'C2H4.xyz 0\nCH3Cl.xyz 0\n')
+    cwd = os.getcwd()
+    try:
+        emb = Embedder(str(inp), stamp='ob_e2e')
+        assert emb.options.ff_calc == 'OB'
+        assert emb.options.ff_level == 'UFF'
+        run = emb.run()
+    finally:
+        os.chdir(cwd)
+
+    assert calls['n'] > 0, 'openbabel_opt was never reached'
+    assert len(run.structures) > 0
+    log = (tmp_path / 'tscode_ob_e2e.log').read_text()
+    assert 'via OB' in log

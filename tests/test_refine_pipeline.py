@@ -116,12 +116,20 @@ def test_resume_after_mid_refinement_crash(tmp_path, monkeypatch):
 
 def test_saddle_refining_stage(tmp_path, monkeypatch):
     '''SADDLE: every optimized candidate goes through the dimer
-    refinement on the internal FF (reference embedder.py:1985-2051 uses
-    Sella + the QM calculator).'''
+    refinement on the run's QM surface (reference embedder.py:1985-2051
+    uses Sella + the QM calculator); here with a canned gradient.'''
     monkeypatch.setattr('tscode_tpu.calculators.xtb.xtb_opt',
                         _fake_xtb_opt)
     monkeypatch.setattr('tscode_tpu.calculators.xtb.xtb_pre_opt',
                         _fake_xtb_pre_opt)
+
+    def fake_xtb_gradient(coords, atomnos, **kw):
+        # harmonic well around the current geometry: dimer converges
+        coords = np.asarray(coords)
+        return float(np.sum(coords ** 2)) * 0.01, coords * 0.02
+
+    monkeypatch.setattr('tscode_tpu.calculators.gradients.xtb_gradient',
+                        fake_xtb_gradient)
 
     for name in ('C2H4.xyz', 'CH3Cl.xyz'):
         shutil.copy(os.path.join(FIX, name), tmp_path)

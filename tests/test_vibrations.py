@@ -271,3 +271,56 @@ def test_frequencies_from_gradients_matches_analytic():
                                atol=0.5, rtol=0.005)
     assert np.all(np.abs(got_s[~real]) < 20.0)
     assert n_imag_got == n_imag_ref == 0
+
+
+def test_detect_symmetry_number():
+    '''Point-group sigma detection across the common cases.'''
+    from tscode_tpu.vibrations import detect_symmetry_number
+
+    # water, C2v -> sigma 2
+    water = np.array([[0.0, 0.0, 0.117], [0.0, 0.757, -0.469],
+                      [0.0, -0.757, -0.469]])
+    assert detect_symmetry_number(water, np.array([8, 1, 1])) == 2
+
+    # CO2, D-inf-h -> 2; HCN, C-inf-v -> 1
+    co2 = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 1.16], [0.0, 0.0, -1.16]])
+    assert detect_symmetry_number(co2, np.array([6, 8, 8])) == 2
+    hcn = np.array([[0.0, 0.0, -1.064], [0.0, 0.0, 0.0],
+                    [0.0, 0.0, 1.156]])
+    assert detect_symmetry_number(hcn, np.array([1, 6, 7])) == 1
+
+    # ammonia, C3v -> 3
+    nh3 = np.array([[0.0, 0.0, 0.12],
+                    [0.94, 0.0, -0.27],
+                    [-0.47, 0.81, -0.27],
+                    [-0.47, -0.81, -0.27]])
+    assert detect_symmetry_number(nh3, np.array([7, 1, 1, 1])) == 3
+
+    # benzene skeleton, D6h -> 12
+    ring = np.array([[1.39 * np.cos(np.radians(60 * k)),
+                      1.39 * np.sin(np.radians(60 * k)), 0.0]
+                     for k in range(6)])
+    hs = ring * (2.47 / 1.39)
+    benzene = np.concatenate([ring, hs])
+    nos = np.array([6] * 6 + [1] * 6)
+    assert detect_symmetry_number(benzene, nos) == 12
+
+    # chiral-ish asymmetric blob -> 1
+    blob = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0],
+                     [0.0, 1.3, 0.0], [0.0, 0.0, 1.7]])
+    assert detect_symmetry_number(blob, np.array([6, 1, 8, 17])) == 1
+
+
+def test_thermochemistry_sigma_lowers_rot_entropy():
+    '''sigma=2 removes R*ln(2) from the rotational entropy: G rises by
+    ~RT ln 2 = 0.41 kcal/mol at 298 K vs a sigma-blind result.'''
+    from tscode_tpu.vibrations import thermochemistry
+
+    water = np.array([[0.0, 0.0, 0.117], [0.0, 0.757, -0.469],
+                      [0.0, -0.757, -0.469]])
+    nos = np.array([8, 1, 1])
+    freqs = np.array([1595.0, 3657.0, 3756.0])
+    auto = thermochemistry(freqs, nos, water)             # detects 2
+    blind = thermochemistry(freqs, nos, water, symmetry_number=1)
+    dg = auto['g_corr'] - blind['g_corr']
+    assert dg == pytest.approx(0.41, abs=0.02)

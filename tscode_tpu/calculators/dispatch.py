@@ -221,19 +221,41 @@ def ff_refine_pipeline(embedder, conv_thr='tight',
                  f'{embedder.options.ff_calc}, {embedder.avail_cpus} '
                  f'thread{"s" if embedder.avail_cpus > 1 else ""})')
 
-    if embedder.options.ff_calc != 'XTB':
+    if embedder.options.ff_calc == 'XTB':
+        if prevent_scrambling:
+            def opt_callable(coords, atomnos, **kw):
+                return xtb_pre_opt(coords, atomnos,
+                                   graphs=embedder.graphs,
+                                   method=embedder.options.ff_level, **kw)
+        else:
+            def opt_callable(coords, atomnos, **kw):
+                return xtb_opt(coords, atomnos,
+                               method=embedder.options.ff_level, **kw)
+    elif embedder.options.ff_calc == 'OB':
+        # FFCALC=OB: constrained UFF/MMFF94 minimization through
+        # OpenBabel (bindings preferred, CLI fallback for free opts).
+        # No xtb_pre_opt analog exists — the scramble gate below is the
+        # safety net for the prevent_scrambling pass.
+        from tscode_tpu.calculators.openbabel import openbabel_opt
+
+        def opt_callable(coords, atomnos, constrained_indices=None,
+                         constrained_distances=None, title='temp_ob',
+                         **kw):
+            try:
+                return openbabel_opt(
+                    coords, atomnos,
+                    constrained_indices=constrained_indices,
+                    constrained_distances=constrained_distances,
+                    method=embedder.options.ff_level or 'UFF',
+                    title=title)
+            except Exception:
+                # crashed job -> masked out, run continues (same
+                # fault-tolerance contract as the QM engines)
+                return None, None, False
+    else:
         raise NotImplementedError(
             f'FF refinement via {embedder.options.ff_calc} is not wired '
-            f'up; use XTB (GFN-FF).')
-
-    if prevent_scrambling:
-        def opt_callable(coords, atomnos, **kw):
-            return xtb_pre_opt(coords, atomnos, graphs=embedder.graphs,
-                               method=embedder.options.ff_level, **kw)
-    else:
-        def opt_callable(coords, atomnos, **kw):
-            return xtb_opt(coords, atomnos,
-                           method=embedder.options.ff_level, **kw)
+            f'up; use XTB (GFN-FF) or OB (OpenBabel UFF/MMFF94).')
 
     _refine_stage(embedder, opt_callable, embedder.options.ff_level,
                   workers=embedder.avail_cpus, conv_thr=conv_thr,

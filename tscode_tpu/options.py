@@ -241,6 +241,14 @@ class OptionSetter:
 
     def ffcalc(self, options):
         options.ff_calc = self._value_of('FFCALC').upper()
+        if options.ff_calc == 'OPENBABEL':
+            options.ff_calc = 'OB'
+        if 'FFLEVEL' not in self.keywords:
+            # switching calculators invalidates the old default level
+            # (e.g. GFN-FF means nothing to OpenBabel)
+            from tscode_tpu.settings import DEFAULT_FF_LEVELS
+            options.ff_level = DEFAULT_FF_LEVELS.get(options.ff_calc,
+                                                     options.ff_level)
 
     def fflevel(self, options):
         options.ff_level = self._value_of('FFLEVEL').upper().replace('_', ' ')

@@ -27,6 +27,7 @@ FF_CALC = 'XTB' if XTB_AVAILABLE else None
 DEFAULT_FF_LEVELS = {
     'XTB': 'GFN-FF',
     'GAUSSIAN': 'UFF',
+    'OB': 'UFF',
 }
 
 # default (semiempirical+) calculator

@@ -144,8 +144,93 @@ def frequencies_batch(coords_batch, atomnos, energy_fn, project=True):
     return np.asarray(freqs), np.asarray(jnp.sum(freqs < -1e-3, axis=1))
 
 
+def _maps_onto_itself(coords, atomnos, rot, tol=0.15):
+    '''True when `rot @ coords` is a same-element permutation of coords
+    (each rotated atom lands within tol of exactly one original atom of
+    the same element, bijectively).'''
+    moved = coords @ rot.T
+    taken = np.zeros(len(coords), dtype=bool)
+    for i, (pos, a) in enumerate(zip(moved, atomnos)):
+        dists = np.linalg.norm(coords - pos, axis=1)
+        dists[(atomnos != a) | taken] = np.inf
+        j = int(np.argmin(dists))
+        if dists[j] > tol:
+            return False
+        taken[j] = True
+    return True
+
+
+def _axis_rotation(axis, angle):
+    axis = axis / np.linalg.norm(axis)
+    k = np.array([[0, -axis[2], axis[1]],
+                  [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    return np.eye(3) + np.sin(angle) * k + (1 - np.cos(angle)) * (k @ k)
+
+
+def detect_symmetry_number(coords, atomnos):
+    '''External rotational symmetry number sigma from geometry: the
+    order of the proper-rotation subgroup, found by testing Cn
+    (n = 2,3,4,5,6) about each principal inertia axis and perpendicular
+    C2 axes (through atoms and bond midpoints) for the Cn -> n,
+    Dn -> 2n rule. Linear molecules: 1 (C-inf-v) or 2 (D-inf-h).
+    Conservative by construction — an undetected symmetry only makes
+    the rotational entropy slightly too positive, the same direction as
+    the reference's sigma-blind free energies (_xtb.py:440-512).'''
+    coords = np.asarray(coords, dtype=float)
+    atomnos = np.asarray(atomnos)
+    if len(coords) == 1:
+        return 1
+
+    masses = MASSES[atomnos]
+    com = np.sum(coords * masses[:, None], axis=0) / np.sum(masses)
+    x0 = coords - com
+
+    inert = np.zeros((3, 3))
+    for xi, mi in zip(x0, masses):
+        inert += mi * (np.dot(xi, xi) * np.eye(3) - np.outer(xi, xi))
+    moments, axes = np.linalg.eigh(inert)
+
+    if moments[0] < 1e-3 * max(moments[2], 1e-12):      # linear
+        axis = axes[:, 0]
+        # D-inf-h iff a perpendicular C2 (end-over-end flip) holds
+        perp = np.eye(3)[np.argmin(np.abs(axis))]
+        perp = perp - np.dot(perp, axis) * axis
+        flip = _axis_rotation(perp, np.pi)
+        return 2 if _maps_onto_itself(x0, atomnos, flip) else 1
+
+    # highest-order Cn about any principal axis
+    best_n, best_axis = 1, axes[:, 2]
+    for col in range(3):
+        axis = axes[:, col]
+        for n in (6, 5, 4, 3, 2):
+            if n <= best_n:
+                break
+            if _maps_onto_itself(x0, atomnos,
+                                 _axis_rotation(axis, 2 * np.pi / n)):
+                best_n, best_axis = n, axis
+                break
+
+    # Dn: any C2 perpendicular to the main axis (axes through atoms,
+    # bond midpoints, and the remaining principal axes)
+    candidates = [axes[:, c] for c in range(3)]
+    candidates += [xi for xi in x0 if np.linalg.norm(xi) > 1e-3]
+    candidates += [x0[i] + x0[j]
+                   for i in range(min(len(x0), 12))
+                   for j in range(i + 1, min(len(x0), 12))]
+    for cand in candidates:
+        perp = cand - np.dot(cand, best_axis) * best_axis
+        norm = np.linalg.norm(perp)
+        if norm < 1e-3:
+            continue
+        if _maps_onto_itself(x0, atomnos,
+                             _axis_rotation(perp / norm, np.pi)):
+            return 2 * best_n
+    return best_n
+
+
 def thermochemistry(freqs_cm, atomnos, coords, temperature=298.15,
-                    pressure=101325.0, symmetry_number=1):
+                    pressure=101325.0, symmetry_number=None):
     '''Ideal-gas RRHO corrections from harmonic frequencies.
 
     Returns a dict (kcal/mol unless noted): zpe, e_vib, e_rot, e_trans,
@@ -153,7 +238,14 @@ def thermochemistry(freqs_cm, atomnos, coords, temperature=298.15,
     g_corr (Gibbs correction, add to the electronic energy). Imaginary
     and rigid-body modes are excluded, matching the convention of the
     reference's xtb `--ohess` free-energy route (_xtb.py:440-512).
+
+    symmetry_number: external rotational sigma; None (default)
+    auto-detects it from the geometry (detect_symmetry_number) so the
+    -R*T*ln(sigma) rotational-entropy term (~0.4 kcal/mol at sigma=2,
+    298 K) is included without the caller knowing the point group.
     '''
+    if symmetry_number is None:
+        symmetry_number = detect_symmetry_number(coords, atomnos)
     t = float(temperature)
     freqs = np.asarray(freqs_cm, dtype=float)
     freqs = freqs[freqs > 1.0]                  # real vibrational modes
@@ -252,15 +344,14 @@ def frequencies_from_gradients(coords, atomnos, gradient_fn, dx=0.01,
 
 
 def ff_free_energy(coords, atomnos, energy_fn, temperature=298.15,
-                   symmetry_number=1):
+                   symmetry_number=None):
     '''Electronic (FF) energy + RRHO Gibbs correction — the hermetic
     analog of xtb_get_free_energy for calculator-free runs.
 
-    symmetry_number: external rotational symmetry sigma. Defaults to 1
-    (no detection is attempted); for symmetric molecules the caller
-    should supply it — omitting sigma drops the -R*T*ln(sigma) term
-    from the rotational entropy (~0.4 kcal/mol at sigma=2, 298 K)
-    that the reference's `xtb --ohess` free energies include.'''
+    symmetry_number: external rotational symmetry sigma; None (default)
+    auto-detects it from the geometry, keeping the -R*T*ln(sigma)
+    rotational-entropy term (~0.4 kcal/mol at sigma=2, 298 K) that a
+    sigma-blind RRHO would drop.'''
     freqs, n_imag = frequencies(coords, atomnos, energy_fn)
     thermo = thermochemistry(freqs, atomnos, coords, temperature,
                              symmetry_number=symmetry_number)
