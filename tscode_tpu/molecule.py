@@ -50,14 +50,32 @@ def align_structures(structures, indices=None):
         else np.asarray(indices).ravel()
 
     structures -= structures[:, idx].mean(axis=1, keepdims=True)
-    out = np.zeros_like(structures)
-    out[0] = structures[0]
-    for t in range(1, len(structures)):
-        try:
-            matrix = _kabsch_host(structures[0][idx], structures[t][idx])
-        except np.linalg.LinAlgError:
-            matrix = np.eye(3)
-        out[t] = (matrix @ structures[t].T).T
+    if len(structures) < 2:
+        return structures
+
+    try:
+        # one batched SVD for every structure (numpy gufunc) — the
+        # per-structure loop cost ~0.6 s on 2k-structure write paths
+        C = np.einsum('na,tnb->tab', structures[0][idx],
+                      structures[1:][:, idx])
+        V, _, W = np.linalg.svd(C)
+        flip = np.linalg.det(V) * np.linalg.det(W) < 0
+        V[flip, :, -1] = -V[flip, :, -1]
+        matrices = V @ W
+    except np.linalg.LinAlgError:
+        # degenerate geometry somewhere in the batch: per-structure
+        # fallback, identity for the offending rows
+        matrices = np.stack([np.eye(3)] * (len(structures) - 1))
+        for t in range(1, len(structures)):
+            try:
+                matrices[t - 1] = _kabsch_host(structures[0][idx],
+                                               structures[t][idx])
+            except np.linalg.LinAlgError:
+                pass
+
+    out = np.concatenate([
+        structures[:1],
+        np.einsum('tij,tnj->tni', matrices, structures[1:])])
     return out
 
 

@@ -23,6 +23,7 @@ Two-stage screening keeps memory and FLOPs down:
 '''
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -31,6 +32,38 @@ import numpy as np
 from tscode_tpu.ops.linalg import (_horn_key_matrix, _qcp_lambda_max,
                                    _quaternion_from_key,
                                    quaternion_to_rotation_matrix)
+
+# Pair-kernel experiment switch (perf A/B on chip; 'base' is production):
+#   base    einsum S (f32) + fused lambda chain — the measured default
+#   flatmm  S as ONE (3Lr, N)@(N, 3Lc) dot per block (layout experiment)
+#   mxubf16 einsum on bf16-cast inputs, f32 accumulate (MXU fast path;
+#           NOT survivor-exact — diagnostic only)
+#   newton6 6 Newton steps instead of 12 (diagnostic only: isolates
+#           whether the pass is bound by the fused elementwise chain)
+_QCP_VARIANT = os.environ.get('TSCODE_QCP_VARIANT', 'base')
+
+
+def _pair_correlation(Pr, Qc):
+    '''S[b,p,q,i,k] = sum_n Pr[b,p,n,i] * Qc[b,q,n,k] under the active
+    experiment variant. Shapes: Pr (B, Lr, N, 3), Qc (B, Lc, N, 3).'''
+    if _QCP_VARIANT == 'flatmm':
+        B, Lr, N, _ = Pr.shape
+        Lc = Qc.shape[1]
+        A = Pr.transpose(0, 1, 3, 2).reshape(B, Lr * 3, N)
+        Bm = Qc.transpose(0, 1, 3, 2).reshape(B, Lc * 3, N)
+        flat = jnp.einsum('bxn,byn->bxy', A, Bm)
+        return flat.reshape(B, Lr, 3, Lc, 3).transpose(0, 1, 3, 2, 4)
+    if _QCP_VARIANT == 'mxubf16':
+        return jnp.einsum('bpni,bqnk->bpqik',
+                          Pr.astype(jnp.bfloat16), Qc.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum('bpni,bqnk->bpqik', Pr, Qc)
+
+
+def _lambda_max_variant(S, GA, GB):
+    if _QCP_VARIANT == 'newton6':
+        return _qcp_lambda_max(S, GA, GB, newton_iters=6)
+    return _qcp_lambda_max(S, GA, GB)
 
 K_SCHEDULE = (5e5, 2e5, 1e5, 5e4, 2e4, 1e4,
               5000, 2000, 1000, 500, 200, 100,
@@ -314,9 +347,9 @@ def _pair_kill_core(P, valid, rmsd_thr):
     # f32-roundoff parity edge at the threshold without saving anything)
     cand = valid
 
-    S = jnp.einsum('bpni,bqnk->bpqik', P, P)
+    S = _pair_correlation(P, P)
     G = jnp.sum(P * P, axis=(-2, -1))
-    lam = _qcp_lambda_max(S, G[:, :, None], G[:, None, :])
+    lam = _lambda_max_variant(S, G[:, :, None], G[:, None, :])
     msd = (G[:, :, None] + G[:, None, :] - 2.0 * lam) / n_dt
     rmsd = jnp.sqrt(jnp.maximum(msd, 0.0))
 
@@ -697,10 +730,10 @@ def _pair_kill_rect(Pr, Qc, valid, rmsd_thr):
     '''
     N = Pr.shape[2]
     n_dt = jnp.asarray(N, Pr.dtype)
-    S = jnp.einsum('bpni,bqnk->bpqik', Pr, Qc)
+    S = _pair_correlation(Pr, Qc)
     GA = jnp.sum(Pr * Pr, axis=(-2, -1))
     GB = jnp.sum(Qc * Qc, axis=(-2, -1))
-    lam = _qcp_lambda_max(S, GA[:, :, None], GB[:, None, :])
+    lam = _lambda_max_variant(S, GA[:, :, None], GB[:, None, :])
     msd = (GA[:, :, None] + GB[:, None, :] - 2.0 * lam) / n_dt
     rmsd = jnp.sqrt(jnp.maximum(msd, 0.0))
 
