@@ -467,6 +467,52 @@ def test_fused_sweep_matches_chunk_loop(monkeypatch):
     np.testing.assert_array_equal(outs['0'][1], outs['1'][1])
 
 
+def test_compact_sweep_matches_expanded(monkeypatch):
+    '''The compact table-gather sweep (_block_screen_mapped_compact —
+    per-row geometry rebuilt on device from (conf, pivot) tables) must
+    be bit-identical to the expanded-field sweep on CPU x64, including
+    padded non-pow2 row tails and multi-tile maps.'''
+    from tscode_tpu.embeds.cyclical import cyclical_embed_bimol_rigid
+
+    mol1 = Molecule(fix('C2H4.xyz'), reactive_indices=[0, 3])
+    mol2 = Molecule(fix('HCOOH.xyz'), reactive_indices=[0, 1])
+    for m in (mol1, mol2):
+        m.compute_orbitals()
+        set_pivots(m)
+    angles = _angle_grid(2, 45)
+
+    outs = {}
+    for flag in ('0', '1'):
+        monkeypatch.setenv('TSCODE_COMPACT_SWEEP', flag)
+        outs[flag] = cyclical_embed_bimol_rigid(
+            mol1, mol2, angles, log=lambda *a, **k: None, block_chunk=2)
+
+    np.testing.assert_array_equal(outs['0'][0], outs['1'][0])
+    np.testing.assert_array_equal(outs['0'][1], outs['1'][1])
+
+
+def test_concat_blocks_offsets_compact_tables(tmp_path):
+    '''_concat_blocks must keep the union sweep's gathered geometry
+    identical to each block's own (table indices offset per block).'''
+    from tscode_tpu.embeds.cyclical import (_bimol_rigid_blocks,
+                                            _concat_blocks)
+
+    mol1 = _noisy_molecule(str(tmp_path), 'C2H4.xyz', 2, [0, 3], seed=7)
+    mol2 = _noisy_molecule(str(tmp_path), 'HCOOH.xyz', 2, [0, 1], seed=8)
+    mol3 = _noisy_molecule(str(tmp_path), 'HCOOH.xyz', 2, [1, 2], seed=8)
+
+    blks = [_bimol_rigid_blocks(mol1, mol2, 10, None),
+            _bimol_rigid_blocks(mol1, mol3, 10, None)]
+    cat = _concat_blocks(blks)
+    assert len(cat['tidx']) == sum(len(b['tidx']) for b in blks)
+    r1 = cat['tab1'][cat['tidx'][:, 0]]
+    r2 = cat['tab2'][cat['tidx'][:, 1]]
+    np.testing.assert_array_equal(r1[:, 0], cat['pvs'][:, 0])
+    np.testing.assert_array_equal(r2[:, 0], cat['pvs'][:, 1])
+    np.testing.assert_array_equal(r1[:, 4], cat['rc_axes'][:, 0])
+    np.testing.assert_array_equal(r2[:, 4], cat['rc_axes'][:, 1])
+
+
 def test_string_fused_sweep_matches_chunk_loop(monkeypatch):
     '''The device-decoded lax.map string sweep must be bit-identical to
     the host-indexed chunk loop — including at chunk sizes that force
@@ -531,10 +577,21 @@ def test_bimol_blocks_fast_matches_loop(tmp_path):
             if loop is None:
                 assert fast is None
                 continue
-            assert set(fast.keys()) == set(loop.keys())
+            # fast additionally carries the compact sweep form
+            assert set(loop.keys()) | {'tab1', 'tab2', 'tidx'} \
+                == set(fast.keys())
             for k in loop:
                 np.testing.assert_array_equal(
                     fast[k], loop[k], err_msg=f'field {k!r}')
+            # the compact gather must reconstruct the expanded fields
+            t1, t2 = fast['tidx'][:, 0], fast['tidx'][:, 1]
+            r1, r2 = fast['tab1'][t1], fast['tab2'][t2]
+            for m, r in ((0, r1), (1, r2)):
+                for col, k in enumerate(('pvs', 'mds', 'apms', 'mps',
+                                         'rc_axes')):
+                    np.testing.assert_array_equal(
+                        r[:, col], fast[k][:, m],
+                        err_msg=f'compact col {k!r} mol {m}')
 
 
 def test_bimol_blocks_ragged_pivots_fall_back(tmp_path):

@@ -22,6 +22,7 @@ keep/kill order.
 
 import functools
 import os
+import time
 
 import jax
 import jax.numpy as jnp
@@ -292,6 +293,52 @@ def _block_screen_mapped(coords1, coords2, c1, c2, starts, ends, dirs,
             keep.reshape((-1,) + keep.shape[2:]))
 
 
+@functools.partial(jax.jit, static_argnames=('n_chunks',))
+def _block_screen_mapped_compact(coords1, coords2, tab1, tab2, tidx,
+                                 angle_grid, pair_mask, clash_thresh,
+                                 n_chunks):
+    '''_block_screen_mapped fed by the compact block form: per-row
+    geometry is GATHERED on device from the (T, 5, 3) per-(conf, pivot)
+    tables [pv, md, apm, mp, rc_axis] via the (rows, 5) int32 index
+    [t1, t2, c1, c2, v], and the digon endpoints are rebuilt from the
+    pivot norms in-program (the same -L/2..L/2 x-axis layout the host
+    builder emits; reference polygonize orientation rule,
+    utils.py:210-261). Upload volume per slab drops from eight
+    (rows, 2, 3) float tensors to one (rows, 5) int32 — the expanded
+    form cost ~6 MB of link traffic per multiembed sweep.'''
+
+    def tile(ti):
+        r1 = tab1[ti[:, 0]]                          # (rows, 5, 3)
+        r2 = tab2[ti[:, 1]]
+        c1, c2, v = ti[:, 2], ti[:, 3], ti[:, 4]
+        pv1, pv2 = r1[:, 0], r2[:, 0]
+        # explicit sum-of-squares: same add order as the host builder's
+        # (pv*pv).sum(-1), so CPU-x64 parity is bitwise
+        L1 = jnp.sqrt(pv1[:, 0] * pv1[:, 0] + pv1[:, 1] * pv1[:, 1]
+                      + pv1[:, 2] * pv1[:, 2])
+        L2 = jnp.sqrt(pv2[:, 0] * pv2[:, 0] + pv2[:, 1] * pv2[:, 1]
+                      + pv2[:, 2] * pv2[:, 2])
+        zero = jnp.zeros_like(L1)
+        s2x = jnp.where(v == 0, -1.0, 1.0) * L2 / 2
+        starts = jnp.stack([jnp.stack([-L1 / 2, zero, zero], axis=-1),
+                            jnp.stack([s2x, zero, zero], axis=-1)], axis=1)
+        ends = jnp.stack([jnp.stack([L1 / 2, zero, zero], axis=-1),
+                          jnp.stack([-s2x, zero, zero], axis=-1)], axis=1)
+        dirs = jnp.broadcast_to(jnp.asarray(_DIRECTIONS, dtype=starts.dtype),
+                                starts.shape)
+        pair = (lambda a, b: jnp.stack([a, b], axis=1))
+        return _block_screen.__wrapped__(
+            coords1, coords2, c1, c2, starts, ends, dirs,
+            pair(pv1, pv2), pair(r1[:, 1], r2[:, 1]),
+            pair(r1[:, 2], r2[:, 2]), pair(r1[:, 3], r2[:, 3]),
+            pair(r1[:, 4], r2[:, 4]), angle_grid, pair_mask, clash_thresh)
+
+    tiles = tidx.reshape((n_chunks, tidx.shape[0] // n_chunks, 5))
+    poses, keep = jax.lax.map(tile, tiles)
+    return (poses.reshape((-1,) + poses.shape[2:]),
+            keep.reshape((-1,) + keep.shape[2:]))
+
+
 @jax.jit
 def _block_screen_multi(coords1, coords2, coords3, c1, c2, c3, starts,
                         ends, dirs, pvs, mds, apms, mps, rc_axes,
@@ -448,15 +495,34 @@ def _bimol_rigid_blocks_fast(mol1, mol2, max_norm_delta, pairing_ok):
     md2 = np.where(np.all(md2 == 0., axis=-1)[..., None], mp2, md2)
 
     if len(mol1.reactive_indices) == 2:
-        rca1 = (mol1.atomcoords[:, mol1.reactive_indices[0]]
-                - mol1.atomcoords[:, mol1.reactive_indices[1]])[c1g]
+        rca1_cq = np.broadcast_to(
+            (mol1.atomcoords[:, mol1.reactive_indices[0]]
+             - mol1.atomcoords[:, mol1.reactive_indices[1]])[:, None],
+            pv1.shape)
     else:
-        rca1 = pv1[c1g, q1g]
+        rca1_cq = pv1
     if len(mol2.reactive_indices) == 2:
-        rca2 = (mol2.atomcoords[:, mol2.reactive_indices[0]]
-                - mol2.atomcoords[:, mol2.reactive_indices[1]])[c2g]
+        rca2_cq = np.broadcast_to(
+            (mol2.atomcoords[:, mol2.reactive_indices[0]]
+             - mol2.atomcoords[:, mol2.reactive_indices[1]])[:, None],
+            pv2.shape)
     else:
-        rca2 = pv2[c2g, q2g]
+        rca2_cq = pv2
+
+    # compact sweep form: all five per-row 3-vectors of one molecule
+    # are functions of (conf, pivot) alone, so the device program can
+    # gather them from a (n_confs*Q, 5, 3) table via a (Bb, 5) int32
+    # index instead of receiving eight expanded (Bb, 2, 3) tensors —
+    # on a tunneled accelerator the expanded upload (~6 MB at
+    # multiembed scale) was the dominant warm screen cost
+    tab1 = np.stack([pv1, md1,
+                     np.broadcast_to(apm1[:, None], mp1.shape),
+                     mp1, rca1_cq], axis=2).reshape(-1, 5, 3)
+    tab2 = np.stack([pv2, md2,
+                     np.broadcast_to(apm2[:, None], mp2.shape),
+                     mp2, rca2_cq], axis=2).reshape(-1, 5, 3)
+    tidx = np.stack([c1g * Q1 + q1g, c2g * Q2 + q2g,
+                     c1g, c2g, vg], axis=1).astype(np.int32)
 
     blk = {
         'starts': starts,
@@ -465,11 +531,14 @@ def _bimol_rigid_blocks_fast(mol1, mol2, max_norm_delta, pairing_ok):
         'mds': np.stack([md1[c1g, q1g], md2[c2g, q2g]], axis=1),
         'apms': np.stack([apm1[c1g], apm2[c2g]], axis=1),
         'mps': np.stack([mp1[c1g, q1g], mp2[c2g, q2g]], axis=1),
-        'rc_axes': np.stack([rca1, rca2], axis=1),
+        'rc_axes': np.stack([rca1_cq[c1g, q1g], rca2_cq[c2g, q2g]], axis=1),
         'c1': c1g.astype(np.int32),
         'c2': c2g.astype(np.int32),
         'ids': ids_grid[q2g, q1g, vg],
         'dirs': np.broadcast_to(_DIRECTIONS, (Bb, 2, 3)).copy(),
+        'tab1': tab1,
+        'tab2': tab2,
+        'tidx': tidx,
     }
     return blk
 
@@ -540,6 +609,33 @@ def _bimol_rigid_blocks_loop(mol1, mol2, max_norm_delta=10,
 
 _SWEEP_FIELDS = ('c1', 'c2', 'starts', 'ends', 'dirs', 'pvs', 'mds',
                  'apms', 'mps', 'rc_axes')
+_COMPACT_FIELDS = ('tab1', 'tab2', 'tidx')
+
+
+def _concat_blocks(blks):
+    '''Row-wise union of block dicts (multiembed batches every
+    arrangement's rows into one sweep). Expanded fields concatenate
+    directly; the compact table form survives only when EVERY block
+    carries it, with each block's table indices offset into the
+    concatenated tables.'''
+    out = {k: np.concatenate([b[k] for b in blks])
+           for k in blks[0].keys() if k not in _COMPACT_FIELDS}
+    if all('tidx' in b for b in blks):
+        tabs1, tabs2, tidxs = [], [], []
+        off1 = off2 = 0
+        for b in blks:
+            t = b['tidx'].copy()
+            t[:, 0] += off1
+            t[:, 1] += off2
+            tidxs.append(t)
+            tabs1.append(b['tab1'])
+            tabs2.append(b['tab2'])
+            off1 += len(b['tab1'])
+            off2 += len(b['tab2'])
+        out['tab1'] = np.concatenate(tabs1)
+        out['tab2'] = np.concatenate(tabs2)
+        out['tidx'] = np.concatenate(tidxs)
+    return out
 
 
 def _mapped_slabs(cols, block_chunk, A, N, call):
@@ -593,16 +689,49 @@ def _bimol_rigid_screen_survivors(blk, coords1, coords2, angle_grid,
             and os.environ.get('TSCODE_FUSED_SWEEP', '1') != '0':
         thresh_dev = jnp.asarray(float(clash_thresh))
 
-        def call(args, n_chunks):
-            return _block_screen_mapped(
-                coords1, coords2, *args, angle_grid, pair_mask,
-                thresh_dev, n_chunks=n_chunks)
+        if 'tidx' in blk \
+                and os.environ.get('TSCODE_COMPACT_SWEEP', '1') != '0':
+            # compact form: only the (Bb, 5) int32 index crosses the
+            # link per slab; the small per-(conf, pivot) tables upload
+            # once for the whole sweep
+            tab1_dev = jnp.asarray(blk['tab1'])
+            tab2_dev = jnp.asarray(blk['tab2'])
 
+            def call(args, n_chunks):
+                return _block_screen_mapped_compact(
+                    coords1, coords2, tab1_dev, tab2_dev, args[0],
+                    angle_grid, pair_mask, thresh_dev,
+                    n_chunks=n_chunks)
+
+            cols = (blk['tidx'],)
+        else:
+            def call(args, n_chunks):
+                return _block_screen_mapped(
+                    coords1, coords2, *args, angle_grid, pair_mask,
+                    thresh_dev, n_chunks=n_chunks)
+
+            cols = tuple(blk[k] for k in _SWEEP_FIELDS)
+
+        trace = os.environ.get('TSCODE_SWEEP_TRACE') == '1'
+        t0 = time.perf_counter() if trace else 0.0
         acc = _SurvivorAccumulator()
-        for poses, keep_dev, n in _mapped_slabs(
-                tuple(blk[k] for k in _SWEEP_FIELDS), block_chunk,
-                A, N, call):
+        last_keep = None
+        for poses, keep_dev, n in _mapped_slabs(cols, block_chunk,
+                                                A, N, call):
             acc.add(poses, keep_dev, n)
+            last_keep = keep_dev
+        if trace:
+            import sys
+            t1 = time.perf_counter()
+            if last_keep is not None:
+                last_keep.block_until_ready()
+            t2 = time.perf_counter()
+            out = acc.finish(N)
+            t3 = time.perf_counter()
+            print(f'[sweep] rows={Bb} angles={A} dispatch={t1 - t0:.3f}s '
+                  f'compute={t2 - t1:.3f}s pull={t3 - t2:.3f}s',
+                  file=sys.stderr)
+            return out
         return acc.finish(N)
 
     # mesh / loop fallback (local backends): pull-everything semantics

@@ -91,7 +91,8 @@ def _screen_arrangements(parent, children):
     import jax.numpy as jnp
 
     from tscode_tpu.embeds.cyclical import (_assemble_survivors,
-                                            _bimol_rigid_screen_survivors)
+                                            _bimol_rigid_screen_survivors,
+                                            _concat_blocks)
     from tscode_tpu.ops.clash import cross_fragment_pair_mask
 
     live = [(run, blk) for run, _, blk in children if blk is not None]
@@ -123,8 +124,9 @@ def _screen_arrangements(parent, children):
             if not any(run is r for r, _ in batched)]
 
     if batched:
-        cat = {k: np.concatenate([blk[k] for _, blk in batched])
-               for k in batched[0][1].keys()}
+        # union of every arrangement's rows (compact table indices are
+        # offset per arrangement inside _concat_blocks)
+        cat = _concat_blocks([blk for _, blk in batched])
         surv_all, keep_all = _bimol_rigid_screen_survivors(
             cat,
             dev_coords(batched[0][0].objects[0]),

@@ -40,6 +40,14 @@ from tscode_tpu.ops.linalg import (_horn_key_matrix, _qcp_lambda_max,
 #           NOT survivor-exact — diagnostic only)
 #   newton6 6 Newton steps instead of 12 (diagnostic only: isolates
 #           whether the pass is bound by the fused elementwise chain)
+#
+# MEASURED on one v5e, 2026-08-19, full tier-2 pipeline at 1.66M poses
+# (BASELINE.md "tier-2 pair-kernel A/B"): base 3.38 s/rep,
+# flatmm 5.76 s, newton6 3.35 s, mxubf16 3.38 s. Neither the MXU
+# einsum nor the lambda chain is the bound — the pass is limited by
+# pair-block data movement and schedule structure, so a bf16
+# pre-screen (whose ideal case mxubf16 measures at ±0%) is settled:
+# not worth building. 'base' stays production.
 _QCP_VARIANT = os.environ.get('TSCODE_QCP_VARIANT', 'base')
 
 
