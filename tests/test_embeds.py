@@ -467,6 +467,33 @@ def test_fused_sweep_matches_chunk_loop(monkeypatch):
     np.testing.assert_array_equal(outs['0'][1], outs['1'][1])
 
 
+def test_pair_gate_matrices_match_oracles():
+    '''The fused rmsd+maxdev pair-gate (_pair_gate_matrices, one QCP
+    correlation pass) must match the independent per-pair oracle path
+    (_rmsd_matrix_lambda_only + _pairwise_maxdev) on CPU x64.'''
+    import jax
+    import jax.numpy as jnp
+
+    from tscode_tpu.embeds.cyclical import _pairwise_maxdev
+    from tscode_tpu.ops.rmsd_prune import (_pair_gate_matrices,
+                                           _rmsd_matrix_lambda_only)
+
+    rng = np.random.default_rng(11)
+    pb = jnp.asarray(rng.normal(size=(3, 7, 9, 3)) * 2.0)
+    n_atoms = pb.shape[2]
+    rmsd, maxdev = jax.vmap(
+        lambda P: _pair_gate_matrices(P, n_atoms))(pb)
+    rmsd_o = jax.vmap(
+        lambda P: _rmsd_matrix_lambda_only(P, P, n_atoms))(pb)
+    maxdev_o = _pairwise_maxdev(pb)
+    # identical-pose diagonals sit on the 2G - 2*lam cancellation,
+    # which the two S-einsum layouts round differently at ~1e-7
+    np.testing.assert_allclose(np.asarray(rmsd), np.asarray(rmsd_o),
+                               rtol=0, atol=5e-7)
+    np.testing.assert_allclose(np.asarray(maxdev), np.asarray(maxdev_o),
+                               rtol=0, atol=5e-7)
+
+
 def test_compact_sweep_matches_expanded(monkeypatch):
     '''The compact table-gather sweep (_block_screen_mapped_compact —
     per-row geometry rebuilt on device from (conf, pivot) tables) must

@@ -32,7 +32,9 @@ from tscode_tpu.errors import ZeroCandidatesError
 from tscode_tpu.ops.clash import cross_fragment_pair_mask
 from tscode_tpu.ops.linalg import (align_vec_pair, polygonize,
                                    rot_mat_from_pointer)
-from tscode_tpu.ops.rmsd_prune import _maxdev_pairs, _rmsd_matrix_lambda_only
+from tscode_tpu.ops.rmsd_prune import (_maxdev_pairs,
+                                       _pair_gate_matrices,
+                                       _rmsd_matrix_lambda_only)
 
 _DIRECTIONS = np.array([[0., 1., 0.], [0., -1., 0.]])
 
@@ -84,7 +86,12 @@ def _pairwise_maxdev(pb):
     '''Blockwise (A, A) max-deviation matrices from (Bb, A, N, 3) poses
     WITHOUT materializing the Bb*A*A pose-pair copies a .repeat would
     create (hundreds of MB at trimolecular A=125) — the broadcast stays
-    lazy inside XLA.'''
+    lazy inside XLA.
+
+    ORACLE ONLY: the production screens use the fused
+    _pair_gate_matrices (one correlation pass for rmsd AND maxdev);
+    this per-pair form is kept as the independent implementation the
+    fused path is parity-tested against (tests/test_embeds.py).'''
     def one_block(P):
         def row(pi):
             return _maxdev_pairs(jnp.broadcast_to(pi, P.shape), P)
@@ -147,12 +154,13 @@ def _block_poses(coords1, coords2, c1, c2, R_align, axis, cor, pos0,
     clash_ok = jnp.sum((d2 < clash_thresh * clash_thresh) & pair_mask,
                        axis=(-2, -1)) <= 0
 
-    # block-local pairwise RMSD for the angular dedup (_rmsd_similarity
-    # with rmsd_thr=1 on the FULL pose, reference embeds.py:843)
+    # block-local pairwise RMSD + maxdev for the angular dedup
+    # (_rmsd_similarity with rmsd_thr=1 on the FULL pose, reference
+    # embeds.py:843) — one correlation pass feeds both gates
     pb = poses.reshape(Bb, A, -1, 3)
     n_atoms = pb.shape[2]
-    rmsd = jax.vmap(lambda P: _rmsd_matrix_lambda_only(P, P, n_atoms))(pb)
-    maxdev = _pairwise_maxdev(pb)
+    rmsd, maxdev = jax.vmap(
+        lambda P: _pair_gate_matrices(P, n_atoms))(pb)
 
     return poses.reshape(Bb, A, -1, 3), clash_ok.reshape(Bb, A), rmsd, maxdev
 
@@ -1269,8 +1277,8 @@ def _block_poses_multi(coords1, coords2, coords3, c1, c2, c3,
 
     pb = poses.reshape(Bb, A, -1, 3)
     n_atoms = pb.shape[2]
-    rmsd = jax.vmap(lambda P: _rmsd_matrix_lambda_only(P, P, n_atoms))(pb)
-    maxdev = _pairwise_maxdev(pb)
+    rmsd, maxdev = jax.vmap(
+        lambda P: _pair_gate_matrices(P, n_atoms))(pb)
 
     return pb, clash_ok.reshape(Bb, A), rmsd, maxdev
 

@@ -269,18 +269,27 @@ def _quaternion_from_key(K, lam):
     robustness; falls back to identity when all are degenerate.
     K: (..., 4, 4), lam: (...,) -> (..., 4).
     '''
-    A = K - lam[..., None, None] * jnp.eye(4, dtype=K.dtype)
+    # A = K - lam*I as 16 SCALAR slices (x - 0.0 == x bitwise, so only
+    # the diagonal subtracts): the previous fancy-indexed
+    # `A[..., rows, :][..., :, cols]` cofactor extraction lowered to 32
+    # XLA gathers over the batched 4x4 tensors — profiled as the
+    # dominant cost of every maxdev/rotation evaluation on TPU (the
+    # multiembed block screen spent 4.1 of 4.3 s in it). Static scalar
+    # slices keep the arithmetic bitwise identical and fully fusible.
+    a = [[K[..., i, j] - lam if i == j else K[..., i, j]
+          for j in range(4)] for i in range(4)]
 
     # cofactor (adjoint^T) columns of a symmetric 4x4: each row of the
     # adjugate is a candidate null-space vector.
     def minor3(rows, cols):
-        m = A[..., rows, :][..., :, cols]
-        return (m[..., 0, 0] * (m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1])
-                - m[..., 0, 1] * (m[..., 1, 0] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 0])
-                + m[..., 0, 2] * (m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0]))
+        m = [[a[i][j] for j in cols] for i in rows]
+        return (m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+                - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
+                + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0]))
 
     idx = [0, 1, 2, 3]
-    cands = []
+    cands = []                       # 4 candidate rows, each a 4-list
+    norms2 = []
     for r in range(4):
         rows = [i for i in idx if i != r]
         comps = []
@@ -288,12 +297,23 @@ def _quaternion_from_key(K, lam):
             cols = [j for j in idx if j != c]
             sign = (-1.0) ** (r + c)
             comps.append(sign * minor3(tuple(rows), tuple(cols)))
-        cands.append(jnp.stack(comps, axis=-1))
-    cands = jnp.stack(cands, axis=-2)                       # (..., 4, 4) rows of adj
+        cands.append(comps)
+        norms2.append(comps[0] * comps[0] + comps[1] * comps[1]
+                      + comps[2] * comps[2] + comps[3] * comps[3])
 
-    norms2 = jnp.sum(cands * cands, axis=-1)                # (..., 4)
-    best = jnp.argmax(norms2, axis=-1)
-    q = jnp.take_along_axis(cands, best[..., None, None], axis=-2)[..., 0, :]
+    # branch-free first-max selection (same semantics as the previous
+    # argmax + take_along_axis, which lowered to another batched gather)
+    best_n2 = jnp.maximum(jnp.maximum(norms2[0], norms2[1]),
+                          jnp.maximum(norms2[2], norms2[3]))
+    is_best = [norms2[0] == best_n2]
+    taken = is_best[0]
+    for r in range(1, 4):
+        hit = (norms2[r] == best_n2) & ~taken
+        is_best.append(hit)
+        taken = taken | hit
+    q = jnp.stack(
+        [sum(jnp.where(is_best[r], cands[r][c], 0.0) for r in range(4))
+         for c in range(4)], axis=-1)
     qn2 = jnp.sum(q * q, axis=-1, keepdims=True)
 
     identity = jnp.zeros_like(q).at[..., 0].set(1.0)

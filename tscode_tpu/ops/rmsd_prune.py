@@ -112,6 +112,30 @@ def _maxdev_pairs(P, Q):
     return jnp.max(jnp.sqrt(jnp.sum(diff * diff, axis=-1)), axis=-1)
 
 
+def _pair_gate_matrices(P, n_atoms):
+    '''
+    Pairwise (A, A) rmsd AND maxdev matrices over one pose block,
+    computing the QCP correlation ONCE for both gates (the block
+    screens previously evaluated S twice — once for the lambda-only
+    rmsd matrix, once inside the per-pair maxdev path).
+    P: (A, N, 3) -> (rmsd (A, A), maxdev (A, A)).
+    '''
+    S = jnp.einsum('ani,bnk->abik', P, P)
+    G = jnp.sum(P * P, axis=(-2, -1))
+    GA, GB = G[:, None], G[None, :]
+    lam = _qcp_lambda_max(S, GA, GB)
+    msd = (GA + GB - 2.0 * lam) / n_atoms
+    rmsd = jnp.sqrt(jnp.maximum(msd, 0.0))
+
+    K = _horn_key_matrix(S)
+    q_wxyz = _quaternion_from_key(K, lam)
+    q_xyzw = jnp.concatenate([q_wxyz[..., 1:], q_wxyz[..., :1]], axis=-1)
+    R = quaternion_to_rotation_matrix(q_xyzw)
+    diff = jnp.einsum('abij,anj->abni', R, P) - P[None, :, :, :]
+    maxdev = jnp.max(jnp.sqrt(jnp.sum(diff * diff, axis=-1)), axis=-1)
+    return rmsd, maxdev
+
+
 def _pad_to(x, n, axis=0):
     pad = n - x.shape[axis]
     if pad <= 0:
@@ -768,7 +792,7 @@ def _pair_kill_rect(Pr, Qc, valid, rmsd_thr):
 
 
 def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128,
-              stop_below=None):
+              stop_below=None, skip_ks=()):
     '''
     Banded mid-regime passes: actives are compacted once (order
     preserved, so same-chunk actives sit in contiguous runs); each
@@ -782,6 +806,15 @@ def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128,
     means an eligible pass could not run banded — the caller must NOT
     run later passes on device (order matters); host fallback resumes
     safely because re-running earlier passes is a no-op.
+
+    skip_ks (static): schedule ks ALREADY RUN by an earlier stage of
+    the same program (the fused in-place passes). Re-running a pass is
+    semantically a no-op — kills require both rows alive, and any pair
+    that passes the gates now also passed them when the pass first ran
+    — but each banded pass costs a full s_mid x W pair sweep, so the
+    re-runs were pure waste (3 of ~8 passes at the 1.66M-pose tier-2
+    config). Skipping them is survivor-exact by the same idempotency
+    argument.
     '''
     if stop_below is None:
         stop_below = _FINISH_MAX        # defined below (module constants)
@@ -805,7 +838,9 @@ def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128,
     pad_tail = m * tile
 
     pos = jnp.arange(s_mid, dtype=jnp.int32)
-    ks = jnp.asarray([int(k) for k in K_SCHEDULE], jnp.int32)
+    skip = {int(k) for k in skip_ks}
+    ks = jnp.asarray([int(k) for k in K_SCHEDULE
+                      if int(k) not in skip], jnp.int32)
 
     def local_windows(x):
         '''((G+m)*tile, ...) col span -> (G, W, ...) windows (padding
@@ -935,7 +970,8 @@ def _device_schedule(hs, alive, rmsd_thr, n, s_pad):
             need_mid2,
             lambda al: _mid_body(hs, al, jnp.asarray(n, jnp.int32),
                                  rmsd_thr, s_mid=s_mid2, band=_MID2_BAND,
-                                 stop_below=_MID_MAX),
+                                 stop_below=_MID_MAX,
+                                 skip_ks=_inplace_ks(n)),
             lambda al: (al, True, False), alive)
         active = jnp.sum(alive)
 
@@ -946,7 +982,8 @@ def _device_schedule(hs, alive, rmsd_thr, n, s_pad):
     alive, mid_ok, mid_done = jax.lax.cond(
         need_mid,
         lambda al: _mid_body(hs, al, jnp.asarray(n, jnp.int32),
-                             rmsd_thr, s_mid=_MID_MAX, band=_MID_BAND),
+                             rmsd_thr, s_mid=_MID_MAX, band=_MID_BAND,
+                             skip_ks=_inplace_ks(n)),
         lambda al: (al, True, False), alive)
     active = jnp.sum(alive)
 
