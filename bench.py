@@ -305,6 +305,17 @@ def run_device_pipeline(mol1, mol2):
     assert stats[1] == n_ok_warm
     vlog(f'fused pipeline warm (single-program finish: {bool(stats[2])})')
 
+    if os.environ.get('TSCODE_BENCH_STAGE') == '1':
+        # stage split: time the (already-compiled) embed+clash program
+        # alone — the fused-rep delta is the prune schedule's share
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            poses_s, ok_s = _embed_clash(args, N_ANGLES, pallas_pairs)
+            ok_s.block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        vlog(f'stage split: embed+clash alone {min(ts):.3f}s best of 3')
+
     # best-of-3 timed reps: the tunneled device link has rare
     # multi-second stalls that would otherwise corrupt the measurement.
     # One program runs embed -> clash -> compaction -> full RMSD-prune
