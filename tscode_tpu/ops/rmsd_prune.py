@@ -669,12 +669,6 @@ def _finish_body(hs, alive, n, rmsd_thr, s_pad):
     S_len = sub.shape[0]
     row_tile = min(_FINISH_ROW_TILE, S_len)
     n_tiles = S_len // row_tile
-    # 256-wide column blocks balance the per-lax.cond device sequencing
-    # cost (~0.2ms measured) against candidate sparsity: wider blocks
-    # (1024) nearly always contain a candidate and quadruple the heavy
-    # compute (measured 2x slower end-to-end)
-    col_block = min(_FINISH_ROW_TILE, S_len)
-    n_cblocks = S_len // col_block
 
     # schedule as data: ONE pass body compiled once, k dynamic inside
     # (static filter: active <= s_pad, so ks with 20k >= s_pad can
@@ -687,6 +681,14 @@ def _finish_body(hs, alive, n, rmsd_thr, s_pad):
         chunk = jnp.minimum(idx // cs, k - 1)
 
         def do(a):
+            # each row tile is evaluated against the FULL column span in
+            # one dense shot: per-(row,col)-block conds were launch-bound
+            # at tier-2 configs (~0.2-0.5 ms sequencing each x 2,048
+            # conds per schedule while the prescreen nearly always
+            # fired); S_len <= 4096 here so the dense (row_tile, S_len)
+            # pair tensors stay well under HBM. Kill semantics are
+            # identical — kills are collected against the pass-start
+            # alive mask either way.
             def row_body(r, kill_acc):
                 r0 = r * row_tile
                 P = jax.lax.dynamic_slice_in_dim(sub, r0, row_tile)
@@ -697,39 +699,26 @@ def _finish_body(hs, alive, n, rmsd_thr, s_pad):
                 cP = jax.lax.dynamic_slice_in_dim(chunk, r0, row_tile)
                 i_loc = r0 + jnp.arange(row_tile)
 
-                def col_body(cb, kill_rows):
-                    c0 = cb * col_block
-                    j_loc = c0 + jnp.arange(col_block)
-                    aQ = jax.lax.dynamic_slice_in_dim(a, c0, col_block)
-                    cQ = jax.lax.dynamic_slice_in_dim(chunk, c0, col_block)
-                    valid = aP[:, None] & aQ[None, :] & \
-                        (j_loc[None, :] > i_loc[:, None]) & \
-                        (cP[:, None] == cQ[None, :])
-                    rQ = jax.lax.dynamic_slice_in_dim(radii, c0, col_block)
-                    rQ2 = jax.lax.dynamic_slice_in_dim(r2_mean, c0,
-                                                       col_block)
-                    lb = rP2[:, None] + rQ2[None, :] \
-                        - (2.0 / N) * jnp.einsum('tn,cn->tc', rP, rQ)
-                    cand = (lb < rmsd_thr * rmsd_thr) & valid
+                j_loc = jnp.arange(S_len)
+                valid = aP[:, None] & a[None, :] & \
+                    (j_loc[None, :] > i_loc[:, None]) & \
+                    (cP[:, None] == chunk[None, :])
+                lb = rP2[:, None] + r2_mean[None, :] \
+                    - (2.0 / N) * jnp.einsum('tn,cn->tc', rP, radii)
+                cand = (lb < rmsd_thr * rmsd_thr) & valid
 
-                    def heavy(kill_rows):
-                        Q = jax.lax.dynamic_slice_in_dim(sub, c0, col_block)
-                        GB = jax.lax.dynamic_slice_in_dim(G_all, c0,
-                                                          col_block)
-                        Sm = jnp.einsum('tni,cnk->tcik', P, Q)
-                        lam = _qcp_lambda_max(Sm, GA[:, None], GB[None, :])
-                        msd = (GA[:, None] + GB[None, :] - 2.0 * lam) / n_dt
-                        rmsd = jnp.sqrt(jnp.maximum(msd, 0.0))
-                        hit = _two_gate_hits(rmsd, cand, rmsd_thr, N,
-                                             Sm, lam, P, Q)
-                        return kill_rows | jnp.any(hit, axis=1)
+                def heavy(_):
+                    Sm = jnp.einsum('tni,cnk->tcik', P, sub)
+                    lam = _qcp_lambda_max(Sm, GA[:, None], G_all[None, :])
+                    msd = (GA[:, None] + G_all[None, :] - 2.0 * lam) / n_dt
+                    rmsd = jnp.sqrt(jnp.maximum(msd, 0.0))
+                    hit = _two_gate_hits(rmsd, cand, rmsd_thr, N,
+                                         Sm, lam, P, sub)
+                    return jnp.any(hit, axis=1)
 
-                    return jax.lax.cond(jnp.any(cand), heavy,
-                                        lambda kk: kk, kill_rows)
-
-                kill_rows = jax.lax.fori_loop(
-                    0, n_cblocks, col_body,
-                    jnp.zeros(row_tile, dtype=bool))
+                kill_rows = jax.lax.cond(
+                    jnp.any(cand), heavy,
+                    lambda _: jnp.zeros(row_tile, dtype=bool), 0)
                 return jax.lax.dynamic_update_slice_in_dim(
                     kill_acc, kill_rows, r0, 0)
 
@@ -898,8 +887,24 @@ def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128,
                     (c_rows[:, :, None] == c_cols[:, None, :])
                 return _pair_kill_rect(rows, wincols, valid, rmsd_thr)
 
-            kill = jax.lax.map(group_body,
-                               jnp.arange(n_groups)).reshape(s_mid)
+            # the order-preserving compaction packs actives into the
+            # FIRST `active` slots, so groups past ceil(active/Gtile)
+            # hold only fill rows (a_ext False -> no valid pair -> no
+            # kill): bound the group sweep by the DYNAMIC live count
+            # instead of sweeping all n_groups. At the 1.66M-pose
+            # tier-2 config the wide-band pass runs with ~37k actives
+            # in 2^21 slots — 19 live groups out of 1,024 (the rest
+            # was pure fill sweep + per-step sequencing).
+            n_live = jnp.minimum((jnp.sum(a) + Gtile - 1) // Gtile,
+                                 n_groups).astype(jnp.int32)
+
+            def live_step(g, kill_buf):
+                return jax.lax.dynamic_update_slice_in_dim(
+                    kill_buf, group_body(g)[None], g, 0)
+
+            kill = jax.lax.fori_loop(
+                0, n_live, live_step,
+                jnp.zeros((n_groups, G, tile), dtype=bool)).reshape(s_mid)
             return a & ~kill
 
         ran = eligible & fits & ok
