@@ -847,8 +847,17 @@ def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128,
         cs = jnp.maximum(n // k, 1)
         chunk = jnp.minimum(idx // cs, k - 1)
         # largest same-chunk run among COMPACTED positions (chunk ids
-        # are non-decreasing); dead rows only shrink true runs
-        first = jnp.searchsorted(chunk, chunk, side='left')
+        # are non-decreasing); dead rows only shrink true runs.
+        # NOT searchsorted: its binary-search gathers over the full
+        # s_mid compaction cost ~0.2 s/pass at 2^20 slots on TPU and
+        # ran for every schedule pass — 2.4 s of the 2.8 s tier-2
+        # pipeline. A running max over run-start positions gives the
+        # same first-equal-element index with elementwise ops + one
+        # log-depth scan.
+        starts = jnp.concatenate(
+            [jnp.ones(1, bool), chunk[1:] != chunk[:-1]])
+        first = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(starts, pos, 0))
         max_run = jnp.max(jnp.where(real, pos - first, 0)) + 1
         fits = max_run <= band
 
