@@ -324,3 +324,30 @@ def test_thermochemistry_sigma_lowers_rot_entropy():
     blind = thermochemistry(freqs, nos, water, symmetry_number=1)
     dg = auto['g_corr'] - blind['g_corr']
     assert dg == pytest.approx(0.41, abs=0.02)
+
+
+def test_frequencies_self_route_without_ambient_x64():
+    '''On an f32 backend (no ambient x64, like the TPU), frequencies
+    must scope itself to CPU-x64 instead of raising — and match the
+    ambient-x64 result exactly (same dtype path either way).'''
+    import jax
+
+    coords = np.array([[0.0, 0, 0], [1.27, 0, 0]])
+    atomnos = np.array([1, 17])
+    efn = _diatomic_energy()
+    want, want_imag = frequencies(coords, atomnos, efn)
+
+    jax.config.update('jax_enable_x64', False)
+    try:
+        got, got_imag = frequencies(coords, atomnos, efn)
+        gotb, _ = frequencies_batch(coords[None], atomnos, efn)
+        g_f32, n_f32 = ff_free_energy(coords, atomnos, efn)
+    finally:
+        jax.config.update('jax_enable_x64', True)
+
+    assert got.dtype == np.float64
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    assert got_imag == want_imag == 0
+    np.testing.assert_allclose(gotb[0], want, rtol=1e-12)
+    g_x64, _ = ff_free_energy(coords, atomnos, efn)
+    assert g_f32 == pytest.approx(g_x64, abs=1e-9)

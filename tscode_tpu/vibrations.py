@@ -74,18 +74,26 @@ def _tr_rot_projector(coords, masses):
     return jnp.eye(3 * n) - q @ q.T
 
 
-def _require_x64():
-    '''Vibrational analysis is f64-only: without x64, JAX silently
-    downcasts the mass-weighted Hessian to f32, whose eigensolve can
-    report spurious near-zero imaginary modes that corrupt n_imag and
-    g_corr. Callers on an f32 accelerator backend must route these
-    computations through a CPU-x64 process (as tests/conftest.py and
-    the operator paths do).'''
-    if not jax.config.jax_enable_x64:
-        raise RuntimeError(
-            'vibrational analysis requires jax_enable_x64 (f32 Hessian '
-            'eigensolves produce spurious imaginary modes); enable x64 '
-            'or run this stage on the CPU backend')
+import contextlib
+
+
+@contextlib.contextmanager
+def _x64_cpu_scope():
+    '''Vibrational analysis is f64-only: in f32, the mass-weighted
+    Hessian eigensolve reports spurious near-zero imaginary modes that
+    corrupt n_imag and g_corr. When the ambient config already has x64
+    (CPU parity lane) this is a no-op; otherwise (f32 accelerator
+    backend) the computation is SCOPED to x64 on the host CPU backend
+    via the jax.enable_x64 config context — frequencies are a tiny
+    dense eigenproblem, not worth a device round-trip — so
+    thermochemistry works from any backend instead of raising. The scoped config is
+    part of the jit trace context, so f32 executables elsewhere are
+    unaffected.'''
+    if jax.config.jax_enable_x64:
+        yield
+        return
+    with jax.default_device(jax.devices('cpu')[0]), jax.enable_x64(True):
+        yield
 
 
 def frequencies(coords, atomnos, energy_fn, project=True):
@@ -96,20 +104,21 @@ def frequencies(coords, atomnos, energy_fn, project=True):
     ~0 and are zeroed. Mirrors the contract of the reference's ase_vib
     (ase_manipulations.py:348-380) without the per-displacement loop.
     '''
-    _require_x64()
-    coords = jnp.asarray(coords, dtype=jnp.float64)
-    masses = jnp.asarray(MASSES[np.asarray(atomnos)], dtype=coords.dtype)
-    h = mass_weighted_hessian(energy_fn, coords, masses)
-    h = 0.5 * (h + h.T)
-    if project:
-        p = _tr_rot_projector(coords, masses)
-        h = p @ h @ p
-    evals = jnp.linalg.eigvalsh(h)
-    freqs = jnp.sign(evals) * _FREQ_FACTOR * jnp.sqrt(jnp.abs(evals))
-    # zero out the projected rigid-body modes
-    freqs = jnp.where(jnp.abs(freqs) < 1.0, 0.0, freqs)
-    n_imag = int(jnp.sum(freqs < -1e-3))
-    return np.asarray(freqs), n_imag
+    with _x64_cpu_scope():
+        coords = jnp.asarray(np.asarray(coords), dtype=jnp.float64)
+        masses = jnp.asarray(MASSES[np.asarray(atomnos)],
+                             dtype=coords.dtype)
+        h = mass_weighted_hessian(energy_fn, coords, masses)
+        h = 0.5 * (h + h.T)
+        if project:
+            p = _tr_rot_projector(coords, masses)
+            h = p @ h @ p
+        evals = jnp.linalg.eigvalsh(h)
+        freqs = jnp.sign(evals) * _FREQ_FACTOR * jnp.sqrt(jnp.abs(evals))
+        # zero out the projected rigid-body modes
+        freqs = jnp.where(jnp.abs(freqs) < 1.0, 0.0, freqs)
+        n_imag = int(jnp.sum(freqs < -1e-3))
+        return np.asarray(freqs), n_imag
 
 
 import functools
@@ -136,12 +145,15 @@ def _freqs_batch_program(energy_fn, project):
 def frequencies_batch(coords_batch, atomnos, energy_fn, project=True):
     '''vmapped frequencies over a (B, N, 3) batch — one device program
     computes every Hessian. Returns (freqs (B, 3N), n_imag (B,)).'''
-    _require_x64()
-    coords_batch = jnp.asarray(coords_batch, dtype=jnp.float64)
-    masses = jnp.asarray(MASSES[np.asarray(atomnos)],
-                         dtype=coords_batch.dtype)
-    freqs = _freqs_batch_program(energy_fn, project)(coords_batch, masses)
-    return np.asarray(freqs), np.asarray(jnp.sum(freqs < -1e-3, axis=1))
+    with _x64_cpu_scope():
+        coords_batch = jnp.asarray(np.asarray(coords_batch),
+                                   dtype=jnp.float64)
+        masses = jnp.asarray(MASSES[np.asarray(atomnos)],
+                             dtype=coords_batch.dtype)
+        freqs = _freqs_batch_program(energy_fn, project)(coords_batch,
+                                                         masses)
+        return np.asarray(freqs), np.asarray(jnp.sum(freqs < -1e-3,
+                                                     axis=1))
 
 
 def _maps_onto_itself(coords, atomnos, rot, tol=0.15):
@@ -310,7 +322,6 @@ def frequencies_from_gradients(coords, atomnos, gradient_fn, dx=0.01,
     of ase.vibrations.Vibrations). Returns (freqs_cm (3N,), n_imag).'''
     from concurrent.futures import ThreadPoolExecutor
 
-    _require_x64()
     coords = np.asarray(coords, dtype=float)
     n = len(coords)
     flat = coords.reshape(-1)
@@ -332,11 +343,15 @@ def frequencies_from_gradients(coords, atomnos, gradient_fn, dx=0.01,
 
     masses = np.asarray(MASSES[np.asarray(atomnos)], dtype=float)
     w = 1.0 / np.sqrt(np.repeat(masses, 3))
-    h = jnp.asarray(hess * w[:, None] * w[None, :])
-    if project:
-        p = _tr_rot_projector(jnp.asarray(coords), jnp.asarray(masses))
-        h = p @ h @ p
-    evals = np.asarray(jnp.linalg.eigvalsh(h))
+    # the Hessian is assembled in host f64 above; only the projection +
+    # eigensolve need the x64 scope on an f32 accelerator backend
+    with _x64_cpu_scope():
+        h = jnp.asarray(hess * w[:, None] * w[None, :])
+        if project:
+            p = _tr_rot_projector(jnp.asarray(coords),
+                                  jnp.asarray(masses))
+            h = p @ h @ p
+        evals = np.asarray(jnp.linalg.eigvalsh(h))
     freqs = np.sign(evals) * _FREQ_FACTOR * np.sqrt(np.abs(evals))
     freqs = np.where(np.abs(freqs) < 1.0, 0.0, freqs)
     n_imag = int(np.sum(freqs < -1e-3))
@@ -355,5 +370,7 @@ def ff_free_energy(coords, atomnos, energy_fn, temperature=298.15,
     freqs, n_imag = frequencies(coords, atomnos, energy_fn)
     thermo = thermochemistry(freqs, atomnos, coords, temperature,
                              symmetry_number=symmetry_number)
-    e_el = float(energy_fn(jnp.asarray(coords, dtype=jnp.float64)))
+    with _x64_cpu_scope():
+        e_el = float(energy_fn(jnp.asarray(np.asarray(coords),
+                                           dtype=jnp.float64)))
     return e_el + thermo['g_corr'], n_imag
