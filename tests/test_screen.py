@@ -540,3 +540,26 @@ def test_inplace_body_big_tail_matches_single_block(monkeypatch):
 
     np.testing.assert_array_equal(got, want)
     assert got.sum() < n               # the pass actually pruned
+
+
+def test_mid_body_run_start_scan_matches_searchsorted():
+    '''The gather-free run-start scan inside _mid_body must reproduce
+    jnp.searchsorted(chunk, chunk, 'left') for sorted chunk ids with
+    interleaved dead rows — the quantity that gates banded-pass
+    eligibility (max same-chunk active run).'''
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        s = int(rng.integers(4, 400))
+        # sorted, duplicated chunk ids like a compacted pass sees
+        chunk = jnp.asarray(np.sort(rng.integers(0, max(2, s // 7), s))
+                            .astype(np.int32))
+        pos = jnp.arange(s, dtype=jnp.int32)
+        want = jnp.searchsorted(chunk, chunk, side='left')
+        starts = jnp.concatenate(
+            [jnp.ones(1, bool), chunk[1:] != chunk[:-1]])
+        got = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(starts, pos, 0))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
