@@ -219,7 +219,10 @@ def _pipeline_fused(coords1, coords2, centers1, vecs1, centers2, vecs2,
 
     idx = jnp.nonzero(ok, size=s_pool, fill_value=B)[0]
     alive0 = idx < B
-    heavy_survivors = poses[jnp.clip(idx, 0, B - 1)][:, heavy_idx]
+    # slice heavy atoms BEFORE the survivor row-gather: 77 ms/rep
+    # cheaper at tier-2 (gathered bytes drop 23->4 atoms/row;
+    # measured 0.306 vs 0.229 s embed+clash+compact, same hs)
+    heavy_survivors = poses[:, heavy_idx][jnp.clip(idx, 0, B - 1)]
 
     keep, n_final, finished = _device_schedule(
         heavy_survivors, alive0, jnp.asarray(0.5, poses.dtype),
@@ -336,7 +339,7 @@ def run_device_pipeline(mol1, mol2):
                 prune_conformers_rmsd_device
             poses2, ok2 = _embed_clash(args, N_ANGLES, pallas_pairs)
             idx2 = jnp.nonzero(ok2, size=pool_pad, fill_value=B)[0]
-            hs2 = poses2[jnp.clip(idx2, 0, B - 1)][:, heavy_idx]
+            hs2 = poses2[:, heavy_idx][jnp.clip(idx2, 0, B - 1)]
             mask = prune_conformers_rmsd_device(
                 hs2, rmsd_thr=0.5, init_mask=np.array(keep),
                 n_real=n_ok_warm)
