@@ -185,55 +185,118 @@ _GRID_TILE = 1 << 18
 
 
 @functools.partial(__import__('jax').jit,
-                   static_argnames=('n_angles', 'n_tiles', 'tile_b',
+                   static_argnames=('n_angles', 'n_tiles', 'c2_per_tile',
                                     'pallas_pairs'))
 def _embed_clash_all_mapped(coords1, coords2, centers1, vecs1, centers2,
                             vecs2, pair_mask, angles, n_angles, n_tiles,
-                            tile_b, pallas_pairs=None):
-    '''Tiled form of _embed_clash_all: a lax.map over flat-index tiles
-    keeps the live intermediates (distance matrices, einsum temps) at
-    one tile's footprint while still being ONE dispatch. Returns
-    (poses, clash_ok) padded to n_tiles*tile_b rows; padded tails have
-    clash_ok False.'''
+                            c2_per_tile, pallas_pairs=None):
+    '''Tiled form of _embed_clash_all: a lax.map over blocks of the
+    OUTERMOST (c2) grid axis keeps the live intermediates at one tile's
+    footprint while still being ONE dispatch. Tiling by c2 keeps every
+    tile axis-aligned, so each tile is the same gather-free BROADCAST
+    program as the whole-grid form (a flat-index tile would cut across
+    the cartesian axes and force per-pose gathers — 61% of the tier-2
+    rep before the broadcast rewrite). Returns (poses, clash_ok)
+    padded to n_tiles*c2_per_tile*stride rows; padded tails (clamped
+    duplicate c2 rows) report clash_ok False.'''
     import jax
     import jax.numpy as jnp
 
+    from tscode_tpu.ops.linalg import (rot_mat_from_pointer,
+                                       rotation_matrix_from_vectors)
+
     n1c, k1 = centers1.shape[0], centers1.shape[1]
     n2c, k2 = centers2.shape[0], centers2.shape[1]
-    B = n1c * n2c * k1 * k2 * n_angles
+    A = n_angles
+    stride = n1c * k2 * k1 * A               # rows per c2 value
+    B = n2c * stride
+    g = c2_per_tile
+    tile_b = g * stride
 
-    def tile(r0):
-        r = r0 + jnp.arange(tile_b, dtype=jnp.int32)
-        return _embed_clash_body(r, coords1, coords2, centers1, vecs1,
-                                 centers2, vecs2, pair_mask, angles,
-                                 n_angles, pallas_pairs, B)
+    # pad the c2 axis so every tile's slice is in-bounds (a CLAMPED
+    # tail slice would shift its c2 content against the tile's flat
+    # row labels and corrupt real rows — caught by the CPU equality
+    # check at n2c % g != 0). Edge rows keep the math NaN-free; their
+    # poses land at flat rows >= B and are masked dead below.
+    pad_c2 = n_tiles * g - n2c
+    if pad_c2:
+        centers2 = jnp.concatenate(
+            [centers2, jnp.repeat(centers2[-1:], pad_c2, axis=0)])
+        vecs2 = jnp.concatenate(
+            [vecs2, jnp.repeat(vecs2[-1:], pad_c2, axis=0)])
+        coords2 = jnp.concatenate(
+            [coords2, jnp.repeat(coords2[-1:], pad_c2, axis=0)])
 
-    starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile_b
-    poses, ok = jax.lax.map(tile, starts)
+    p1 = centers1[None, :, None, :, None]    # (1, n1c, 1, k1, 1, 3)
+    ref_vec = vecs1[None, :, None, :, None]
+    ang = angles[None, None, None, None, :]
+    align_ref = -ref_vec
+    spin = rot_mat_from_pointer(
+        jnp.broadcast_to(ref_vec, ref_vec.shape[:4] + (A, 3)),
+        jnp.broadcast_to(ang, ref_vec.shape[:4] + (A,)))
+
+    def tile(k):
+        c2_lo = k * g                        # clamped slice: tail tiles
+        c2b = jax.lax.dynamic_slice_in_dim(centers2, c2_lo, g)
+        v2b = jax.lax.dynamic_slice_in_dim(vecs2, c2_lo, g)
+        x2b = jax.lax.dynamic_slice_in_dim(coords2, c2_lo, g)
+
+        p2 = c2b[:, None, :, None, None]     # (g, 1, k2, 1, 1, 3)
+        mol_vec = v2b[:, None, :, None, None]
+        align = rotation_matrix_from_vectors(mol_vec, align_ref)
+        R = jnp.einsum('...ij,...jk->...ik', spin, align)
+        t = p1 - jnp.einsum('...ij,...j->...i', R, p2)
+        f2 = jnp.einsum('...ij,...nj->...ni', R,
+                        x2b[:, None, None, None, None]) + t[..., None, :]
+        shape5 = (g, n1c, k2, k1, A)
+        f1 = jnp.broadcast_to(coords1[None, :, None, None, None],
+                              shape5 + coords1.shape[1:])
+        f2 = jnp.broadcast_to(f2, shape5 + f2.shape[-2:])
+        poses = jnp.concatenate([f1, f2], axis=-2).reshape(
+            (tile_b, coords1.shape[1] + coords2.shape[1], 3))
+
+        if pallas_pairs is not None:
+            from tscode_tpu.ops.pallas.clash import clash_ok_traced
+            ok = clash_ok_traced(poses, pallas_pairs, 1.5)
+        else:
+            a2 = jnp.sum(poses * poses, axis=-1)
+            ab = jnp.einsum('bni,bmi->bnm', poses, poses)
+            d2 = jnp.maximum(
+                a2[:, :, None] + a2[:, None, :] - 2.0 * ab, 0.0)
+            ok = jnp.sum((d2 < 1.5 * 1.5) & pair_mask,
+                         axis=(-2, -1)) <= 0
+        rows = k * tile_b + jnp.arange(tile_b, dtype=jnp.int32)
+        return poses, ok & (rows < B)
+
+    poses, ok = jax.lax.map(tile, jnp.arange(n_tiles, dtype=jnp.int32))
     return (poses.reshape((-1,) + poses.shape[2:]), ok.reshape(-1))
 
 
 def _embed_clash(args, n_angles, pallas_pairs):
     '''Select whole-grid vs tiled embed+clash by grid size.'''
     centers1, centers2 = args[2], args[4]
-    B = (centers1.shape[0] * centers2.shape[0] * centers1.shape[1]
-         * centers2.shape[1] * n_angles)
+    n1c, k1 = centers1.shape[0], centers1.shape[1]
+    n2c, k2 = centers2.shape[0], centers2.shape[1]
+    B = n1c * n2c * k1 * k2 * n_angles
     if B <= _WHOLE_GRID_MAX:
         return _embed_clash_all(*args, n_angles=n_angles,
                                 pallas_pairs=pallas_pairs)
-    n_tiles = -(-B // _GRID_TILE)
+    stride = n1c * k2 * k1 * n_angles
+    c2_per_tile = max(1, _GRID_TILE // stride)
+    n_tiles = -(-n2c // c2_per_tile)
     return _embed_clash_all_mapped(*args, n_angles=n_angles,
-                                   n_tiles=n_tiles, tile_b=_GRID_TILE,
+                                   n_tiles=n_tiles,
+                                   c2_per_tile=c2_per_tile,
                                    pallas_pairs=pallas_pairs)
 
 
 @functools.partial(
     __import__('jax').jit,
     static_argnames=('n_angles', 'n_ok', 's_pool', 'pallas_pairs',
-                     'n_tiles', 'tile_b'))
+                     'n_tiles', 'c2_per_tile'))
 def _pipeline_fused(coords1, coords2, centers1, vecs1, centers2, vecs2,
                     pair_mask, angles, heavy_idx, n_angles, n_ok, s_pool,
-                    pallas_pairs=None, n_tiles=None, tile_b=None):
+                    pallas_pairs=None, n_tiles=None, c2_per_tile=None):
     '''The ENTIRE pipeline as one device program: embed grid -> clash ->
     survivor compaction -> whole-schedule RMSD prune. The pruned
     ensemble stays device-resident (as it would feeding a downstream
@@ -252,8 +315,8 @@ def _pipeline_fused(coords1, coords2, centers1, vecs1, centers2, vecs2,
     else:
         poses, ok = _embed_clash_all_mapped.__wrapped__(
             coords1, coords2, centers1, vecs1, centers2, vecs2,
-            pair_mask, angles, n_angles, n_tiles=n_tiles, tile_b=tile_b,
-            pallas_pairs=pallas_pairs)
+            pair_mask, angles, n_angles, n_tiles=n_tiles,
+            c2_per_tile=c2_per_tile, pallas_pairs=pallas_pairs)
     B = poses.shape[0]
     n_ok_dev = jnp.sum(ok)
 
@@ -320,13 +383,15 @@ def run_device_pipeline(mol1, mol2):
     vlog(f'clash kernel: {"pallas" if pallas_pairs else "xla"}')
 
     # warmup compile of the embed program (whole-grid or tiled by size)
-    B_total = (mol1.n_confs * mol2.n_confs * centers1.shape[1]
-               * centers2.shape[1] * N_ANGLES)
+    k1, k2 = centers1.shape[1], centers2.shape[1]
+    B_total = mol1.n_confs * mol2.n_confs * k1 * k2 * N_ANGLES
     if B_total <= _WHOLE_GRID_MAX:
-        tiling = dict(n_tiles=None, tile_b=None)
+        tiling = dict(n_tiles=None, c2_per_tile=None)
     else:
-        tiling = dict(n_tiles=-(-B_total // _GRID_TILE),
-                      tile_b=_GRID_TILE)
+        stride = mol1.n_confs * k2 * k1 * N_ANGLES
+        c2_per_tile = max(1, _GRID_TILE // stride)
+        tiling = dict(n_tiles=-(-mol2.n_confs // c2_per_tile),
+                      c2_per_tile=c2_per_tile)
     poses, ok = _embed_clash(args, N_ANGLES, pallas_pairs)
     poses.block_until_ready()
     B = poses.shape[0]                 # padded rows for the tiled form
