@@ -123,15 +123,17 @@ def test_tiled_embed_matches_whole_grid(monkeypatch):
         *args, n_angles=bench.N_ANGLES, pallas_pairs=None)
     B = poses_w.shape[0]                               # 4*4*2*36 = 1152
 
-    tile_b = 256                                       # pads B -> 1280
-    n_tiles = -(-B // tile_b)
+    # c2-aligned tiles (3 does not divide n2c=4 -> padded tail tile)
+    c2_per_tile = 3
+    n_tiles = -(-centers2.shape[0] // c2_per_tile)
     poses_t, ok_t = bench._embed_clash_all_mapped(
-        *args, n_angles=bench.N_ANGLES, n_tiles=n_tiles, tile_b=tile_b,
-        pallas_pairs=None)
+        *args, n_angles=bench.N_ANGLES, n_tiles=n_tiles,
+        c2_per_tile=c2_per_tile, pallas_pairs=None)
 
-    assert poses_t.shape[0] == n_tiles * tile_b
+    stride = B // centers2.shape[0]
+    assert poses_t.shape[0] == n_tiles * c2_per_tile * stride
     np.testing.assert_array_equal(np.asarray(ok_t[:B]),
                                   np.asarray(ok_w))
     assert not np.asarray(ok_t[B:]).any(), 'padded tail must not survive'
     np.testing.assert_allclose(np.asarray(poses_t[:B]),
-                               np.asarray(poses_w), atol=0)
+                               np.asarray(poses_w), atol=1e-12)
