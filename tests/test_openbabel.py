@@ -20,6 +20,21 @@ def test_method_validation():
                              method='B3LYP')
 
 
+def test_probe_openbabel_fails_fast(monkeypatch):
+    '''The FFCALC=OB refine stage probes availability ONCE up front: a
+    systemic failure must raise a clear InputError, not silently mask
+    out every structure (advisor r3 finding).'''
+    import shutil
+    monkeypatch.setattr(ob_mod, '_have_ob_bindings', lambda: False)
+    monkeypatch.setattr(shutil, 'which', lambda _: None)
+    with pytest.raises(InputError, match='FFCALC=OB needs OpenBabel'):
+        ob_mod.probe_openbabel('UFF')
+    with pytest.raises(InputError, match='force fields'):
+        ob_mod.probe_openbabel('GFN-FF')
+    monkeypatch.setattr(ob_mod, '_have_ob_bindings', lambda: True)
+    ob_mod.probe_openbabel('UFF')    # available -> no raise
+
+
 def test_stepwise_distance_walk_reaches_target():
     '''The walk re-optimizes after EVERY 0.2 A step (the reference's
     recursion exists to prevent teleport-induced scrambling) and lands
@@ -119,6 +134,10 @@ def test_ffcalc_ob_routes_force_field_refining(tmp_path, monkeypatch):
                         fake_ob_opt)
     monkeypatch.setattr('tscode_tpu.calculators.xtb.xtb_opt',
                         fake_xtb_opt)
+    # satisfy the stage's fail-fast availability probe (no OpenBabel in
+    # the test image; the opt itself is faked above)
+    monkeypatch.setattr(
+        'tscode_tpu.calculators.openbabel._have_ob_bindings', lambda: True)
 
     fix = os.path.join(os.path.dirname(__file__), 'fixtures')
     for name in ('C2H4.xyz', 'CH3Cl.xyz'):

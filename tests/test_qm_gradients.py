@@ -344,6 +344,33 @@ def test_parse_mopac_gradients():
     assert g[1, 0] == pytest.approx(-1.234567)
 
 
+def test_mopac_gradient_emits_solvent_keyword(monkeypatch):
+    '''A solvated run's NEB/SADDLE gradients must carry the same EPS=
+    solvation keyword as its optimization stages (advisor r3 finding:
+    the .mop written by mopac_gradient silently dropped the solvent).'''
+    import tscode_tpu.calculators.gradients as gradients_mod
+    written = {}
+
+    def fake_check_call(cmd, stdout=None, stderr=None, cwd=None, **kw):
+        with open(os.path.join(cwd, cmd[-1])) as f:
+            written['mop'] = f.read()
+        with open(os.path.join(cwd, 'grad_sp.out'), 'w') as f:
+            f.write(CANNED_MOPAC_GRAD)
+        return 0
+
+    monkeypatch.setattr(gradients_mod.subprocess, 'check_call',
+                        fake_check_call)
+    coords = np.array([[0.0, 0.0, 0.0], [1.09, 0.0, 0.0]])
+    e, _ = gradients_mod.mopac_gradient(coords, np.array([6, 1]),
+                                        solvent='water')
+    keyword_line = written['mop'].splitlines()[0]
+    assert 'EPS=' in keyword_line
+    assert e == pytest.approx(-12.34567)
+    # gas phase stays clean
+    _ = gradients_mod.mopac_gradient(coords, np.array([6, 1]))
+    assert 'EPS=' not in written['mop'].splitlines()[0]
+
+
 def test_orca_gradient_canned_subprocess(monkeypatch):
     '''ORCA EnGrad adapter end-to-end with a fake orca binary: the
     input carries `! <method> EnGrad` and the .engrad file is parsed

@@ -299,6 +299,79 @@ def test_rmsd_prune_device_resident_init_mask():
     np.testing.assert_array_equal(got, mask)
 
 
+def test_mid_body_banded_kills_beyond_live_count():
+    '''Regression: the banded group sweep must cover the SPAN of live
+    rows, not ceil(live_count / Gtile) groups. After an earlier pass of
+    the same _mid_body loop kills rows, survivors sit scattered across
+    the entry compaction — a count-based bound skipped trailing groups
+    that still held live duplicate pairs (advisor r3 HIGH finding).
+
+    Construction (n = 8192, band = 512 -> Gtile = 4096, 2 groups):
+      * rows 0..4799 are exact duplicates in k=200-chunk-aligned blocks
+        of 40 -> the first eligible pass (k=200) kills 4680 rows,
+        dropping the live COUNT to 3512 (< 4096 = one group) while live
+        rows still span both groups;
+      * rows 6000/6040 are an exact duplicate pair in group 1 that is
+        same-chunk only from the k=100 pass on -> under the buggy bound
+        that pass swept group 0 only and the pair survived;
+      * distinct families get distinct Frobenius norms with a 1.5 gap,
+        so cross-family RMSD >= |dnorm|/sqrt(N) = 0.67 > thr regardless
+        of rotation — kill decisions reduce exactly to family-id
+        equality and the oracle below is exact. (Extreme translation
+        offsets are NOT usable here: they push the fixed-iteration QCP
+        Newton solve outside its production coordinate envelope.)
+    '''
+    import jax.numpy as jnp
+    n, band, thr = 8192, 512, 0.5
+
+    fam = np.arange(n)
+    for c in range(120):                       # k=200 chunks: 40 rows
+        fam[40 * c:40 * (c + 1)] = fam[40 * c]
+    fam[6040] = fam[6000]
+    g = np.random.default_rng(17)
+    base = g.normal(size=(5, 3))
+    base /= np.sqrt((base * base).sum())
+    # fam % 1024 stays injective within any chunk window (spans <= 421)
+    scale = 10.0 + 1.5 * (fam % 1024)
+    hs = base[None] * scale[:, None, None]
+
+    got, ok, _ = rmsd_prune._mid_body(
+        jnp.asarray(hs), jnp.ones(n, bool), jnp.asarray(n, jnp.int32),
+        jnp.asarray(thr, hs.dtype), s_mid=n, band=band, stop_below=8)
+    got = np.asarray(got)
+
+    # family-id oracle replicating _mid_body's pass semantics: chunks by
+    # ORIGINAL index, simultaneous kills (entry-of-pass liveness), pass
+    # gates (k==1 or 20k<active) & active>stop_below, band-fit stop
+    mask = np.ones(n, bool)
+    oracle_ok = True
+    idx = np.arange(n)
+    for k in (int(k) for k in rmsd_prune.K_SCHEDULE):
+        active = int(mask.sum())
+        eligible = (k == 1 or 20 * k < active) and active > 8
+        chunk = np.minimum(idx // max(n // k, 1), k - 1)
+        runs = np.diff(np.flatnonzero(
+            np.r_[True, chunk[1:] != chunk[:-1], True]))
+        fits = runs.max() <= band
+        if eligible and fits and oracle_ok:
+            new = mask.copy()
+            for c in np.unique(chunk):
+                rows = idx[(chunk == c) & mask]
+                fams = fam[rows]
+                # kill i when any later same-family row is alive
+                dup_later = np.array([(fams[i + 1:] == fams[i]).any()
+                                      for i in range(len(rows))])
+                if dup_later.any():
+                    new[rows[dup_later]] = False
+            mask = new
+        oracle_ok = oracle_ok and (fits or not eligible)
+
+    assert bool(ok) == oracle_ok
+    # the planted group-1 pair: earlier row dies, later survives
+    assert mask[6000] == False and mask[6040] == True  # noqa: E712
+    np.testing.assert_array_equal(got, mask)
+
+
 def test_rmsd_similarity_sequential():
     structures, _ = _clustered_ensemble(10)
     ref = structures[0]

@@ -236,7 +236,13 @@ def ff_refine_pipeline(embedder, conv_thr='tight',
         # OpenBabel (bindings preferred, CLI fallback for free opts).
         # No xtb_pre_opt analog exists — the scramble gate below is the
         # safety net for the prevent_scrambling pass.
-        from tscode_tpu.calculators.openbabel import openbabel_opt
+        from tscode_tpu.calculators.openbabel import (openbabel_opt,
+                                                      probe_openbabel)
+
+        # systemic problems (no bindings AND no CLI, bad FFLEVEL) fail
+        # fast here; the per-job except below stays for genuine
+        # per-structure crashes
+        probe_openbabel(embedder.options.ff_level or 'UFF')
 
         def opt_callable(coords, atomnos, constrained_indices=None,
                          constrained_distances=None, title='temp_ob',

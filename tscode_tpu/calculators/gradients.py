@@ -235,8 +235,15 @@ def mopac_gradient(coords, atomnos, method='PM7', solvent=None, charge=0,
     from tscode_tpu.pt import SYMBOLS
     from tscode_tpu.settings import COMMANDS
 
+    from tscode_tpu.solvents import get_solvent_line
+
     coords = np.asarray(coords, dtype=float)
     keywords = f'{method} 1SCF GRADIENTS CHARGE={int(charge)}'
+    if solvent is not None:
+        # same keyword form as the optimization stages (calculators/
+        # mopac.py): omitting it ran NEB/SADDLE gradients gas-phase
+        # while the rest of the run was solvated
+        keywords += ' ' + get_solvent_line(solvent, 'MOPAC', method)
     body = ''.join(
         f'{SYMBOLS[int(a)]} {x: .8f} 1 {y: .8f} 1 {z: .8f} 1\n'
         for a, (x, y, z) in zip(atomnos, coords))

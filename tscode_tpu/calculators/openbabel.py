@@ -38,6 +38,25 @@ def _have_ob_bindings():
         return False
 
 
+def probe_openbabel(method='UFF'):
+    '''Fail-fast availability check for the FFCALC=OB refine stage:
+    raises InputError with an actionable message when neither the
+    python bindings nor the obabel CLI are present, or when the
+    requested force field is not one OpenBabel implements. Without
+    this, a systemic failure surfaced only as every job being masked
+    out and a confusing downstream ZeroCandidatesError.'''
+    import shutil
+    if method not in _OB_METHODS:
+        raise InputError(
+            f'OpenBabel implements only the {", ".join(_OB_METHODS)} '
+            f'force fields (got {method!r}); set FFLEVEL accordingly.')
+    if not _have_ob_bindings() and shutil.which('obabel') is None:
+        raise InputError(
+            'FFCALC=OB needs OpenBabel, but neither the python bindings '
+            '(openbabel module) nor the obabel CLI are available. '
+            'Install one of them, or use FFCALC=XTB.')
+
+
 def _place_at_distance(structure, a, b, target_d):
     '''Move atom b along the a->b axis so |b - a| == target_d.'''
     delta_vec = structure[b] - structure[a]

@@ -897,14 +897,19 @@ def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128,
                 return _pair_kill_rect(rows, wincols, valid, rmsd_thr)
 
             # the order-preserving compaction packs actives into the
-            # FIRST `active` slots, so groups past ceil(active/Gtile)
-            # hold only fill rows (a_ext False -> no valid pair -> no
-            # kill): bound the group sweep by the DYNAMIC live count
-            # instead of sweeping all n_groups. At the 1.66M-pose
-            # tier-2 config the wide-band pass runs with ~37k actives
-            # in 2^21 slots — 19 live groups out of 1,024 (the rest
-            # was pure fill sweep + per-step sequencing).
-            n_live = jnp.minimum((jnp.sum(a) + Gtile - 1) // Gtile,
+            # FIRST slots at ENTRY, but earlier passes of this loop
+            # kill rows in place — survivors then sit scattered across
+            # the original span, so bounding the sweep by the live
+            # COUNT (ceil(sum(a)/Gtile)) skips trailing groups that
+            # still hold live rows and misses kills. Bound by the SPAN
+            # instead: the last live compacted position. Groups wholly
+            # past it hold only dead/fill rows (a False -> no valid
+            # pair -> no kill), so skipping them stays exact. At the
+            # 1.66M-pose tier-2 config the wide-band pass still runs
+            # ~19 live groups of 1,024 on entry (actives compacted),
+            # and later passes sweep whatever span survives.
+            last = jnp.max(jnp.where(a, pos, -1))
+            n_live = jnp.minimum((last + Gtile) // Gtile,
                                  n_groups).astype(jnp.int32)
 
             def live_step(g, kill_buf):

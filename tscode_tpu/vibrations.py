@@ -88,12 +88,21 @@ def _x64_cpu_scope():
     dense eigenproblem, not worth a device round-trip — so
     thermochemistry works from any backend instead of raising. The scoped config is
     part of the jit trace context, so f32 executables elsewhere are
-    unaffected.'''
+    unaffected.
+
+    Yields the CPU device the scope pins (None when it is a no-op) so
+    callers can `jax.device_put` their inputs onto it — a committed
+    accelerator-resident input would otherwise raise a device mismatch
+    inside the scope. CONTRACT for energy_fn builders: keep captured
+    parameter arrays UNCOMMITTED (plain `jnp.asarray`, as
+    ff.params_to_device does — uncommitted arrays follow the scoped
+    default device); never `jax.device_put(..., device)` them.'''
     if jax.config.jax_enable_x64:
-        yield
+        yield None
         return
-    with jax.default_device(jax.devices('cpu')[0]), jax.enable_x64(True):
-        yield
+    cpu = jax.devices('cpu')[0]
+    with jax.default_device(cpu), jax.enable_x64(True):
+        yield cpu
 
 
 def frequencies(coords, atomnos, energy_fn, project=True):
