@@ -159,6 +159,75 @@ def test_neb_operator_uses_qm_gradients_when_calc_present(tmp_path,
     assert (tmp_path / 'ends_NEB_TS.xyz').exists()
 
 
+def test_neb_operator_recovers_from_crashed_gradient(tmp_path,
+                                                     monkeypatch):
+    '''Fault-tolerance parity with the reference's neb_operator
+    (reference operators.py:281,352-375): a gradient subprocess that
+    dies MID-BAND must not lose the run — the band restarts from the
+    periodic checkpoint and completes.'''
+    import subprocess as sp
+
+    import tscode_tpu.calculators.gradients as gradients_mod
+    import tscode_tpu.settings as settings_mod
+    from tscode_tpu.embedder import Embedder
+    from tscode_tpu.io_xyz import read_xyz, write_xyz
+
+    data = read_xyz(os.path.join(FIX, 'HCOOH.xyz'))
+    base = data.atomcoords[0]
+    # proton-transfer-like product: H4 relocated past the carbonyl O
+    prod = base.copy()
+    prod[4] = base[1] + (base[1] - base[0]) \
+        / np.linalg.norm(base[1] - base[0]) * 0.97
+    with open(tmp_path / 'ends.xyz', 'w') as f:
+        write_xyz(base, data.atomnos, f, title='reagent')
+        write_xyz(prod, data.atomnos, f, title='product')
+
+    # analytic double-well for atom 4 between its end positions plus a
+    # harmonic tether on the others: a REAL interior barrier, so the
+    # band needs many gradient evaluations (the FF fake converges in
+    # one step and the crash injection would never fire)
+    A, B = base[4].copy(), prod[4].copy()
+    d2 = float(np.sum((A - B) ** 2))
+    calls = {'n': 0, 'crashes': 0}
+
+    def flaky_xtb_gradient(coords, atomnos, **kw):
+        calls['n'] += 1
+        # die mid-band twice, well after the first checkpoints landed
+        if calls['n'] in (40, 200):
+            calls['crashes'] += 1
+            raise sp.CalledProcessError(137, 'xtb')
+        c = np.asarray(coords, float)
+        da, db = c[4] - A, c[4] - B
+        na2, nb2 = float(da @ da), float(db @ db)
+        e = 10.0 * na2 * nb2 / d2 + 5.0 * float(np.sum((c[:4] - base[:4]) ** 2))
+        g = np.zeros_like(c)
+        g[4] = 20.0 * (da * nb2 + db * na2) / d2
+        g[:4] = 10.0 * (c[:4] - base[:4])
+        return e, g
+
+    monkeypatch.setattr(settings_mod, 'XTB_AVAILABLE', True)
+    monkeypatch.setattr(gradients_mod, 'xtb_gradient', flaky_xtb_gradient)
+
+    inp = tmp_path / 'input.txt'
+    inp.write_text('NOOPT IMAGES=5 CALC=XTB\nneb> ends.xyz\n')
+    cwd = os.getcwd()
+    try:
+        emb = Embedder(str(inp), stamp='nebcrash')
+        emb.run()
+    finally:
+        os.chdir(cwd)
+
+    assert calls['crashes'] == 2, 'the crash injection never fired'
+    assert (tmp_path / 'ends_MEP.xyz').exists()
+    assert (tmp_path / 'ends_NEB_TS.xyz').exists()
+    assert (tmp_path / 'ends_MEP_chkpt.xyz').exists()
+    log = (tmp_path / 'tscode_nebcrash.log').read_text()
+    assert 'restarting from checkpoint' in log
+    # the checkpoint band is a readable ensemble of the run's images
+    chk = read_xyz(str(tmp_path / 'ends_MEP_chkpt.xyz'))
+    assert chk.atomcoords.shape[1:] == base.shape
+
+
 def test_saddle_operator_uses_qm_gradients_when_calc_present(
         tmp_path, monkeypatch):
     '''saddle> wiring: with CALC=XTB and a faked xtb --grad, the dimer

@@ -29,6 +29,62 @@ def _run_scan(tmp_path, content, stamp, files):
         os.chdir(cwd)
 
 
+def _reference_peaks(data, min_thr, max_thr):
+    '''Sequential transcription of the reference rule (reference
+    atropisomer_module.py:286-307) for oracle comparison: range(l-2)
+    bound, python negative-index wrap at i=0, strict-left/loose-right
+    neighbor test, threshold window, 5-point window maximum. i < 2
+    window slices that the reference would crash on (empty max) are
+    clipped exactly like the production function.'''
+    l = len(data)
+    return [i for i in range(l - 2) if (
+        data[i - 1] < data[i] >= data[i + 1]
+        and max_thr > data[i] > min_thr
+        and data[i] == max(data[max(i - 2, 0):i + 3])
+    )]
+
+
+def test_atropisomer_peaks_reference_oracle():
+    from tscode_tpu.scans import atropisomer_peaks
+
+    # hand-built trace: shoulder peak at 4 (8.0) is NOT the 5-window
+    # max (10.0 at index 6 within [4, 9)) -> rejected by the window
+    # rule; the real peak at 6 survives; 14 is a plateau (loose right);
+    # 18/19 are excluded by the range(l-2) bound
+    trace = [0.0, 1.0, 0.5, 6.0, 8.0, 9.0, 10.0, 3.0, 2.0, 1.0,
+             0.5, 0.8, 0.2, 5.0, 6.0, 6.0, 0.4, 0.1, 7.0, 7.5]
+    got = atropisomer_peaks(trace, min_thr=0.1, max_thr=75)
+    want = _reference_peaks(trace, 0.1, 75)
+    assert got == want
+    assert 4 not in got and 6 in got            # window rule
+    assert 18 not in got and 19 not in got      # last-two exclusion
+
+    # the shoulder at index 3 of a 1-degree-like noisy re-scan: local
+    # max by neighbors but dominated within the 5-point window
+    shoulder = [0.0, 2.0, 1.9, 2.1, 1.8, 2.5, 0.3, 0.2, 0.1, 0.0]
+    got = atropisomer_peaks(shoulder, min_thr=0.1, max_thr=75)
+    assert got == _reference_peaks(shoulder, 0.1, 75)
+    assert 3 not in got and 5 in got
+
+    # randomized traces: noisy scans over many seeds
+    for seed in range(20):
+        g = np.random.default_rng(seed)
+        data = np.abs(np.cumsum(g.normal(size=36))) * 3.0
+        data[0] = 0.0
+        got = atropisomer_peaks(data, min_thr=0.5, max_thr=50)
+        assert got == _reference_peaks(list(data), 0.5, 50)
+
+    # wraparound quirk at i=0: the left neighbor is the LAST element,
+    # so a final value >= the first rejects index 0
+    wrap = [5.0, 1.0, 0.5, 0.2, 0.1, 0.3, 0.2, 6.0]
+    got = atropisomer_peaks(wrap, min_thr=0.1, max_thr=75)
+    assert got == _reference_peaks(wrap, 0.1, 75) == []
+    # ...while a smaller final value admits it (clipped window)
+    wrap[-1] = 4.0
+    got = atropisomer_peaks(wrap, min_thr=0.1, max_thr=75)
+    assert got == _reference_peaks(wrap, 0.1, 75) == [0]
+
+
 def test_distance_scan_end_to_end(tmp_path):
     '''O...H approach scan on HCOOH: writes the trajectory, the peak
     structure and the SVG plot; energies finite.'''

@@ -1487,19 +1487,21 @@ class RunEmbedding(Embedder):
 
         except ZeroCandidatesError:
             t_end_run = time.perf_counter()
-            s = ('    Sorry, the program did not find any reasonable '
-                 'embedded structure. Are you sure the input indices and '
-                 'pairings were correct? If so, try these tips:\n'
-                 '    - If no structure passes the compenetration check, '
-                 'the SHRINK keyword may help (see documentation).\n'
-                 '    - Similarly, enlarging the spacing between atom pairs '
-                 'with the DIST keyword facilitates the embed.\n'
-                 '    - If no structure passes the fitness check, try adding '
-                 'a solvent with the SOLVENT keyword.\n'
-                 '    - Impose less strict compenetration rejection criteria '
-                 'with the CLASHES keyword.\n'
-                 '    - Generate more structures with higher STEPS and '
-                 'ROTRANGE values.\n')
+            s = ('    Every embedded pose was discarded along the way. '
+                 'First double-check the reactive indices and letter '
+                 'pairings in the input; if those are right, some knobs '
+                 'worth turning:\n'
+                 '    - SHRINK pulls orbital centers outward, which helps '
+                 'when the compenetration check rejects everything (see '
+                 'the docs).\n'
+                 '    - Widening the pairing distances with DIST gives the '
+                 'fragments more room for the same reason.\n'
+                 '    - SOLVENT can rescue candidates that die at the '
+                 'fitness check.\n'
+                 '    - CLASHES relaxes the clash-rejection thresholds '
+                 'directly.\n'
+                 '    - Higher STEPS and ROTRANGE values simply generate a '
+                 'larger starting pool.\n')
             self.log(f'\n--> Program termination: No candidates found - '
                      f'Total time '
                      f'{time_to_string(t_end_run - self.t_start_run)}')

@@ -240,7 +240,8 @@ def _band_step(state, energies, grad, k_spring, dt0, fmax, climbing):
 
 def run_neb_callback(start, end, grad_chain_fn, n_images=7, k_spring=1.0,
                      n_steps=100, climb_after=50, dt0=0.01, fmax=0.05,
-                     chain=None):
+                     chain=None, checkpoint_fn=None, checkpoint_every=10,
+                     with_status=False):
     '''
     Climbing-image NEB on a NON-differentiable surface: per step, one
     `grad_chain_fn(chain) -> (energies (I,), grads (I, N, 3))` callback
@@ -250,6 +251,14 @@ def run_neb_callback(start, end, grad_chain_fn, n_images=7, k_spring=1.0,
     jitted device program. The in-process analog of the reference's
     ASE DyNEB + external calculator (ase_manipulations.py:382-526).
     Returns (chain (I, N, 3), energies (I,), ts_index).
+
+    checkpoint_fn(band (I, N, 3) np): called with the latest
+    SUCCESSFULLY EVALUATED band every `checkpoint_every` callback steps
+    — QM gradients are hours of subprocess work per band, and a crashed
+    image must not lose the whole run (reference neb_operator restarts
+    from its mid-band file, operators.py:352-375). with_status=True
+    appends a 4th return: True when the band converged (rather than
+    exhausting n_steps — the reference's MAX ITER restart trigger).
     '''
     if chain is None:
         chain = idpp_interpolate(start, end, n_images)
@@ -265,6 +274,7 @@ def run_neb_callback(start, end, grad_chain_fn, n_images=7, k_spring=1.0,
     # early in the pre-relax still gets its climbing refinement
     state = _fire_init(chain, dt0)
     climbing = False
+    converged = False
     energies = None
     coords_evaluated = None
     for step in range(n_steps):
@@ -277,6 +287,7 @@ def run_neb_callback(start, end, grad_chain_fn, n_images=7, k_spring=1.0,
                            and np.max(energies[1:-1])
                            > max(energies[0], energies[-1]) + 1e-6)
             if not has_barrier and bool(state[5]):
+                converged = True
                 break               # converged, nothing to climb
             if not has_barrier:
                 pass                # keep relaxing without climbing
@@ -284,16 +295,20 @@ def run_neb_callback(start, end, grad_chain_fn, n_images=7, k_spring=1.0,
                 climbing = True
                 state = _fire_init(state[0], dt0)
         elif climbing and bool(state[5]):
+            converged = True
             break                   # climbing phase converged
 
         coords_evaluated = np.asarray(state[0])
         energies, grads = grad_chain_fn(coords_evaluated)
+        if checkpoint_fn is not None and step % checkpoint_every == 0:
+            checkpoint_fn(coords_evaluated)
         state = _band_step(state, jnp.asarray(energies),
                            jnp.asarray(grads),
                            jnp.asarray(k_spring, chain.dtype),
                            jnp.asarray(dt0, chain.dtype),
                            jnp.asarray(fmax, chain.dtype), climbing)
 
+    converged = converged or bool(state[5])
     final = np.asarray(state[0])
     if (coords_evaluated is None
             or not np.array_equal(final, coords_evaluated)):
@@ -302,6 +317,8 @@ def run_neb_callback(start, end, grad_chain_fn, n_images=7, k_spring=1.0,
         # coords identical to the step that latched `done`)
         energies, _ = grad_chain_fn(final)
     ts_index = int(1 + np.argmax(energies[1:-1]))
+    if with_status:
+        return final, np.asarray(energies), ts_index, converged
     return final, np.asarray(energies), ts_index
 
 

@@ -164,8 +164,43 @@ def _neb_operator(embedder, mol, name):
         embedder.log(f'--> {mol.rootname}: CI-NEB with {images} images '
                      f'({embedder.options.calculator} '
                      f'{embedder.options.theory_level} forces)')
-        chain, energies, ts = run_neb_callback(
-            start, end, qm_grad, n_images=images, chain=chain)
+
+        # fault tolerance matching the reference's neb_operator
+        # (operators.py:281,352-375): the band is periodically
+        # checkpointed to disk, and a crashed gradient subprocess or an
+        # unconverged (max-iter) band restarts from the last checkpoint
+        # for up to `attempts` tries instead of losing hours of QM work
+        attempts = 5
+        chkpt_path = f'{mol.rootname}_MEP_chkpt.xyz'
+        last = {'chain': chain}
+
+        def _checkpoint(band):
+            last['chain'] = np.asarray(band)
+            with open(chkpt_path, 'w') as f:
+                for i, s in enumerate(last['chain']):
+                    write_xyz(s, mol.atomnos, f,
+                              title=f'NEB checkpoint image '
+                                    f'{i + 1}/{len(last["chain"])}')
+
+        for attempt in range(attempts):
+            try:
+                chain, energies, ts, converged = run_neb_callback(
+                    start, end, qm_grad, n_images=images,
+                    chain=last['chain'], checkpoint_fn=_checkpoint,
+                    with_status=True)
+            except Exception as e:
+                if attempt + 1 >= attempts:
+                    raise
+                embedder.log(f'    NEB gradient evaluation failed '
+                             f'({type(e).__name__}: {e}) - restarting '
+                             f'from checkpoint. Attempt '
+                             f'{attempt + 2}/{attempts}.')
+                continue
+            if converged or attempt + 1 >= attempts:
+                break
+            embedder.log(f'--> Band not converged: restarting NEB from '
+                         f'checkpoint. Attempt {attempt + 2}/{attempts}.')
+            last['chain'] = chain
     else:
         embedder.log(f'--> {mol.rootname}: CI-NEB with {images} images '
                      f'(internal FF surface)')

@@ -227,11 +227,22 @@ def distance_scan(embedder, mol, step_size=0.05):
 
 def atropisomer_peaks(energies, min_thr=0.1, max_thr=75):
     '''Indices of local maxima within the threshold window
-    (reference atropisomer_module.py:286-307).'''
-    _l = len(energies)
-    return [i for i in range(_l)
-            if energies[i - 1] < energies[i] >= energies[(i + 1) % _l]
-            and max_thr > energies[i] > min_thr]
+    (reference atropisomer_module.py:286-307): strict rise on the left,
+    non-strict fall on the right, plus the 5-point-window rule — a peak
+    must equal max(energies[i-2:i+3]) — and the last TWO indices are
+    never peaks (range(l-2)). Index 0 compares its left neighbor
+    against the wrapped last value, reproducing the reference's
+    negative-index quirk. For i < 2 the reference's window slice
+    energies[i-2:i+3] wraps to an EMPTY slice and max() would raise if
+    the earlier gates passed — a latent crash; we clip the window to
+    [max(i-2, 0), i+3) instead, identical wherever the reference does
+    not crash (documented bug fix).'''
+    e = np.asarray(energies)
+    _l = len(e)
+    return [i for i in range(max(_l - 2, 0))
+            if e[i - 1] < e[i] >= e[i + 1]
+            and max_thr > e[i] > min_thr
+            and e[i] == e[max(i - 2, 0):i + 3].max()]
 
 
 def _moved_atoms_mask(embedder, mol, quad):

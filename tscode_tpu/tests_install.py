@@ -14,8 +14,6 @@ import time
 
 from tscode_tpu.settings import CALCULATOR, XTB_AVAILABLE
 
-_FIXDIR = os.path.join(os.path.dirname(__file__), 'test_inputs')
-
 
 def run_tests():
     t0 = time.perf_counter()

@@ -16,7 +16,6 @@ accepted geometry, no Python in the loop.
 
 import functools
 import time
-from copy import deepcopy
 
 import jax
 import jax.numpy as jnp
@@ -140,66 +139,71 @@ class Torsion:
 
 
 def _is_free(index, graph):
-    '''Not a carbonyl C, ester O, or secondary-amide N
-    (reference torsion_module.py:134-156).'''
-    if all((graph.nodes[index]['atomnos'] == 6,
-            is_sp_n(index, graph, 2),
-            8 in (graph.nodes[n]['atomnos']
-                  for n in neighbors(graph, index)))):
-        return False
-    if is_amide_n(index, graph, mode=1):
-        return False
-    if is_ester_o(index, graph):
-        return False
-    return True
+    '''Whether a torsion hinged on this atom is conformationally free:
+    conjugation locks carbonyl carbons, ester sp3 oxygens and
+    secondary-amide nitrogens (reference torsion_module.py:134-156).'''
+    carbonyl_like = (graph.nodes[index]['atomnos'] == 6
+                     and is_sp_n(index, graph, 2)
+                     and any(graph.nodes[n]['atomnos'] == 8
+                             for n in neighbors(graph, index)))
+    return not (carbonyl_like
+                or is_amide_n(index, graph, mode=1)
+                or is_ester_o(index, graph))
+
+
+def _elements_match(n1, n2):
+    return n1['atomnos'] == n2['atomnos']
 
 
 def _is_nondummy(i, root, graph):
-    '''False when rotating about (root->i) permutes identical substituents
-    (methyl, tBu, phenyl...); isomorphism-based
-    (reference torsion_module.py:158-231).'''
+    '''A rotation about the (root, i) bond is "dummy" when every
+    substituent branch on the far side of i is equivalent up to
+    element-labeled isomorphism: spinning a methyl/CF3/tBu group or a
+    symmetric flat ring (phenyl, N-pyrrolyl) yields no new conformer.
+    Returns True when the rotation is worth sampling. Pinned to
+    reference torsion_module.py:158-231, including its documented
+    blind spots: only C/N hinge atoms are screened, and stereocenters
+    are ignored (branches differing only by chirality count as equal,
+    over-pruning in principle).'''
     if graph.nodes[i]['atomnos'] not in (6, 7):
         return True
 
-    G = deepcopy(graph)
-    nb = neighbors(G, i)
-    nb.remove(root)
+    branches = [n for n in neighbors(graph, i) if n != root]
 
-    if len(nb) == 1:
-        if len(neighbors(G, nb[0])) == 2:
-            return False
+    # single linear continuation (that atom bonds only back to i and
+    # one more): an alkyne/H-bond-like axis whose freedom some other
+    # torsion already owns
+    if len(branches) == 1 and len(neighbors(graph, branches[0])) == 2:
+        return False
 
-    if len(nb) == 2:
-        phenyl_indices = get_phenyl_ids(i, G)
-        if phenyl_indices is not None:
-            i1, i2, i3, i4, i5, i6 = phenyl_indices
-            G.remove_edge(i3, i4)
-            G.remove_edge(i4, i5)
-            G.remove_edge(i1, i2)
-            G.remove_edge(i1, i6)
-            subgraphs = [nx.subgraph(G, s) for s in nx.connected_components(G)
-                         if i2 in s or i6 in s]
-            if len(subgraphs) == 2:
-                return not nx.is_isomorphic(
-                    subgraphs[0], subgraphs[1],
-                    node_match=lambda n1, n2: n1['atomnos'] == n2['atomnos'])
-            return True
+    if len(branches) == 2:
+        ring = get_phenyl_ids(i, graph)
+        if ring is not None:
+            # cut the aromatic 6-ring along its para axis and compare
+            # the ortho/meta halves (substituents included)
+            r1, r2, r3, r4, r5, r6 = ring
+            split = nx.restricted_view(
+                graph, [], [(r3, r4), (r4, r5), (r1, r2), (r1, r6)])
+            halves = [split.subgraph(c)
+                      for c in nx.connected_components(split)
+                      if r2 in c or r6 in c]
+            if len(halves) == 2:
+                return not nx.is_isomorphic(halves[0], halves[1],
+                                            node_match=_elements_match)
+            return True      # unexpected ring topology: keep sampling
 
-    for n in nb:
-        G.remove_edge(i, n)
-
-    subgraphs_nodes = [s for s in nx.connected_components(G)
-                       if root not in s]
-    if len(subgraphs_nodes) == 1:
+    # general case: detach every branch from i and compare the
+    # root-free components to each other
+    pruned = nx.restricted_view(graph, [], [(i, n) for n in branches])
+    detached = [c for c in nx.connected_components(pruned) if root not in c]
+    if len(detached) == 1:
+        # the branches reconnect away from i (e.g. tetramethylguanidyl
+        # alanine's C(beta)-N bond): rotable
         return True
-
-    subgraphs = [nx.subgraph(G, s) for s in subgraphs_nodes]
-    for sub in subgraphs[1:]:
-        if not nx.is_isomorphic(
-                subgraphs[0], sub,
-                node_match=lambda n1, n2: n1['atomnos'] == n2['atomnos']):
-            return True
-    return False
+    parts = [pruned.subgraph(c) for c in detached]
+    return not all(nx.is_isomorphic(parts[0], p,
+                                    node_match=_elements_match)
+                   for p in parts[1:])
 
 
 def get_hydrogen_bonds(coords, atomnos, graph, d_min=2.5, d_max=3.3,
