@@ -540,28 +540,36 @@ def test_concat_blocks_offsets_compact_tables(tmp_path):
     np.testing.assert_array_equal(r2[:, 4], cat['rc_axes'][:, 1])
 
 
-def test_string_fused_sweep_matches_chunk_loop(monkeypatch):
-    '''The device-decoded lax.map string sweep must be bit-identical to
-    the host-indexed chunk loop — including at chunk sizes that force
-    several tiles/chunks and a padded tail.'''
-    mol1 = Molecule(fix('C2H4.xyz'), reactive_indices=[0])
-    mol2 = Molecule(fix('CH3Cl.xyz'), reactive_indices=[0])
-    for m in (mol1, mol2):
-        m.compute_orbitals()
+def test_string_fused_sweep_matches_chunk_loop(tmp_path, monkeypatch):
+    '''CONTRACT: the broadcast (gather-free) c2-tiled sweep agrees with
+    the host-indexed gather chunk loop to ~1e-12 (f64) — NOT bitwise:
+    the broadcast form contracts the same rotations in a different
+    fusion order, which differs by ulps even in f64 (BASELINE.md
+    round-3 final act). Survivor SETS must be identical. Multi-
+    conformer molecules + a shrunk tile cap force several c2 tiles and
+    a padded tail tile through the broadcast path.'''
+    mol1 = _noisy_molecule(str(tmp_path), 'C2H4.xyz', 3, [0], seed=5)
+    mol2 = _noisy_molecule(str(tmp_path), 'CH3Cl.xyz', 5, [0], seed=6)
     angles = np.linspace(0.0, 350.0, 36)
 
     import tscode_tpu.embeds.string as string_mod
-    monkeypatch.setattr(string_mod, '_SWEEP_TILE_CAP', 8)
+    # stride = k2*k1*A*n1c; cap of 3*stride//2 -> c2_per_tile=1 and a
+    # 5-tile map (padded path exercised via slab rounding below)
+    k1 = len(mol1.get_r_atoms(0)[0].center)
+    k2 = len(mol2.get_r_atoms(0)[0].center)
+    stride = mol1.n_confs * k2 * k1 * len(angles)
+    monkeypatch.setattr(string_mod, '_SWEEP_TILE_CAP', stride)
 
     outs = {}
     for flag in ('0', '1'):
         monkeypatch.setenv('TSCODE_FUSED_SWEEP', flag)
-        # chunk=8 forces several chunks through the loop path; the
-        # shrunk tile cap forces several tiles through the map path
+        # chunk=8 forces several chunks through the loop path
         outs[flag] = string_embed(mol1, mol2, angles, chunk=8,
                                   log=lambda *a, **k: None)
 
-    np.testing.assert_array_equal(outs['0'][0], outs['1'][0])
+    assert outs['0'][0].shape == outs['1'][0].shape
+    np.testing.assert_allclose(outs['0'][0], outs['1'][0],
+                               rtol=0, atol=1e-12)
     np.testing.assert_array_equal(outs['0'][1], outs['1'][1])
 
 

@@ -72,57 +72,161 @@ def _pairwise_d2(poses):
     return jnp.maximum(a2[..., :, None] + a2[..., None, :] - 2.0 * ab, 0.0)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=('n_tiles', 'tile_b', 'pallas_pairs'))
-def _string_sweep_mapped(coords1, coords2, centers1, vecs1, centers2,
-                         vecs2, pair_mask, quadruplets, angles,
-                         clash_thresh, r_base, r_hi, n_tiles, tile_b,
-                         pallas_pairs=None):
-    '''Grid-slab string sweep as ONE device program: flat grid indices
-    [r_base, r_hi) are decoded on device (C order matching
-    embeds.common.flat_grid(n2c, n1c, k2, k1, n_ang) — the reference's
-    nested-loop generation order) and a lax.map over tiles bounds live
-    intermediates at one tile. Zero per-chunk uploads/dispatches — on a
-    tunneled accelerator the host loop's index uploads were the
-    dominant sweep cost after the survivor-pull fix. Rows are padded
-    to n_tiles*tile_b; padded tails report clash_ok False. r_base/r_hi
-    are traced, so every same-shape slab reuses one executable.'''
+def _string_bcast_block(coords1, coords2b, centers1, vecs1, centers2b,
+                        vecs2b, pair_mask, quadruplets, angles,
+                        clash_thresh, pallas_pairs=None):
+    '''BROADCAST (gather-free) string embed of a c2-aligned conformer
+    block: the grid is a pure cartesian product, so every tensor is
+    built by broadcasting over the (c2, c1, l2, l1, angle) axes — whose
+    C-order reshape IS the flat grid order flat_grid(n2c, n1c, k2, k1,
+    n_ang) produces — instead of decoding flat indices and GATHERING
+    per-pose conformer/lobe rows. The per-pose gathers (coords2[c2],
+    centers[c, l]) were 61% of the tier-2 bench rep; the fused
+    embed+clash+compact dropped 0.228 -> 0.065 s at 1.66M poses when
+    bench.py adopted this form (BASELINE.md round-3 final act).
+
+    coords2b/centers2b/vecs2b: a contiguous (Cb, ...) slice of molecule
+    2's conformer tensors. Returns (poses (Cb*n1c*k2*k1*A, N1+N2, 3),
+    clash_ok (B,), tfps (B, Q)) in flat grid order.'''
     n1c, k1 = centers1.shape[0], centers1.shape[1]
-    n2c, k2 = centers2.shape[0], centers2.shape[1]
-    n_ang = angles.shape[0]
-    total = n2c * n1c * k2 * k1 * n_ang
+    cb, k2 = centers2b.shape[0], centers2b.shape[1]
+    A = angles.shape[0]
+    B = cb * n1c * k2 * k1 * A
 
-    def tile(r0):
-        r = r_base + r0 + jnp.arange(tile_b, dtype=jnp.int32)
-        real = r < r_hi
-        rc = jnp.minimum(r, total - 1)
-        ai = rc % n_ang
-        rest = rc // n_ang
-        a1 = rest % k1
-        rest = rest // k1
-        a2 = rest % k2
-        rest = rest // k2
-        c1 = rest % n1c
-        c2 = rest // n1c
-        poses, ok, tfps = _string_chunk.__wrapped__(
-            coords1, coords2, centers1, vecs1, centers2, vecs2,
-            pair_mask, quadruplets, angles, c1, c2, a1, a2, ai,
-            clash_thresh, pallas_pairs=pallas_pairs)
-        return poses, ok & real, tfps
+    p1 = centers1[None, :, None, :, None]        # (1, n1c, 1, k1, 1, 3)
+    ref_vec = vecs1[None, :, None, :, None]
+    p2 = centers2b[:, None, :, None, None]       # (cb, 1, k2, 1, 1, 3)
+    mol_vec = vecs2b[:, None, :, None, None]
+    ang = angles[None, None, None, None, :]      # (1, 1, 1, 1, A)
 
-    starts = jnp.arange(n_tiles, dtype=jnp.int32) * tile_b
+    align = rotation_matrix_from_vectors(mol_vec, -ref_vec)
+    spin = rot_mat_from_pointer(
+        jnp.broadcast_to(ref_vec, ref_vec.shape[:4] + (A, 3)),
+        jnp.broadcast_to(ang, ref_vec.shape[:4] + (A,)))
+    R = jnp.einsum('...ij,...jk->...ik', spin, align)
+    t = p1 - jnp.einsum('...ij,...j->...i', R, p2)
+
+    f2 = jnp.einsum('...ij,...nj->...ni', R,
+                    coords2b[:, None, None, None, None]) + t[..., None, :]
+    shape5 = (cb, n1c, k2, k1, A)
+    f1 = jnp.broadcast_to(coords1[None, :, None, None, None],
+                          shape5 + coords1.shape[1:])
+    f2 = jnp.broadcast_to(f2, shape5 + f2.shape[-2:])
+    poses = jnp.concatenate([f1, f2], axis=-2).reshape(
+        (B, coords1.shape[1] + coords2b.shape[1], 3))
+
+    if pallas_pairs is not None:
+        from tscode_tpu.ops.pallas.clash import clash_ok_traced
+        clash_ok = clash_ok_traced(poses, pallas_pairs, clash_thresh)
+    else:
+        d2 = _pairwise_d2(poses)
+        clash_ok = jnp.sum((d2 < clash_thresh * clash_thresh) & pair_mask,
+                           axis=(-2, -1)) <= 0
+
+    tfps = torsion_fingerprints(poses, quadruplets)
+    return poses, clash_ok, tfps
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('n_tiles', 'c2_per_tile',
+                                    'pallas_pairs'))
+def _string_sweep_bcast(coords1, coords2p, centers1, vecs1, centers2p,
+                        vecs2p, pair_mask, quadruplets, angles,
+                        clash_thresh, c2_base, n2c_real, n_tiles,
+                        c2_per_tile, pallas_pairs=None):
+    '''Grid-slab string sweep as ONE device program, broadcast form: a
+    lax.map over c2-ALIGNED tiles — each tile is the gather-free
+    broadcast block of `c2_per_tile` molecule-2 conformers against the
+    whole (c1, l2, l1, angle) sub-grid, and live intermediates stay at
+    one tile's footprint. Tiling by the OUTERMOST grid axis keeps every
+    tile axis-aligned; a flat-index tile would cut across the cartesian
+    axes and force the per-pose gather form back in. coords2p/centers2p/
+    vecs2p must be edge-padded along the conformer axis so a tail
+    tile's dynamic_slice never clamps (a clamped slice would shift
+    content against row labels and corrupt real rows); pad rows report
+    clash_ok False via the n2c_real mask and sit at the END of the
+    flattened output (tiles ascend in c2), so callers trim them by row
+    count. c2_base/n2c_real are traced: same-shape slabs share one
+    executable.'''
+    n1c, k1 = centers1.shape[0], centers1.shape[1]
+    k2 = centers2p.shape[1]
+    A = angles.shape[0]
+    stride = n1c * k2 * k1 * A
+
+    def tile(t):
+        c0 = c2_base + t * c2_per_tile
+        c2s = jax.lax.dynamic_slice_in_dim(coords2p, c0, c2_per_tile)
+        p2 = jax.lax.dynamic_slice_in_dim(centers2p, c0, c2_per_tile)
+        v2 = jax.lax.dynamic_slice_in_dim(vecs2p, c0, c2_per_tile)
+        poses, ok, tfps = _string_bcast_block(
+            coords1, c2s, centers1, vecs1, p2, v2, pair_mask,
+            quadruplets, angles, clash_thresh,
+            pallas_pairs=pallas_pairs)
+        real = (c0 + jnp.arange(c2_per_tile, dtype=jnp.int32)) < n2c_real
+        return poses, ok & jnp.repeat(real, stride), tfps
+
+    starts = jnp.arange(n_tiles, dtype=jnp.int32)
     poses, ok, tfps = jax.lax.map(tile, starts)
     return (poses.reshape((-1,) + poses.shape[2:]),
             ok.reshape(-1),
             tfps.reshape((-1,) + tfps.shape[2:]))
 
 
-def _string_sweep_slab(base_args, clash_thresh, lo, hi, n_tiles, tile_b,
-                       pallas_pairs):
-    return _string_sweep_mapped(
+def _string_sweep_slab(base_args, clash_thresh, c2_lo, n2c, n_tiles,
+                       c2_per_tile, pallas_pairs):
+    return _string_sweep_bcast(
         *base_args, jnp.asarray(float(clash_thresh)),
-        jnp.asarray(lo, jnp.int32), jnp.asarray(hi, jnp.int32),
-        n_tiles=n_tiles, tile_b=tile_b, pallas_pairs=pallas_pairs)
+        jnp.asarray(c2_lo, jnp.int32), jnp.asarray(n2c, jnp.int32),
+        n_tiles=n_tiles, c2_per_tile=c2_per_tile,
+        pallas_pairs=pallas_pairs)
+
+
+@functools.lru_cache(maxsize=16)
+def _string_sweep_sharded(mesh, c2_per_tile, axis_name='poses'):
+    '''shard_map form of _string_sweep_bcast: the c2-aligned TILE axis
+    is sharded over devices — each device lax.maps the SAME broadcast
+    tile program over its contiguous block of tile starts, with the
+    (small) molecule tensors replicated and no collective needed (the
+    TFD novelty filter is a host-side sequential replay either way).
+    Device outputs concatenate in mesh order = ascending c2, so global
+    row order equals the single-device sweep's. The clash screen keeps
+    the XLA matmul form inside shard_map (Pallas kernels do not lower
+    through it on all backends). Outputs match the single-device
+    broadcast sweep to fusion-order ulps — see the allclose contract in
+    tests/test_mesh_pipeline.py.'''
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:                 # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+
+    def sweep(coords1, coords2p, centers1, vecs1, centers2p, vecs2p,
+              pair_mask, quadruplets, angles, clash_thresh, n2c_real,
+              starts):
+        stride = (centers1.shape[0] * centers2p.shape[1]
+                  * centers1.shape[1] * angles.shape[0])
+
+        def tile(c0):
+            c2s = jax.lax.dynamic_slice_in_dim(coords2p, c0, c2_per_tile)
+            p2 = jax.lax.dynamic_slice_in_dim(centers2p, c0, c2_per_tile)
+            v2 = jax.lax.dynamic_slice_in_dim(vecs2p, c0, c2_per_tile)
+            poses, ok, tfps = _string_bcast_block(
+                coords1, c2s, centers1, vecs1, p2, v2, pair_mask,
+                quadruplets, angles, clash_thresh)
+            real = (c0 + jnp.arange(c2_per_tile, dtype=jnp.int32)) \
+                < n2c_real
+            return poses, ok & jnp.repeat(real, stride), tfps
+
+        poses, ok, tfps = jax.lax.map(tile, starts)
+        return (poses.reshape((-1,) + poses.shape[2:]),
+                ok.reshape(-1),
+                tfps.reshape((-1,) + tfps.shape[2:]))
+
+    rep, sh = P(), P(axis_name)
+    fn = shard_map(sweep, mesh=mesh,
+                   in_specs=(rep,) * 11 + (sh,),
+                   out_specs=(sh, sh, sh))
+    return jax.jit(fn)
 
 
 @functools.lru_cache(maxsize=8)
@@ -188,10 +292,12 @@ def string_embed(mol1, mol2, angles, clash_thresh=1.5, tfd_thresh=10,
     pallas_pairs = (static_pairs(cross_fragment_pair_mask(ids))
                     if use_pallas_clash(n_pairs=ids[0] * ids[1]) else None)
 
+    want_mesh = False
     chunk_fn = _string_chunk
     if mesh is not None and mesh.devices.size > 1:
         from tscode_tpu.parallel.sharding import mesh_wants
         if mesh_wants(total):
+            want_mesh = True
             n_dev = mesh.devices.size
             chunk = -(-chunk // n_dev) * n_dev     # divisible shards
             chunk_fn = _string_chunk_sharded(mesh)
@@ -214,30 +320,59 @@ def string_embed(mol1, mol2, angles, clash_thresh=1.5, tfd_thresh=10,
     acc = MaskedPullAccumulator()
 
     import os as _os
-    if chunk_fn is _string_chunk \
-            and _os.environ.get('TSCODE_FUSED_SWEEP', '1') != '0':
-        # single-device: the WHOLE grid as memory-bounded slabs of ONE
-        # lax.map program each — indices decode on device, so a slab
-        # costs ~9 uploads + 1 dispatch regardless of grid size
+    if _os.environ.get('TSCODE_FUSED_SWEEP', '1') != '0':
+        # the WHOLE grid as memory-bounded slabs of ONE lax.map program
+        # each, in the gather-free broadcast form over c2-ALIGNED tiles
+        # (single-device) or with the tile axis sharded over the mesh.
+        # A slab costs ~10 uploads + 1 dispatch regardless of grid size.
         itemsize = 8 if jax.config.jax_enable_x64 else 4
         n_atoms = mol1.n_atoms + mol2.n_atoms
-        tile_b = min(_SWEEP_TILE_CAP,
-                     1 << max(1, (total - 1).bit_length()))
-        rows_cap = tile_b * max(
-            1, int(1.2e9) // max(1, tile_b * n_atoms * 3 * itemsize))
+        stride = n1c * k2 * k1 * n_ang            # rows per c2 value
+        c2_per_tile = max(1, min(n2c, _SWEEP_TILE_CAP // max(1, stride)))
+        tile_rows = c2_per_tile * stride
+        slab_tiles = max(1, int(1.2e9)
+                         // max(1, tile_rows * n_atoms * 3 * itemsize))
+        if want_mesh:
+            n_dev = mesh.devices.size
+            slab_tiles = -(-slab_tiles // n_dev) * n_dev
+
+        tiles_total = -(-n2c // c2_per_tile)
+        slabs = []                                # (tile_lo, n_tiles)
+        for t_lo in range(0, tiles_total, slab_tiles):
+            t_n = min(slab_tiles, tiles_total - t_lo)
+            if want_mesh:
+                t_n = -(-t_n // n_dev) * n_dev    # whole-mesh shards
+            slabs.append((t_lo, t_n))
+
+        # edge-pad the conformer axis so no tile's dynamic_slice can
+        # clamp (a clamped slice shifts content against row labels)
+        pad_to = max(t + n for t, n in slabs) * c2_per_tile
+        def pad2(a):
+            a = np.asarray(a)
+            return jnp.asarray(np.pad(
+                a, ((0, pad_to - n2c),) + ((0, 0),) * (a.ndim - 1),
+                mode='edge'))
         base_args = (
-            dev['coords1'], dev['coords2'], dev['centers1'], dev['vecs1'],
-            dev['centers2'], dev['vecs2'], dev['pair_mask'],
+            dev['coords1'], pad2(mol2.atomcoords), dev['centers1'],
+            dev['vecs1'], pad2(centers2), pad2(vecs2), dev['pair_mask'],
             dev['quadruplets'], dev['angles'])
-        for lo in range(0, total, rows_cap):
-            hi = min(lo + rows_cap, total)
-            n_tiles = -(-(hi - lo) // tile_b)
-            # shift the decode window: slabs after the first start at
-            # lo, handled by offsetting the flat arange
-            poses, ok, tfps = _string_sweep_slab(
-                base_args, float(clash_thresh), lo, hi, n_tiles, tile_b,
-                pallas_pairs)
-            acc.add((poses, tfps), ok, hi - lo)
+
+        for t_lo, t_n in slabs:
+            c2_lo = t_lo * c2_per_tile
+            n_valid = (min(n2c, (t_lo + t_n) * c2_per_tile)
+                       - c2_lo) * stride
+            if want_mesh:
+                starts = jnp.asarray(
+                    (t_lo + np.arange(t_n)) * c2_per_tile, jnp.int32)
+                poses, ok, tfps = _string_sweep_sharded(
+                    mesh, c2_per_tile)(
+                        *base_args, jnp.asarray(float(clash_thresh)),
+                        jnp.asarray(n2c, jnp.int32), starts)
+            else:
+                poses, ok, tfps = _string_sweep_slab(
+                    base_args, float(clash_thresh), c2_lo, n2c, t_n,
+                    c2_per_tile, pallas_pairs)
+            acc.add((poses, tfps), ok, n_valid)
     else:
         for lo in range(0, total, chunk):
             hi = min(lo + chunk, total)
