@@ -129,8 +129,6 @@ def _block_poses(coords1, coords2, c1, c2, R_align, axis, cor, pos0,
     Returns poses (Bb, A, N, 3), clash_ok (Bb, A),
     rmsd matrix (Bb, A, A), maxdev matrix (Bb, A, A).
     '''
-    A = angle_grid.shape[0]
-
     # step rotations: (Bb, A, M, 3, 3)
     R_step = rot_mat_from_pointer(axis[:, None, :, :],
                                   angle_grid[None, :, :])
@@ -139,30 +137,31 @@ def _block_poses(coords1, coords2, c1, c2, R_align, axis, cor, pos0,
          + pos0[:, None])
 
     Bb = R.shape[0]
-    Rf = R.reshape(Bb * A, 2, 3, 3)
-    tf = t.reshape(Bb * A, 2, 3)
-    c1f = jnp.repeat(c1, A)
-    c2f = jnp.repeat(c2, A)
+    # conformer rows are gathered ONCE PER BLOCK and broadcast over the
+    # angle axis inside the einsum — gathering per pose (repeat(c, A)
+    # then coords[cf]) materialized A-fold redundant gather traffic,
+    # the same gather-shaped cost class the round-3 profiling work
+    # eliminated from the string sweep (BASELINE.md round-3 final act)
+    f1 = jnp.einsum('baij,bnj->bani', R[:, :, 0], coords1[c1]) \
+        + t[:, :, 0][:, :, None]
+    f2 = jnp.einsum('baij,bnj->bani', R[:, :, 1], coords2[c2]) \
+        + t[:, :, 1][:, :, None]
+    pb = jnp.concatenate([f1, f2], axis=2)                 # (Bb, A, N, 3)
 
-    f1 = jnp.einsum('bij,bnj->bni', Rf[:, 0], coords1[c1f]) + tf[:, 0][:, None]
-    f2 = jnp.einsum('bij,bnj->bni', Rf[:, 1], coords2[c2f]) + tf[:, 1][:, None]
-    poses = jnp.concatenate([f1, f2], axis=1)              # (Bb*A, N, 3)
-
-    a2 = jnp.sum(poses * poses, axis=-1)
-    ab = jnp.einsum('bni,bmi->bnm', poses, poses)
-    d2 = jnp.maximum(a2[:, :, None] + a2[:, None, :] - 2 * ab, 0.0)
+    a2 = jnp.sum(pb * pb, axis=-1)
+    ab = jnp.einsum('bani,bami->banm', pb, pb)
+    d2 = jnp.maximum(a2[..., :, None] + a2[..., None, :] - 2 * ab, 0.0)
     clash_ok = jnp.sum((d2 < clash_thresh * clash_thresh) & pair_mask,
-                       axis=(-2, -1)) <= 0
+                       axis=(-2, -1)) <= 0                 # (Bb, A)
 
     # block-local pairwise RMSD + maxdev for the angular dedup
     # (_rmsd_similarity with rmsd_thr=1 on the FULL pose, reference
     # embeds.py:843) — one correlation pass feeds both gates
-    pb = poses.reshape(Bb, A, -1, 3)
     n_atoms = pb.shape[2]
     rmsd, maxdev = jax.vmap(
         lambda P: _pair_gate_matrices(P, n_atoms))(pb)
 
-    return poses.reshape(Bb, A, -1, 3), clash_ok.reshape(Bb, A), rmsd, maxdev
+    return pb, clash_ok, rmsd, maxdev
 
 
 @functools.lru_cache(maxsize=8)
@@ -1250,37 +1249,32 @@ def _block_poses_multi(coords1, coords2, coords3, c1, c2, c3,
                        R_align, axis, cor, pos0, angle_grid, pair_mask,
                        clash_thresh):
     '''Three-molecule analog of _block_poses.'''
-    A = angle_grid.shape[0]
     R_step = rot_mat_from_pointer(axis[:, None, :, :],
                                   angle_grid[None, :, :])
     R = jnp.einsum('bamij,bmjk->bamik', R_step, R_align)
     t = (cor[:, None] - jnp.einsum('bamij,bmj->bami', R_step, cor)
          + pos0[:, None])
 
-    Bb = R.shape[0]
-    Rf = R.reshape(Bb * A, 3, 3, 3)
-    tf = t.reshape(Bb * A, 3, 3)
-
+    # per-BLOCK conformer gathers broadcast over the angle axis, as in
+    # _block_poses (per-pose gathers were A-fold redundant)
     frags = []
     for m, (coords, cm) in enumerate(((coords1, c1), (coords2, c2),
                                       (coords3, c3))):
-        cf = jnp.repeat(cm, A)
-        frags.append(jnp.einsum('bij,bnj->bni', Rf[:, m], coords[cf])
-                     + tf[:, m][:, None])
-    poses = jnp.concatenate(frags, axis=1)
+        frags.append(jnp.einsum('baij,bnj->bani', R[:, :, m], coords[cm])
+                     + t[:, :, m][:, :, None])
+    pb = jnp.concatenate(frags, axis=2)                    # (Bb, A, N, 3)
 
-    a2 = jnp.sum(poses * poses, axis=-1)
-    ab = jnp.einsum('bni,bmi->bnm', poses, poses)
-    d2 = jnp.maximum(a2[:, :, None] + a2[:, None, :] - 2 * ab, 0.0)
+    a2 = jnp.sum(pb * pb, axis=-1)
+    ab = jnp.einsum('bani,bami->banm', pb, pb)
+    d2 = jnp.maximum(a2[..., :, None] + a2[..., None, :] - 2 * ab, 0.0)
     clash_ok = jnp.sum((d2 < clash_thresh * clash_thresh) & pair_mask,
                        axis=(-2, -1)) <= 0
 
-    pb = poses.reshape(Bb, A, -1, 3)
     n_atoms = pb.shape[2]
     rmsd, maxdev = jax.vmap(
         lambda P: _pair_gate_matrices(P, n_atoms))(pb)
 
-    return pb, clash_ok.reshape(Bb, A), rmsd, maxdev
+    return pb, clash_ok, rmsd, maxdev
 
 
 def _bend_blocked_by_bonded_pair(mol):
