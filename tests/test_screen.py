@@ -342,7 +342,9 @@ def test_mid_body_banded_kills_beyond_live_count():
 
     # family-id oracle replicating _mid_body's pass semantics: chunks by
     # ORIGINAL index, simultaneous kills (entry-of-pass liveness), pass
-    # gates (k==1 or 20k<active) & active>stop_below, band-fit stop
+    # gates (k==1 or 20k<active) & active>stop_below, band-fit stop.
+    # Run lengths are computed over the CURRENT survivors (the device
+    # re-compacts per pass), not the entry set.
     mask = np.ones(n, bool)
     oracle_ok = True
     idx = np.arange(n)
@@ -350,8 +352,10 @@ def test_mid_body_banded_kills_beyond_live_count():
         active = int(mask.sum())
         eligible = (k == 1 or 20 * k < active) and active > 8
         chunk = np.minimum(idx // max(n // k, 1), k - 1)
-        runs = np.diff(np.flatnonzero(
-            np.r_[True, chunk[1:] != chunk[:-1], True]))
+        ch = chunk[mask]
+        runs = (np.diff(np.flatnonzero(
+            np.r_[True, ch[1:] != ch[:-1], True]))
+            if len(ch) else np.zeros(1, int))
         fits = runs.max() <= band
         if eligible and fits and oracle_ok:
             new = mask.copy()

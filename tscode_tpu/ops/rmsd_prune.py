@@ -783,9 +783,10 @@ def _pair_kill_rect(Pr, Qc, valid, rmsd_thr):
 def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128,
               stop_below=None, skip_ks=()):
     '''
-    Banded mid-regime passes: actives are compacted once (order
-    preserved, so same-chunk actives sit in contiguous runs); each
-    eligible pass whose largest run fits `band` evaluates its
+    Banded mid-regime passes: CURRENT actives are re-compacted at every
+    eligible pass (order preserved, so same-chunk actives sit in
+    contiguous runs whose lengths reflect the survivors actually left);
+    each eligible pass whose largest run fits `band` evaluates its
     same-chunk pairs as (tile, tile+band) window blocks BUILT PER ROW
     GROUP inside a lax.map — every live tensor is O(G*tile*W), never
     O(S*W), so wide bands stay within HBM at million-row pools. Passes
@@ -809,10 +810,6 @@ def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128,
         stop_below = _FINISH_MAX        # defined below (module constants)
     n_pool = hs.shape[0]
     N = hs.shape[1]
-    idx = jnp.nonzero(alive, size=s_mid, fill_value=n_pool)[0]
-    real = idx < n_pool
-    idx_c = jnp.clip(idx, 0, n_pool - 1)
-    sub = hs[idx_c]                                    # (S, N, 3)
     T = s_mid // tile
     m = -(-band // tile)                               # look-ahead tiles
     W = (m + 1) * tile
@@ -839,100 +836,117 @@ def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128,
         return jnp.concatenate(parts, axis=1)
 
     def one_pass(i, state):
+        # `a` lives in POOL space; every eligible pass RE-COMPACTS the
+        # current survivors. An entry-only compaction (previous design)
+        # froze the run lengths `fits` sees at their entry values, so a
+        # diverse chunk whose actives had long since been thinned still
+        # failed the band check — the documented 4.72M-pose handoff was
+        # exactly this: cs=2360 entry runs vs a 1024 band, with far
+        # fewer CURRENT actives. Re-compacting per pass makes `fits`
+        # reflect reality (strictly more passes stay on device), keeps
+        # the count-based live-group bound exact (actives are packed
+        # first again), and is survivor-exact — kill semantics never
+        # depended on where rows sit, only on chunk ids and order. Cost
+        # is one nonzero scan + one (s_mid, N, 3) gather per ELIGIBLE
+        # pass, paid only inside the cond.
         a, ok, ran_k1 = state
         k = ks[i]
         active = jnp.sum(a)
         eligible = ((k == 1) | (20 * k < active)) & (active > stop_below)
 
-        cs = jnp.maximum(n // k, 1)
-        chunk = jnp.minimum(idx // cs, k - 1)
-        # largest same-chunk run among COMPACTED positions (chunk ids
-        # are non-decreasing); dead rows only shrink true runs.
-        # NOT searchsorted: its binary-search gathers over the full
-        # s_mid compaction cost ~0.2 s/pass at 2^20 slots on TPU and
-        # ran for every schedule pass — 2.4 s of the 2.8 s tier-2
-        # pipeline. A running max over run-start positions gives the
-        # same first-equal-element index with elementwise ops + one
-        # log-depth scan.
-        starts = jnp.concatenate(
-            [jnp.ones(1, bool), chunk[1:] != chunk[:-1]])
-        first = jax.lax.associative_scan(
-            jnp.maximum, jnp.where(starts, pos, 0))
-        max_run = jnp.max(jnp.where(real, pos - first, 0)) + 1
-        fits = max_run <= band
+        def attempt(a):
+            idx = jnp.nonzero(a, size=s_mid, fill_value=n_pool)[0]
+            real = idx < n_pool
+            idx_c = jnp.clip(idx, 0, n_pool - 1)
+            cs = jnp.maximum(n // k, 1)
+            chunk = jnp.where(real, jnp.minimum(idx // cs, k - 1), -1)
+            # largest same-chunk run among COMPACTED positions (chunk
+            # ids are non-decreasing). NOT searchsorted: its binary-
+            # search gathers over the full s_mid compaction cost
+            # ~0.2 s/pass at 2^20 slots on TPU. A running max over
+            # run-start positions gives the same first-equal-element
+            # index with elementwise ops + one log-depth scan.
+            run_starts = jnp.concatenate(
+                [jnp.ones(1, bool), chunk[1:] != chunk[:-1]])
+            first = jax.lax.associative_scan(
+                jnp.maximum, jnp.where(run_starts, pos, 0))
+            max_run = jnp.max(jnp.where(real, pos - first, 0)) + 1
+            fits = max_run <= band
 
-        def run(a):
-            sub_ext = jnp.concatenate(
-                [sub, jnp.zeros((pad_tail, N, 3), sub.dtype)])
-            a_ext = jnp.concatenate([a, jnp.zeros(pad_tail, bool)])
-            c_ext = jnp.concatenate(
-                [chunk, jnp.full(pad_tail, -1, chunk.dtype)])
+            def run(a):
+                sub = hs[idx_c]                        # (S, N, 3)
+                sub_ext = jnp.concatenate(
+                    [sub, jnp.zeros((pad_tail, N, 3), sub.dtype)])
+                r_ext = jnp.concatenate([real, jnp.zeros(pad_tail, bool)])
+                c_ext = jnp.concatenate(
+                    [chunk, jnp.full(pad_tail, -2, chunk.dtype)])
 
-            def group_body(g):
-                start = g * Gtile
-                rows = jax.lax.dynamic_slice_in_dim(
-                    sub_ext, start, Gtile).reshape(G, tile, N, 3)
-                span = jax.lax.dynamic_slice_in_dim(
-                    sub_ext, start, Gtile + pad_tail)
-                wincols = local_windows(span)          # (G, W, N, 3)
+                def group_body(g):
+                    start = g * Gtile
+                    rows = jax.lax.dynamic_slice_in_dim(
+                        sub_ext, start, Gtile).reshape(G, tile, N, 3)
+                    span = jax.lax.dynamic_slice_in_dim(
+                        sub_ext, start, Gtile + pad_tail)
+                    wincols = local_windows(span)      # (G, W, N, 3)
 
-                a_rows = jax.lax.dynamic_slice_in_dim(
-                    a_ext, start, Gtile).reshape(G, tile)
-                a_cols = local_windows(jax.lax.dynamic_slice_in_dim(
-                    a_ext, start, Gtile + pad_tail))
-                c_rows = jax.lax.dynamic_slice_in_dim(
-                    c_ext, start, Gtile).reshape(G, tile)
-                c_cols = local_windows(jax.lax.dynamic_slice_in_dim(
-                    c_ext, start, Gtile + pad_tail))
+                    r_rows = jax.lax.dynamic_slice_in_dim(
+                        r_ext, start, Gtile).reshape(G, tile)
+                    r_cols = local_windows(jax.lax.dynamic_slice_in_dim(
+                        r_ext, start, Gtile + pad_tail))
+                    c_rows = jax.lax.dynamic_slice_in_dim(
+                        c_ext, start, Gtile).reshape(G, tile)
+                    c_cols = local_windows(jax.lax.dynamic_slice_in_dim(
+                        c_ext, start, Gtile + pad_tail))
 
-                row_pos = (start + jnp.arange(
-                    Gtile, dtype=jnp.int32)).reshape(G, tile)
-                # window columns start at each row tile's first position
-                col_pos = row_pos[:, :1] + \
-                    jnp.arange(W, dtype=jnp.int32)[None, :]
+                    row_pos = (start + jnp.arange(
+                        Gtile, dtype=jnp.int32)).reshape(G, tile)
+                    # window columns start at each row tile's first pos
+                    col_pos = row_pos[:, :1] + \
+                        jnp.arange(W, dtype=jnp.int32)[None, :]
 
-                valid = a_rows[:, :, None] & a_cols[:, None, :] & \
-                    (col_pos[:, None, :] > row_pos[:, :, None]) & \
-                    (c_rows[:, :, None] == c_cols[:, None, :])
-                return _pair_kill_rect(rows, wincols, valid, rmsd_thr)
+                    valid = r_rows[:, :, None] & r_cols[:, None, :] & \
+                        (col_pos[:, None, :] > row_pos[:, :, None]) & \
+                        (c_rows[:, :, None] == c_cols[:, None, :])
+                    return _pair_kill_rect(rows, wincols, valid, rmsd_thr)
 
-            # the order-preserving compaction packs actives into the
-            # FIRST slots at ENTRY, but earlier passes of this loop
-            # kill rows in place — survivors then sit scattered across
-            # the original span, so bounding the sweep by the live
-            # COUNT (ceil(sum(a)/Gtile)) skips trailing groups that
-            # still hold live rows and misses kills. Bound by the SPAN
-            # instead: the last live compacted position. Groups wholly
-            # past it hold only dead/fill rows (a False -> no valid
-            # pair -> no kill), so skipping them stays exact. At the
-            # 1.66M-pose tier-2 config the wide-band pass still runs
-            # ~19 live groups of 1,024 on entry (actives compacted),
-            # and later passes sweep whatever span survives.
-            last = jnp.max(jnp.where(a, pos, -1))
-            n_live = jnp.minimum((last + Gtile) // Gtile,
-                                 n_groups).astype(jnp.int32)
+                # fresh compaction packs actives into the FIRST slots,
+                # so groups past ceil(active/Gtile) hold only fill rows
+                # (real False -> no valid pair -> no kill): bound the
+                # group sweep by the live count. At the 1.66M-pose
+                # tier-2 config the wide-band pass runs ~19 live groups
+                # of 1,024 (the rest was pure fill sweep).
+                n_live = jnp.minimum(
+                    (jnp.sum(real) + Gtile - 1) // Gtile,
+                    n_groups).astype(jnp.int32)
 
-            def live_step(g, kill_buf):
-                return jax.lax.dynamic_update_slice_in_dim(
-                    kill_buf, group_body(g)[None], g, 0)
+                def live_step(g, kill_buf):
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        kill_buf, group_body(g)[None], g, 0)
 
-            kill = jax.lax.fori_loop(
-                0, n_live, live_step,
-                jnp.zeros((n_groups, G, tile), dtype=bool)).reshape(s_mid)
-            return a & ~kill
+                kill = jax.lax.fori_loop(
+                    0, n_live, live_step,
+                    jnp.zeros((n_groups, G, tile),
+                              dtype=bool)).reshape(s_mid)
+                # scatter kills back to pool space (kill is True only
+                # for real rows — valid requires both sides real)
+                pool_kill = jnp.zeros(n_pool + 1, dtype=bool)
+                pool_kill = pool_kill.at[
+                    jnp.where(kill, idx_c, n_pool)].set(True)
+                return a & ~pool_kill[:n_pool]
 
+            a2 = jax.lax.cond(fits & ok, run, lambda a: a, a)
+            return a2, fits
+
+        a, fits = jax.lax.cond(
+            eligible, attempt, lambda a: (a, jnp.asarray(True)), a)
         ran = eligible & fits & ok
-        a = jax.lax.cond(ran, run, lambda a: a, a)
         ok = ok & (fits | ~eligible)
         ran_k1 = ran_k1 | (ran & (k == 1))
         return a, ok, ran_k1
 
     a, ok, ran_k1 = jax.lax.fori_loop(0, ks.shape[0], one_pass,
-                                      (real, True, False))
-
-    out = jnp.zeros(n_pool + 1, dtype=bool)
-    out = out.at[jnp.where(a, idx_c, n_pool)].set(True)
-    return out[:n_pool], ok, ran_k1
+                                      (alive, True, False))
+    return a, ok, ran_k1
 
 
 # ensemble lengths whose whole-schedule single-program executable has
@@ -1052,14 +1066,21 @@ _FINISH_ROW_TILE = 256
 
 # mid regime between the in-place passes and the finish block: actives
 # up to _MID_MAX run BANDED passes (same-chunk actives are contiguous
-# runs in the order-preserving compaction, so as long as no chunk holds
+# runs in the per-pass re-compaction, so as long as no chunk holds
 # more than _MID_BAND actives, every same-chunk pair sits within
 # _MID_BAND positions). NOTE: with the current constants the banded
 # k=1 completion inside _mid_body is unreachable (k=1 puts every active
 # in one chunk, so max_run = active > _FINISH_MAX > _MID_BAND); the mid
 # regime only SHRINKS oversized survivor sets until they fit the finish
 # block. The mid_done plumbing is kept for future band tuning.
-_MID_MAX = 16384
+# 32768 (was 16384): post-in-place active sets in (16384, 32768] used
+# to fall to the WIDE tier-2 band (9x the pair work per pass) or — for
+# their small eligible ks, whose chunks are huge at multi-million-row
+# pools — to the host when the entry-frozen run lengths blew the band.
+# With per-pass re-compaction the 128-band mid tier absorbs them: run
+# lengths now track current survivor density, which at these counts is
+# a few actives per chunk.
+_MID_MAX = 32768
 _MID_BAND = 128
 
 # tier-2 band for pools past 16*_MID_MAX actives (wider look-ahead
