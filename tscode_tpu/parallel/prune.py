@@ -177,6 +177,47 @@ def make_sharded_prune(mesh, n, n_pool, axis_name='poses'):
     return jax.jit(sharded)
 
 
+def prune_collective_model(n, n_pool, n_atoms, n_devices, dtype_bytes=4):
+    '''Analytic ICI-traffic model of the sharded whole-schedule prune:
+    per in-place pass, the halo path moves 2 forward ppermute messages
+    (H pose rows + H alive bits to the previous chip) and 1 backward
+    (H kill bits), where H = max(span_pad, tail_pad); passes whose H
+    exceeds the local slice fall back to one tiled all_gather of the
+    pool; every pass gate costs one scalar psum, and the finish block
+    adds one psum + one pool all_gather. Pure shape arithmetic — no
+    devices touched — so drivers can print the multi-chip message
+    budget without multi-chip hardware.
+
+    Returns (rows, totals): one dict per schedule step with its mode
+    and byte counts, plus aggregate ppermute/all_gather bytes (per
+    device) and psum call count.'''
+    s_local = n_pool // n_devices
+    row_bytes = n_atoms * 3 * dtype_bytes
+    rows = []
+    totals = dict(ppermute_bytes=0, allgather_bytes=0, psum_calls=0)
+    for k in _inplace_ks(n):
+        cs = n // k
+        H = max(_pow2(cs, floor=8), _pow2(n - (k - 1) * cs, floor=8))
+        totals['psum_calls'] += 1
+        if H <= s_local:
+            fwd = H * (row_bytes + 1)          # pose rows + alive bits
+            bwd = H                            # kill bits return
+            rows.append(dict(k=int(k), mode='halo', halo_rows=H,
+                             ppermute_bytes=fwd + bwd))
+            totals['ppermute_bytes'] += fwd + bwd
+        else:
+            ag = n_pool * (row_bytes + 1)
+            rows.append(dict(k=int(k), mode='all_gather',
+                             allgather_bytes=ag))
+            totals['allgather_bytes'] += ag
+    # finish block: gate psum + pool all_gather + final count psum
+    totals['psum_calls'] += 2
+    totals['allgather_bytes'] += n_pool * (row_bytes + 1)
+    rows.append(dict(k=1, mode='finish all_gather',
+                     allgather_bytes=n_pool * (row_bytes + 1)))
+    return rows, totals
+
+
 def sharded_prune_rmsd(heavy_structures, mesh, rmsd_thr=0.5, n_real=None,
                        axis_name='poses'):
     '''
