@@ -640,3 +640,100 @@ def test_mid_body_run_start_scan_matches_searchsorted():
         got = jax.lax.associative_scan(
             jnp.maximum, jnp.where(starts, pos, 0))
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def _family_schedule_sim(fam, n, k_schedule):
+    '''Exact simulation of the full bucketed schedule when kill
+    decisions reduce to family-id equality (norm-separated families of
+    exact duplicates): per eligible pass, within each chunk (original-
+    index boundaries, trailing chunk capped at k-1), a row dies iff a
+    LATER same-chunk row of its family was alive at pass entry.
+    Returns (final mask, active count after each pass in schedule
+    order — ineligible passes record the unchanged count).'''
+    mask = np.ones(n, bool)
+    idx = np.arange(n)
+    actives_after = []
+    for k in (int(k) for k in k_schedule):
+        active = int(mask.sum())
+        if k == 1 or 20 * k < active:
+            chunk = np.minimum(idx // max(n // k, 1), k - 1)
+            new = mask.copy()
+            for c in np.unique(chunk):
+                rows = idx[(chunk == c) & mask]
+                fams = fam[rows]
+                last_pos = {}
+                for r, f in zip(rows, fams):
+                    last_pos[f] = r
+                for r, f in zip(rows, fams):
+                    if last_pos[f] != r:
+                        new[r] = False
+            mask = new
+        actives_after.append(int(mask.sum()))
+    return mask, actives_after
+
+
+def _norm_separated_families(fam, n_atoms=5, seed=33):
+    '''One unit-Frobenius-norm base shape scaled per family id with a
+    1.5 norm gap: cross-family RMSD >= 1.5/sqrt(N) = 0.67 > thr while
+    same-family rows are EXACT duplicates — kill decisions reduce to
+    family-id equality (same construction as the banded regression
+    test above; extreme translations would leave the fixed-iteration
+    QCP Newton envelope).'''
+    g = np.random.default_rng(seed)
+    base = g.normal(size=(n_atoms, 3))
+    base /= np.sqrt((base * base).sum())
+    scale = 10.0 + 1.5 * fam
+    return base[None] * scale[:, None, None]
+
+
+def test_device_schedule_all_tiers_stack(monkeypatch):
+    '''END-TO-END _device_schedule through EVERY tier in one program —
+    fused in-place passes, wide-band tier-2 mid (the production >262k-
+    survivor regime the CPU lanes otherwise never compile), narrow
+    tier-1 mid with its banded k=1 completion, and the finish block —
+    at CPU scale via shrunken regime constants, against the exact
+    family-id schedule simulation.
+
+    Scenario A (stride-48 families): actives walk in-place -> tier-2
+    -> tier-1, and the banded k=1 pass COMPLETES the schedule
+    (mid_done short-circuits the finish block).
+    Scenario B (stride-30): tier-2 alone shrinks actives under s_pad,
+    tier-1 is skipped, and the FINISH block closes the schedule.'''
+    monkeypatch.setattr(rmsd_prune, '_MID_MAX', 128)
+    monkeypatch.setattr(rmsd_prune, '_MID_BAND', 128)
+    monkeypatch.setattr(rmsd_prune, '_MID2_BAND', 256)
+    # tier-1's pass gate stops below _FINISH_MAX (the production s_pad)
+    monkeypatch.setattr(rmsd_prune, '_FINISH_MAX', 64)
+
+    n, s_pad, thr = 4096, 64, 0.5
+    assert n > 16 * rmsd_prune._MID_MAX          # tier-2 compiled in
+    inplace = rmsd_prune._inplace_ks(n)
+    assert len(inplace) >= 2                     # fused passes live too
+    last_inplace = [int(k) for k in rmsd_prune.K_SCHEDULE].index(
+        min(inplace))
+
+    for n_fam, expect_k1_banded in ((48, True), (30, False)):
+        fam = np.arange(n) % n_fam
+        hs = _norm_separated_families(fam)
+        want, actives = _family_schedule_sim(fam, n, rmsd_prune.K_SCHEDULE)
+
+        # the scenario must actually cross the tiers it claims to:
+        assert actives[last_inplace] > rmsd_prune._MID_MAX  # tier-2 engages
+        assert want.sum() == n_fam <= s_pad
+
+        alive, n_act, finished = rmsd_prune._device_schedule(
+            jnp.asarray(hs), jnp.ones(n, bool),
+            jnp.asarray(thr, jnp.float64), n=n, s_pad=s_pad)
+        assert bool(finished)
+        np.testing.assert_array_equal(np.asarray(alive), want)
+        assert int(n_act) == n_fam
+
+        # branch coverage: A ends inside the banded k=1 (96 actives in
+        # the (s_pad, _MID_MAX] window), B undershoots s_pad in tier-2
+        # (finish block runs). Derived from the sim so constant drift
+        # fails loudly here, not silently skipping a tier.
+        pre_k1 = actives[-2]
+        if expect_k1_banded:
+            assert s_pad < pre_k1 <= rmsd_prune._MID_MAX
+        else:
+            assert pre_k1 <= s_pad
