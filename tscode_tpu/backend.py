@@ -19,11 +19,15 @@ def host_cache_tag():
     '''Short signature of the host CPU, appended to compile-cache dirs.
 
     XLA:CPU persistent-cache entries are AOT executables that embed the
-    COMPILE host's feature set; loading them on a different machine
-    logs "machine type doesn't match" errors and can SIGILL. A
-    container image that migrates between hosts must therefore not
-    reuse a previous host's cache — keying the directory by CPU
-    signature gives each host its own.'''
+    COMPILE-TIME target config; loading them under a different target
+    logs "machine type doesn't match" errors and can SIGILL. Two skews
+    produce that: (a) a container image migrating between hosts with
+    different CPUs, and (b) the same host under a different jaxlib —
+    XLA's LLVM layer injects tuning pseudo-features (e.g.
+    prefer-no-scatter) that change across builds, observed when a
+    newer image loaded a previous round's entries. Key the directory
+    by CPU signature AND jaxlib version so each (host, toolchain)
+    pair gets its own cache.'''
     import hashlib
     try:
         with open('/proc/cpuinfo') as f:
@@ -33,6 +37,11 @@ def host_cache_tag():
     except OSError:
         import platform
         sig = platform.processor() or platform.machine()
+    try:
+        import jaxlib.version
+        sig += '|jaxlib=' + jaxlib.version.__version__
+    except Exception:
+        pass
     return hashlib.sha1(sig.encode()).hexdigest()[:8]
 
 
