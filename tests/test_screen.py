@@ -737,3 +737,58 @@ def test_device_schedule_all_tiers_stack(monkeypatch):
             assert s_pad < pre_k1 <= rmsd_prune._MID_MAX
         else:
             assert pre_k1 <= s_pad
+
+
+def test_pair_kill_rect_compact_ambiguous_paths(monkeypatch):
+    '''The compacted ambiguous-pair second gate (fixed gather slots)
+    must agree with the dense whole-tile rotation branch, including
+    the slots-overflow fallback: ensembles engineered so many pairs
+    sit in the ambiguous rmsd band [thr/2, thr), some passing the
+    maxdev gate (multi-atom spread) and some vetoed by it (one-atom
+    spike), at N=16 where the sqrt(N) bound cannot shortcut.'''
+    rng = np.random.default_rng(41)
+    n, n_atoms = 512, 16
+    base = rng.normal(size=(n // 8, n_atoms, 3)) * 4.0
+    hs0 = np.repeat(base, 8, axis=0).copy()
+    for i in range(n):
+        kind = i % 4
+        if kind == 1:      # gate1 direct kill: tiny noise duplicate
+            hs0[i] += rng.normal(size=(n_atoms, 3)) * 0.01
+        elif kind == 2:    # ambiguous + killed: spread over 4 atoms
+            hs0[i, :4] += rng.normal(size=(4, 3)) * 0.32
+        elif kind == 3:    # ambiguous + vetoed: one-atom spike
+            hs0[i, 0] += np.array([1.5, 0.0, 0.0])
+    hs = jnp.asarray(hs0 - hs0.mean(axis=1, keepdims=True))
+    alive = jnp.ones(n, dtype=bool)
+    thr = jnp.asarray(0.5, hs.dtype)
+    nn = jnp.asarray(n, jnp.int32)
+
+    # stop_below=0 drives every eligible k here (default _FINISH_MAX
+    # would gate the whole loop off at n=512); k=1 stays ineligible
+    # for the band (one 512-run) and is skipped before it, preserving
+    # ok semantics for the ks that did run
+    run = lambda: np.asarray(rmsd_prune._mid_body(
+        hs, alive, nn, thr, s_mid=512,
+        band=rmsd_prune._MID_BAND, stop_below=0)[0])
+
+    got_compact = run()
+    # dense fallback everywhere: slots=0 means n_amb <= slots only for
+    # clean tiles (both cond branches trace, so slots must stay >= 0)
+    monkeypatch.setattr(rmsd_prune, '_AMB_SLOTS', 0)
+    got_dense = run()
+    # tiny slot count: ambiguous counts overflow -> per-tile fallback mix
+    monkeypatch.setattr(rmsd_prune, '_AMB_SLOTS', 2)
+    got_mixed = run()
+    np.testing.assert_array_equal(got_compact, got_dense)
+    np.testing.assert_array_equal(got_compact, got_mixed)
+
+    # the engineered bands actually exercised both gate outcomes: tiny-
+    # noise duplicates died (gate1) while one-atom spikes with rmsd in
+    # the band survived through the maxdev veto (gate2)
+    assert 0 < got_compact.sum() < n
+    # pairwise oracle agreement on the two engineered extremes
+    p0 = np.asarray(hs[0])
+    r_dup, md_dup = oracles.rmsd_and_max(p0.copy(), np.asarray(hs[1]))
+    assert r_dup < 0.5 and md_dup < 1.0          # killable duplicate
+    r_spk, md_spk = oracles.rmsd_and_max(p0.copy(), np.asarray(hs[3]))
+    assert r_spk < 0.5 <= md_spk / 2.0           # ambiguous, vetoed

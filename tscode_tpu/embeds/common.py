@@ -148,13 +148,21 @@ class MaskedPullAccumulator:
     HBM growth is bounded: once accumulated bytes (first field) pass
     the flush budget, the pending chunks are compacted early (device
     gather of their survivors) so the full tensors can be freed.
+
+    pull=False keeps the compacted survivor fields DEVICE-resident:
+    finish() then returns jnp arrays (mask still host). For pipelines
+    that cut survivors down further before materializing them (e.g.
+    string_embed's TFD novelty filter keeps a few hundred of ~10^5
+    clash survivors), this defers the big pull until after that cut —
+    the caller gathers the final rows on device and pulls only those.
     '''
 
-    def __init__(self):
+    def __init__(self, pull=True):
+        self._pull = pull
         self._chunks = []        # tuples of trimmed device arrays
         self._masks = []         # trimmed device bool vectors
         self._bytes = 0
-        self._parts = []         # tuples of host survivor arrays
+        self._parts = []         # tuples of survivor arrays (host or dev)
         self._mask_parts = []    # host mask arrays, in order
 
     def add(self, arrays, mask, n_valid):
@@ -176,9 +184,9 @@ class MaskedPullAccumulator:
         for f in range(n_fields):
             cat = ChunkAccumulator._tree_concat(
                 [c[f] for c in self._chunks])
-            gathered.append(
-                np.asarray(jnp.take(cat, jnp.asarray(idx), axis=0))
-                if len(idx) else np.asarray(cat[:0]))
+            g = (jnp.take(cat, jnp.asarray(idx), axis=0)
+                 if len(idx) else cat[:0])
+            gathered.append(np.asarray(g) if self._pull else g)
         self._parts.append(tuple(gathered))
         self._mask_parts.append(mask)
         self._chunks = []
@@ -186,14 +194,18 @@ class MaskedPullAccumulator:
         self._bytes = 0
 
     def finish(self):
-        '''Returns (fields tuple of (S, ...) host arrays, mask (B,)).'''
+        '''Returns (fields tuple of (S, ...) arrays — host when
+        pull=True, device otherwise — and the host mask (B,)).'''
         self._compact()
         mask = (np.concatenate(self._mask_parts) if self._mask_parts
                 else np.zeros(0, dtype=bool))
         if not self._parts:
             return (), mask
-        fields = tuple(np.concatenate([p[f] for p in self._parts])
-                       for f in range(len(self._parts[0])))
+        cat = np.concatenate if self._pull else jnp.concatenate
+        fields = tuple(
+            cat([p[f] for p in self._parts]) if len(self._parts) > 1
+            else self._parts[0][f]
+            for f in range(len(self._parts[0])))
         return fields, mask
 
 

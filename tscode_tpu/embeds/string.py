@@ -311,15 +311,20 @@ def string_embed(mol1, mol2, angles, clash_thresh=1.5, tfd_thresh=10,
                quadruplets=jnp.asarray(quadruplets, dtype=jnp.int32),
                angles=jnp.asarray(angles))
 
-    # dispatch the sweep before pulling anything, and pull ONLY the
-    # clash survivors: the pose and fingerprint tensors stay device-
-    # resident; the accumulator pulls the ok bitmask plus the gathered
-    # survivor rows (reference-order). On a tunneled accelerator the
-    # full-grid pose pull — not math — dominated this sweep.
-    from tscode_tpu.embeds.common import MaskedPullAccumulator
-    acc = MaskedPullAccumulator()
-
+    # dispatch the sweep before pulling anything, and keep even the
+    # clash SURVIVORS device-resident (pull=False): the TFD novelty
+    # filter below cuts ~10^5 survivors to a few hundred poses, so
+    # only the (small) fingerprint block and the bitmask cross the
+    # link before that cut, and the pose pull happens once, for the
+    # novel rows alone. On a tunneled accelerator these pulls — not
+    # math — dominated this sweep.
     import os as _os
+    import time as _time
+    from tscode_tpu.embeds.common import MaskedPullAccumulator
+    trace = _os.environ.get('TSCODE_EMBED_TRACE') == '1'
+    t_0 = _time.perf_counter()
+    acc = MaskedPullAccumulator(pull=False)
+
     if _os.environ.get('TSCODE_FUSED_SWEEP', '1') != '0':
         # the WHOLE grid as memory-bounded slabs of ONE lax.map program
         # each, in the gather-free broadcast form over c2-ALIGNED tiles
@@ -393,25 +398,44 @@ def string_embed(mol1, mol2, angles, clash_thresh=1.5, tfd_thresh=10,
                 poses, ok, tfps = chunk_fn(*pos_args)
             acc.add((poses, tfps), ok, hi - lo)
 
+    t_sweep = _time.perf_counter()
     fields, ok_all = acc.finish()
     if not ok_all.any():
         raise ZeroCandidatesError(
             '--> String embed did not find any suitable disposition of '
             'molecules.\n    Try expanding the conformational space with '
             'the csearch> operator or see the SHRINK keyword.')
-    kept_poses, kept_tfps = fields
+    kept_poses_dev, kept_tfps_dev = fields
+    t_finish = _time.perf_counter()
 
     # order-dependent TFD novelty filter, replayed over survivors only
-    # (reference embeds.py:47-69 via is_new_structure)
+    # (reference embeds.py:47-69 via is_new_structure); fingerprints
+    # are the only per-survivor data the filter needs, so they alone
+    # cross the link here
+    kept_tfps = np.asarray(kept_tfps_dev)
+    t_tfps = _time.perf_counter()
     novel = is_new_structure_lru(kept_tfps,
                                  np.ones(len(kept_tfps), dtype=bool),
                                  thresh=tfd_thresh)
-    final = kept_poses[novel]
+    novel_idx = np.nonzero(novel)[0]
+    t_lru = _time.perf_counter()
 
-    if len(final) == 0:
+    if len(novel_idx) == 0:
         raise ZeroCandidatesError(
             '--> String embed did not find any suitable disposition of '
             'molecules (all poses torsionally redundant).')
+
+    # the one pose pull of the sweep: the novel survivor rows only
+    final = np.asarray(jnp.take(kept_poses_dev,
+                                jnp.asarray(novel_idx), axis=0))
+    if trace:
+        t_end = _time.perf_counter()
+        log(f'    [embed trace] sweep {t_sweep - t_0:.3f}s, '
+            f'survivor compaction {t_finish - t_sweep:.3f}s, '
+            f'tfp pull {t_tfps - t_finish:.3f}s '
+            f'({kept_tfps.nbytes / 1e6:.1f} MB / {len(kept_tfps)} rows), '
+            f'tfd-lru {t_lru - t_tfps:.3f}s, '
+            f'novel pose pull {t_end - t_lru:.3f}s ({len(novel_idx)} rows)')
 
     constrained = np.array([[[r1, r2]]] * len(final))
     return final, constrained

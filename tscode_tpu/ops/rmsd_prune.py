@@ -551,21 +551,70 @@ def _inplace_pass(hs, alive, rmsd_thr, span_real, span_pad, n_chunks,
     return alive, jnp.sum(alive)
 
 
+def _amb_slot_hits(ambiguous, rows, cols, row_of, col_of, rmsd_thr,
+                   slots):
+    '''
+    Second-gate (maxdev) hits for the AMBIGUOUS pairs only, gathered
+    into `slots` fixed slots: the ambiguous rmsd band is a thin shell
+    (sqrt(N)-bound gate), so on multi-million-pair grids a handful of
+    pairs are ambiguous — yet any() over the grid nearly always finds
+    one, which used to run the dense rotation path over EVERY pair of
+    the tile (the (.., N, 3) rotated/diff tensors dominated the banded
+    passes' HBM traffic). Gathering the flagged pairs and recomputing
+    their correlation per pair keeps the cond's operands tiny.
+
+    The per-pair S/lambda are recomputed from the gathered coordinates
+    (`_maxdev_pairs`), so results can differ from the dense branch by
+    contraction-order roundoff — a kill flips only for a pair sitting
+    within fp epsilon of the 2*thr maxdev boundary, and the dense
+    branch still serves counts past `slots` (exactness fallback).
+
+    ambiguous: (..., ) bool grid; rows/cols: flat (R, N, 3)/(C, N, 3)
+    pools; row_of/col_of: flat pair index -> pool index maps.
+    Returns a hit grid shaped like `ambiguous`.
+    '''
+    shape = ambiguous.shape
+    total = int(np.prod(shape))
+    idx = jnp.nonzero(ambiguous.reshape(total), size=slots,
+                      fill_value=total)[0]
+    ic = jnp.minimum(idx, total - 1)
+    Pg = rows[row_of(ic)]
+    Qg = cols[col_of(ic)]
+    maxdev = _maxdev_pairs(Pg, Qg)
+    ok = (idx < total) & (maxdev < 2.0 * rmsd_thr)
+    out = jnp.zeros(total + 1, dtype=bool)
+    out = out.at[jnp.where(ok, idx, total)].set(True)
+    return out[:total].reshape(shape)
+
+
+# fixed slot count for the compacted ambiguous-pair second gate; tiles
+# whose ambiguous count exceeds it fall back to the dense rotation
+# branch (bitwise the pre-compaction behavior)
+_AMB_SLOTS = 4096
+
+
 def _two_gate_hits(rmsd, cand, rmsd_thr, N, Sm, lam, P, Q):
     '''
     Two-gate hit bits for a (T, C) pair tile given the already-computed
     rmsd + candidates. Exploits maxdev <= sqrt(N)*rmsd (sum of squared
     per-atom deviations equals N*msd): for N <= 4 the maxdev gate is
     implied, and otherwise the eigenvector/rotation path runs only for
-    the ambiguous rmsd band under a cond.
+    the ambiguous pairs — compacted into _AMB_SLOTS gather slots
+    (_amb_slot_hits), with the dense whole-tile rotation branch kept
+    for tiles whose ambiguous count exceeds the slots.
     '''
     gate1 = (rmsd < rmsd_thr) & cand
     if N <= 4:
         return gate1
 
     ambiguous = gate1 & (jnp.sqrt(float(N)) * rmsd >= 2.0 * rmsd_thr)
+    C = rmsd.shape[1]
 
-    def exact(_):
+    def compact(_):
+        return _amb_slot_hits(ambiguous, P, Q, lambda i: i // C,
+                              lambda i: i % C, rmsd_thr, _AMB_SLOTS)
+
+    def dense(_):
         K = _horn_key_matrix(Sm)
         q_wxyz = _quaternion_from_key(K, lam)
         q_xyzw = jnp.concatenate([q_wxyz[..., 1:], q_wxyz[..., :1]],
@@ -576,8 +625,11 @@ def _two_gate_hits(rmsd, cand, rmsd_thr, N, Sm, lam, P, Q):
         maxdev = jnp.sqrt(jnp.max(jnp.sum(diff * diff, axis=-1), axis=-1))
         return ambiguous & (maxdev < 2.0 * rmsd_thr)
 
-    hit2 = jax.lax.cond(jnp.any(ambiguous), exact,
-                        lambda _: jnp.zeros_like(ambiguous), 0)
+    n_amb = jnp.sum(ambiguous)
+    hit2 = jax.lax.cond(
+        n_amb == 0, lambda _: jnp.zeros_like(ambiguous),
+        lambda _: jax.lax.cond(n_amb <= _AMB_SLOTS, compact, dense, 0),
+        0)
     return (gate1 & ~ambiguous) | hit2
 
 
@@ -763,8 +815,19 @@ def _pair_kill_rect(Pr, Qc, valid, rmsd_thr):
         return jnp.any(gate1, axis=2)
 
     ambiguous = gate1 & (jnp.sqrt(float(N)) * rmsd >= 2.0 * rmsd_thr)
+    B, Lr = rmsd.shape[0], rmsd.shape[1]
+    Lc = rmsd.shape[2]
 
-    def exact(_):
+    def compact(_):
+        # flat pair index i = (b*Lr + p)*Lc + q: row pool is (B*Lr,),
+        # col pool (B*Lc,) -> i//Lc recovers b*Lr+p directly
+        return _amb_slot_hits(
+            ambiguous, Pr.reshape(B * Lr, N, 3), Qc.reshape(B * Lc, N, 3),
+            lambda i: i // Lc,
+            lambda i: (i // (Lr * Lc)) * Lc + i % Lc,
+            rmsd_thr, _AMB_SLOTS)
+
+    def dense(_):
         K = _horn_key_matrix(S)
         q_wxyz = _quaternion_from_key(K, lam)
         q_xyzw = jnp.concatenate([q_wxyz[..., 1:], q_wxyz[..., :1]],
@@ -775,8 +838,11 @@ def _pair_kill_rect(Pr, Qc, valid, rmsd_thr):
         maxdev = jnp.sqrt(jnp.max(jnp.sum(diff * diff, axis=-1), axis=-1))
         return ambiguous & (maxdev < 2.0 * rmsd_thr)
 
-    hit2 = jax.lax.cond(jnp.any(ambiguous), exact,
-                        lambda _: jnp.zeros_like(ambiguous), 0)
+    n_amb = jnp.sum(ambiguous)
+    hit2 = jax.lax.cond(
+        n_amb == 0, lambda _: jnp.zeros_like(ambiguous),
+        lambda _: jax.lax.cond(n_amb <= _AMB_SLOTS, compact, dense, 0),
+        0)
     return jnp.any((gate1 & ~ambiguous) | hit2, axis=2)
 
 
