@@ -429,13 +429,15 @@ def string_embed(mol1, mol2, angles, clash_thresh=1.5, tfd_thresh=10,
     final = np.asarray(jnp.take(kept_poses_dev,
                                 jnp.asarray(novel_idx), axis=0))
     if trace:
+        import sys as _sys
         t_end = _time.perf_counter()
-        log(f'    [embed trace] sweep {t_sweep - t_0:.3f}s, '
-            f'survivor compaction {t_finish - t_sweep:.3f}s, '
-            f'tfp pull {t_tfps - t_finish:.3f}s '
-            f'({kept_tfps.nbytes / 1e6:.1f} MB / {len(kept_tfps)} rows), '
-            f'tfd-lru {t_lru - t_tfps:.3f}s, '
-            f'novel pose pull {t_end - t_lru:.3f}s ({len(novel_idx)} rows)')
+        print(f'[embed trace] sweep {t_sweep - t_0:.3f}s, '
+              f'survivor compaction {t_finish - t_sweep:.3f}s, '
+              f'tfp pull {t_tfps - t_finish:.3f}s '
+              f'({kept_tfps.nbytes / 1e6:.1f} MB / {len(kept_tfps)} rows), '
+              f'tfd-lru {t_lru - t_tfps:.3f}s, '
+              f'novel pose pull {t_end - t_lru:.3f}s '
+              f'({len(novel_idx)} rows)', file=_sys.stderr, flush=True)
 
     constrained = np.array([[[r1, r2]]] * len(final))
     return final, constrained
