@@ -86,6 +86,34 @@ def test_masked_pull_no_survivors():
     assert vals.shape == (0, 2, 3)
 
 
+def test_masked_pull_device_resident(monkeypatch):
+    """pull=False keeps survivor fields on device through multi-part
+    compaction; content and order must match the pulled path."""
+    monkeypatch.setattr(common, '_ACCUM_FLUSH_BYTES', 1)  # compact per add
+    from tscode_tpu.embeds.common import MaskedPullAccumulator
+    rng = np.random.default_rng(7)
+    acc_h = MaskedPullAccumulator()
+    acc_d = MaskedPullAccumulator(pull=False)
+    for k in range(6):
+        p_ = rng.normal(size=(5, 3, 3))
+        m = rng.random(5) < 0.5
+        for a in (acc_h, acc_d):
+            a.add((jnp.asarray(p_),), jnp.asarray(m), 4)
+    (host,), mask_h = acc_h.finish()
+    (dev,), mask_d = acc_d.finish()
+    assert not isinstance(host, jnp.ndarray) or isinstance(host, np.ndarray)
+    import jax
+    assert isinstance(dev, jax.Array)
+    np.testing.assert_array_equal(mask_h, mask_d)
+    np.testing.assert_allclose(np.asarray(dev), host)
+
+    # no-survivor edge stays shaped
+    acc0 = MaskedPullAccumulator(pull=False)
+    acc0.add((jnp.ones((3, 2, 3)),), jnp.zeros(3, dtype=bool), 3)
+    (v0,), m0 = acc0.finish()
+    assert not m0.any() and v0.shape == (0, 2, 3)
+
+
 def test_survivor_accumulator_row_major_order():
     from tscode_tpu.embeds.common import SurvivorAccumulator
     acc = SurvivorAccumulator()
