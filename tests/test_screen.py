@@ -792,3 +792,39 @@ def test_pair_kill_rect_compact_ambiguous_paths(monkeypatch):
     assert r_dup < 0.5 and md_dup < 1.0          # killable duplicate
     r_spk, md_spk = oracles.rmsd_and_max(p0.copy(), np.asarray(hs[3]))
     assert r_spk < 0.5 <= md_spk / 2.0           # ambiguous, vetoed
+
+
+def test_mid_body_band_variant_dispatch():
+    '''Each eligible banded pass dispatches the narrowest window
+    covering its current max run. Long same-chunk runs (~300 rows,
+    duplicate partners 300 slots apart) force the WIDE variant; the
+    result must not depend on the cap width as long as the runs fit
+    (cap 512 vs 1024), and must match the sequential oracle for the
+    pass that can see those pairs (k=10, chunk span 409).'''
+    rng = np.random.default_rng(53)
+    n = 4096
+    hs0 = rng.normal(size=(n, 4, 3)) * 3.0
+    # duplicate partners 300 apart: same chunk only once spans >= 300
+    for i in range(0, n - 300, 409):
+        hs0[i + 300] = hs0[i] + rng.normal(size=(4, 3)) * 0.01
+    hs = jnp.asarray(hs0 - hs0.mean(axis=1, keepdims=True))
+    alive = jnp.ones(n, dtype=bool)
+    thr = jnp.asarray(0.5, hs.dtype)
+    nn = jnp.asarray(n, jnp.int32)
+
+    # skip k<=5: their near-full chunk spans (819/2048/4096 rows)
+    # exceed any cap and would legitimately flip ok False
+    out = {}
+    for cap in (512, 1024):
+        a, ok, _ = rmsd_prune._mid_body(hs, alive, nn, thr,
+                                        s_mid=4096, band=cap,
+                                        stop_below=0, skip_ks=(5, 2, 1))
+        assert bool(ok)
+        out[cap] = np.asarray(a)
+    np.testing.assert_array_equal(out[512], out[1024])
+
+    # every planted 300-apart duplicate pair lost its EARLIER member
+    # (kill rule: i dies to a later same-chunk match) at the k=10 pass
+    for i in range(0, n - 300, 409):
+        assert not out[1024][i], i
+        assert out[1024][i + 300], i + 300

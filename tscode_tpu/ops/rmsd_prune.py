@@ -867,7 +867,7 @@ def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128,
     the same program (the fused in-place passes). Re-running a pass is
     semantically a no-op — kills require both rows alive, and any pair
     that passes the gates now also passed them when the pass first ran
-    — but each banded pass costs a full s_mid x W pair sweep, so the
+    — but each banded pass costs a live-rows x W pair sweep, so the
     re-runs were pure waste (3 of ~8 passes at the 1.66M-pose tier-2
     config). Skipping them is survivor-exact by the same idempotency
     argument.
@@ -877,29 +877,34 @@ def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128,
     n_pool = hs.shape[0]
     N = hs.shape[1]
     T = s_mid // tile
-    m = -(-band // tile)                               # look-ahead tiles
-    W = (m + 1) * tile
 
-    # row-group size: bound each group's pair tensors, keep T divisible
-    budget = max(1, (1 << 22) // (tile * W))
-    G = 1
-    while G * 2 <= budget and T % (G * 2) == 0:
-        G *= 2
-    n_groups = T // G
-    Gtile = G * tile
-    pad_tail = m * tile
+    # band VARIANTS: `band` is the correctness CAP (a pass whose max
+    # same-chunk run exceeds it hands off), but per-pass re-compaction
+    # means the runs a pass actually sees track the CURRENT survivors —
+    # measured at the 1.66M-pose tier-2 config the wide-band (1024)
+    # pass entered with runs of max 51 / mean 38, so ~96% of its
+    # (tile + band)-wide window slots were padding and the pair math
+    # over them was the stage wall (BASELINE.md round-4). Each eligible
+    # pass therefore dispatches (lax.switch) the NARROWEST window that
+    # covers its measured max_run: tile-wide when runs fit one tile,
+    # the full cap otherwise. Kill semantics are identical — a window
+    # of width >= max_run sees every same-chunk pair.
+    bands = sorted({b for b in (tile, band) if b <= band})
+
+    def _geom(b):
+        m = -(-b // tile)                              # look-ahead tiles
+        W = (m + 1) * tile
+        # row-group size: bound each group's pair tensors, T divisible
+        budget = max(1, (1 << 22) // (tile * W))
+        G = 1
+        while G * 2 <= budget and T % (G * 2) == 0:
+            G *= 2
+        return m, W, G
 
     pos = jnp.arange(s_mid, dtype=jnp.int32)
     skip = {int(k) for k in skip_ks}
     ks = jnp.asarray([int(k) for k in K_SCHEDULE
                       if int(k) not in skip], jnp.int32)
-
-    def local_windows(x):
-        '''((G+m)*tile, ...) col span -> (G, W, ...) windows (padding
-        values come from the caller's _ext concatenations).'''
-        blocks_ = x.reshape((G + m, tile) + x.shape[1:])
-        parts = [blocks_[s:s + G] for s in range(m + 1)]
-        return jnp.concatenate(parts, axis=1)
 
     def one_pass(i, state):
         # `a` lives in POOL space; every eligible pass RE-COMPACTS the
@@ -939,68 +944,98 @@ def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128,
             max_run = jnp.max(jnp.where(real, pos - first, 0)) + 1
             fits = max_run <= band
 
-            def run(a):
-                sub = hs[idx_c]                        # (S, N, 3)
-                sub_ext = jnp.concatenate(
-                    [sub, jnp.zeros((pad_tail, N, 3), sub.dtype)])
-                r_ext = jnp.concatenate([real, jnp.zeros(pad_tail, bool)])
-                c_ext = jnp.concatenate(
-                    [chunk, jnp.full(pad_tail, -2, chunk.dtype)])
+            def make_run(b):
+                m, W, G = _geom(b)
+                n_groups = T // G
+                Gtile = G * tile
+                pad_tail = m * tile
 
-                def group_body(g):
-                    start = g * Gtile
-                    rows = jax.lax.dynamic_slice_in_dim(
-                        sub_ext, start, Gtile).reshape(G, tile, N, 3)
-                    span = jax.lax.dynamic_slice_in_dim(
-                        sub_ext, start, Gtile + pad_tail)
-                    wincols = local_windows(span)      # (G, W, N, 3)
+                def local_windows(x):
+                    '''((G+m)*tile, ...) col span -> (G, W, ...)
+                    windows (padding values come from the _ext
+                    concatenations below).'''
+                    blocks_ = x.reshape((G + m, tile) + x.shape[1:])
+                    parts = [blocks_[s:s + G] for s in range(m + 1)]
+                    return jnp.concatenate(parts, axis=1)
 
-                    r_rows = jax.lax.dynamic_slice_in_dim(
-                        r_ext, start, Gtile).reshape(G, tile)
-                    r_cols = local_windows(jax.lax.dynamic_slice_in_dim(
-                        r_ext, start, Gtile + pad_tail))
-                    c_rows = jax.lax.dynamic_slice_in_dim(
-                        c_ext, start, Gtile).reshape(G, tile)
-                    c_cols = local_windows(jax.lax.dynamic_slice_in_dim(
-                        c_ext, start, Gtile + pad_tail))
+                def run(a):
+                    sub = hs[idx_c]                    # (S, N, 3)
+                    sub_ext = jnp.concatenate(
+                        [sub, jnp.zeros((pad_tail, N, 3), sub.dtype)])
+                    r_ext = jnp.concatenate(
+                        [real, jnp.zeros(pad_tail, bool)])
+                    c_ext = jnp.concatenate(
+                        [chunk, jnp.full(pad_tail, -2, chunk.dtype)])
 
-                    row_pos = (start + jnp.arange(
-                        Gtile, dtype=jnp.int32)).reshape(G, tile)
-                    # window columns start at each row tile's first pos
-                    col_pos = row_pos[:, :1] + \
-                        jnp.arange(W, dtype=jnp.int32)[None, :]
+                    def group_body(g):
+                        start = g * Gtile
+                        rows = jax.lax.dynamic_slice_in_dim(
+                            sub_ext, start, Gtile).reshape(G, tile, N, 3)
+                        span = jax.lax.dynamic_slice_in_dim(
+                            sub_ext, start, Gtile + pad_tail)
+                        wincols = local_windows(span)  # (G, W, N, 3)
 
-                    valid = r_rows[:, :, None] & r_cols[:, None, :] & \
-                        (col_pos[:, None, :] > row_pos[:, :, None]) & \
-                        (c_rows[:, :, None] == c_cols[:, None, :])
-                    return _pair_kill_rect(rows, wincols, valid, rmsd_thr)
+                        r_rows = jax.lax.dynamic_slice_in_dim(
+                            r_ext, start, Gtile).reshape(G, tile)
+                        r_cols = local_windows(
+                            jax.lax.dynamic_slice_in_dim(
+                                r_ext, start, Gtile + pad_tail))
+                        c_rows = jax.lax.dynamic_slice_in_dim(
+                            c_ext, start, Gtile).reshape(G, tile)
+                        c_cols = local_windows(
+                            jax.lax.dynamic_slice_in_dim(
+                                c_ext, start, Gtile + pad_tail))
 
-                # fresh compaction packs actives into the FIRST slots,
-                # so groups past ceil(active/Gtile) hold only fill rows
-                # (real False -> no valid pair -> no kill): bound the
-                # group sweep by the live count. At the 1.66M-pose
-                # tier-2 config the wide-band pass runs ~19 live groups
-                # of 1,024 (the rest was pure fill sweep).
-                n_live = jnp.minimum(
-                    (jnp.sum(real) + Gtile - 1) // Gtile,
-                    n_groups).astype(jnp.int32)
+                        row_pos = (start + jnp.arange(
+                            Gtile, dtype=jnp.int32)).reshape(G, tile)
+                        # window cols start at each row tile's first pos
+                        col_pos = row_pos[:, :1] + \
+                            jnp.arange(W, dtype=jnp.int32)[None, :]
 
-                def live_step(g, kill_buf):
-                    return jax.lax.dynamic_update_slice_in_dim(
-                        kill_buf, group_body(g)[None], g, 0)
+                        valid = r_rows[:, :, None] & r_cols[:, None, :] \
+                            & (col_pos[:, None, :] > row_pos[:, :, None]) \
+                            & (c_rows[:, :, None] == c_cols[:, None, :])
+                        return _pair_kill_rect(rows, wincols, valid,
+                                               rmsd_thr)
 
-                kill = jax.lax.fori_loop(
-                    0, n_live, live_step,
-                    jnp.zeros((n_groups, G, tile),
-                              dtype=bool)).reshape(s_mid)
-                # scatter kills back to pool space (kill is True only
-                # for real rows — valid requires both sides real)
-                pool_kill = jnp.zeros(n_pool + 1, dtype=bool)
-                pool_kill = pool_kill.at[
-                    jnp.where(kill, idx_c, n_pool)].set(True)
-                return a & ~pool_kill[:n_pool]
+                    # fresh compaction packs actives into the FIRST
+                    # slots, so groups past ceil(active/Gtile) hold
+                    # only fill rows (real False -> no valid pair ->
+                    # no kill): bound the group sweep by the live count
+                    n_live = jnp.minimum(
+                        (jnp.sum(real) + Gtile - 1) // Gtile,
+                        n_groups).astype(jnp.int32)
 
-            a2 = jax.lax.cond(fits & ok, run, lambda a: a, a)
+                    def live_step(g, kill_buf):
+                        return jax.lax.dynamic_update_slice_in_dim(
+                            kill_buf, group_body(g)[None], g, 0)
+
+                    kill = jax.lax.fori_loop(
+                        0, n_live, live_step,
+                        jnp.zeros((n_groups, G, tile),
+                                  dtype=bool)).reshape(s_mid)
+                    # scatter kills back to pool space (kill is True
+                    # only for real rows — valid requires both real)
+                    pool_kill = jnp.zeros(n_pool + 1, dtype=bool)
+                    pool_kill = pool_kill.at[
+                        jnp.where(kill, idx_c, n_pool)].set(True)
+                    return a & ~pool_kill[:n_pool]
+
+                return run
+
+            runs = [make_run(b) for b in bands]
+            if len(runs) == 1:
+                def dispatch(a):
+                    return runs[0](a)
+            else:
+                # narrowest variant whose window covers max_run
+                sel = sum((max_run > b).astype(jnp.int32)
+                          for b in bands[:-1])
+
+                def dispatch(a):
+                    return jax.lax.switch(sel, runs, a)
+
+            a2 = jax.lax.cond(fits & ok, dispatch, lambda a: a, a)
             return a2, fits
 
         a, fits = jax.lax.cond(
