@@ -2,15 +2,17 @@
 '''Banded-pass statistics for the bench workload, on the LOCAL CPU
 backend: runs embed+clash+compact+in-place exactly as the fused
 pipeline does, then reports, for the first eligible wide-band pass,
-the per-chunk live run lengths (max_run picks the _mid_body window
-variant — see the band lax.switch) and the exact ambiguous-pair count
+the per-chunk live run lengths (max_run vs the _mid_body band decides
+whether a pass stays on device) and the exact ambiguous-pair count
 (sizes _AMB_SLOTS).
 
 These statistics depend only on the survivor PATTERN, so the CPU x64
 lane is a faithful proxy for the chip (counts differ by a few per
-mille from f32 kernel rounding). This is the measurement that showed
-the mid2 wall was 96% window padding — runs max 51 vs band 1024 at
-the 1.66M-pose tier-2 config (BASELINE.md round-4).
+mille from f32 kernel rounding). History: the run-length stats (max 51
+vs band 1024 here) motivated a narrower-window lax.switch in _mid_body;
+on chip it bought ~3 ms of a 59 ms stage — the per-pass fixed costs
+dominate, which led to the frame-compaction design instead
+(BASELINE.md round-4).
 
 Usage: TSCODE_BENCH_CONFS=152 python tools/prune_pass_stats.py
 '''

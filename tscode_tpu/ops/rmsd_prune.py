@@ -878,59 +878,60 @@ def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128,
     N = hs.shape[1]
     T = s_mid // tile
 
-    # band VARIANTS: `band` is the correctness CAP (a pass whose max
-    # same-chunk run exceeds it hands off), but per-pass re-compaction
-    # means the runs a pass actually sees track the CURRENT survivors —
-    # measured at the 1.66M-pose tier-2 config the wide-band (1024)
-    # pass entered with runs of max 51 / mean 38, so ~96% of its
-    # (tile + band)-wide window slots were padding and the pair math
-    # over them was the stage wall (BASELINE.md round-4). Each eligible
-    # pass therefore dispatches (lax.switch) the NARROWEST window that
-    # covers its measured max_run: tile-wide when runs fit one tile,
-    # the full cap otherwise. Kill semantics are identical — a window
-    # of width >= max_run sees every same-chunk pair.
-    bands = sorted({b for b in (tile, band) if b <= band})
-
-    def _geom(b):
-        m = -(-b // tile)                              # look-ahead tiles
-        W = (m + 1) * tile
-        # row-group size: bound each group's pair tensors, T divisible
-        budget = max(1, (1 << 22) // (tile * W))
-        G = 1
-        while G * 2 <= budget and T % (G * 2) == 0:
-            G *= 2
-        return m, W, G
+    # window geometry: the band is the correctness cap — a window of
+    # width >= the largest same-chunk run sees every same-chunk pair,
+    # and a pass whose max run exceeds the cap hands off. (A previous
+    # revision dispatched narrower window variants via lax.switch when
+    # the measured runs allowed; on chip that saved ~3 ms of a 59 ms
+    # stage while inflating whole-program compile times past 20 min —
+    # the per-pass fixed costs, not the window pair math, dominate the
+    # stage. Reverted to the single cap-width window.)
+    m = -(-band // tile)                               # look-ahead tiles
+    W = (m + 1) * tile
+    # row-group size: bound each group's pair tensors, T divisible
+    budget = max(1, (1 << 22) // (tile * W))
+    G = 1
+    while G * 2 <= budget and T % (G * 2) == 0:
+        G *= 2
+    n_groups = T // G
+    Gtile = G * tile
+    pad_tail = m * tile
 
     pos = jnp.arange(s_mid, dtype=jnp.int32)
     skip = {int(k) for k in skip_ks}
     ks = jnp.asarray([int(k) for k in K_SCHEDULE
                       if int(k) not in skip], jnp.int32)
 
+    # FRAME: the entry actives are gathered out of the pool ONCE; all
+    # later bookkeeping lives in this s_mid-sized frame. Every eligible
+    # pass RE-COMPACTS the current survivors (an entry-only compaction
+    # froze the run lengths `fits` sees at their entry values — the
+    # documented 4.72M-pose handoff was exactly that), but compacting
+    # WITHIN the frame costs an s_mid-sized nonzero + gather, not the
+    # n_pool-sized cumsum + (s_mid, N, 3) pool gather per pass that
+    # dominated the mid2 stage at million-row pools. Survivor-exact:
+    # kill semantics depend only on chunk ids and order, both carried
+    # by pool_pos0; nonzero is order-preserving so frame order = pool
+    # order throughout.
+    idx0 = jnp.nonzero(alive, size=s_mid, fill_value=n_pool)[0]
+    real0 = idx0 < n_pool
+    idx0_c = jnp.clip(idx0, 0, n_pool - 1)
+    sub0 = hs[idx0_c]                  # (s_mid, N, 3) — gathered once
+    pool_pos0 = idx0                   # original pool position per row
+
     def one_pass(i, state):
-        # `a` lives in POOL space; every eligible pass RE-COMPACTS the
-        # current survivors. An entry-only compaction (previous design)
-        # froze the run lengths `fits` sees at their entry values, so a
-        # diverse chunk whose actives had long since been thinned still
-        # failed the band check — the documented 4.72M-pose handoff was
-        # exactly this: cs=2360 entry runs vs a 1024 band, with far
-        # fewer CURRENT actives. Re-compacting per pass makes `fits`
-        # reflect reality (strictly more passes stay on device), keeps
-        # the count-based live-group bound exact (actives are packed
-        # first again), and is survivor-exact — kill semantics never
-        # depended on where rows sit, only on chunk ids and order. Cost
-        # is one nonzero scan + one (s_mid, N, 3) gather per ELIGIBLE
-        # pass, paid only inside the cond.
-        a, ok, ran_k1 = state
+        a, ok, ran_k1 = state          # a: FRAME-space mask (s_mid,)
         k = ks[i]
         active = jnp.sum(a)
         eligible = ((k == 1) | (20 * k < active)) & (active > stop_below)
 
         def attempt(a):
-            idx = jnp.nonzero(a, size=s_mid, fill_value=n_pool)[0]
-            real = idx < n_pool
-            idx_c = jnp.clip(idx, 0, n_pool - 1)
+            idx = jnp.nonzero(a, size=s_mid, fill_value=s_mid)[0]
+            real = idx < s_mid
+            idx_c = jnp.clip(idx, 0, s_mid - 1)
+            ppos = pool_pos0[idx_c]
             cs = jnp.maximum(n // k, 1)
-            chunk = jnp.where(real, jnp.minimum(idx // cs, k - 1), -1)
+            chunk = jnp.where(real, jnp.minimum(ppos // cs, k - 1), -1)
             # largest same-chunk run among COMPACTED positions (chunk
             # ids are non-decreasing). NOT searchsorted: its binary-
             # search gathers over the full s_mid compaction cost
@@ -944,98 +945,78 @@ def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128,
             max_run = jnp.max(jnp.where(real, pos - first, 0)) + 1
             fits = max_run <= band
 
-            def make_run(b):
-                m, W, G = _geom(b)
-                n_groups = T // G
-                Gtile = G * tile
-                pad_tail = m * tile
+            def local_windows(x):
+                '''((G+m)*tile, ...) col span -> (G, W, ...) windows
+                (padding values come from the _ext concatenations
+                below).'''
+                blocks_ = x.reshape((G + m, tile) + x.shape[1:])
+                parts = [blocks_[s:s + G] for s in range(m + 1)]
+                return jnp.concatenate(parts, axis=1)
 
-                def local_windows(x):
-                    '''((G+m)*tile, ...) col span -> (G, W, ...)
-                    windows (padding values come from the _ext
-                    concatenations below).'''
-                    blocks_ = x.reshape((G + m, tile) + x.shape[1:])
-                    parts = [blocks_[s:s + G] for s in range(m + 1)]
-                    return jnp.concatenate(parts, axis=1)
+            def run(a):
+                sub = sub0[idx_c]                  # (S, N, 3) frame gather
+                sub_ext = jnp.concatenate(
+                    [sub, jnp.zeros((pad_tail, N, 3), sub.dtype)])
+                r_ext = jnp.concatenate(
+                    [real, jnp.zeros(pad_tail, bool)])
+                c_ext = jnp.concatenate(
+                    [chunk, jnp.full(pad_tail, -2, chunk.dtype)])
 
-                def run(a):
-                    sub = hs[idx_c]                    # (S, N, 3)
-                    sub_ext = jnp.concatenate(
-                        [sub, jnp.zeros((pad_tail, N, 3), sub.dtype)])
-                    r_ext = jnp.concatenate(
-                        [real, jnp.zeros(pad_tail, bool)])
-                    c_ext = jnp.concatenate(
-                        [chunk, jnp.full(pad_tail, -2, chunk.dtype)])
+                def group_body(g):
+                    start = g * Gtile
+                    rows = jax.lax.dynamic_slice_in_dim(
+                        sub_ext, start, Gtile).reshape(G, tile, N, 3)
+                    span = jax.lax.dynamic_slice_in_dim(
+                        sub_ext, start, Gtile + pad_tail)
+                    wincols = local_windows(span)  # (G, W, N, 3)
 
-                    def group_body(g):
-                        start = g * Gtile
-                        rows = jax.lax.dynamic_slice_in_dim(
-                            sub_ext, start, Gtile).reshape(G, tile, N, 3)
-                        span = jax.lax.dynamic_slice_in_dim(
-                            sub_ext, start, Gtile + pad_tail)
-                        wincols = local_windows(span)  # (G, W, N, 3)
+                    r_rows = jax.lax.dynamic_slice_in_dim(
+                        r_ext, start, Gtile).reshape(G, tile)
+                    r_cols = local_windows(
+                        jax.lax.dynamic_slice_in_dim(
+                            r_ext, start, Gtile + pad_tail))
+                    c_rows = jax.lax.dynamic_slice_in_dim(
+                        c_ext, start, Gtile).reshape(G, tile)
+                    c_cols = local_windows(
+                        jax.lax.dynamic_slice_in_dim(
+                            c_ext, start, Gtile + pad_tail))
 
-                        r_rows = jax.lax.dynamic_slice_in_dim(
-                            r_ext, start, Gtile).reshape(G, tile)
-                        r_cols = local_windows(
-                            jax.lax.dynamic_slice_in_dim(
-                                r_ext, start, Gtile + pad_tail))
-                        c_rows = jax.lax.dynamic_slice_in_dim(
-                            c_ext, start, Gtile).reshape(G, tile)
-                        c_cols = local_windows(
-                            jax.lax.dynamic_slice_in_dim(
-                                c_ext, start, Gtile + pad_tail))
+                    row_pos = (start + jnp.arange(
+                        Gtile, dtype=jnp.int32)).reshape(G, tile)
+                    # window cols start at each row tile's first pos
+                    col_pos = row_pos[:, :1] + \
+                        jnp.arange(W, dtype=jnp.int32)[None, :]
 
-                        row_pos = (start + jnp.arange(
-                            Gtile, dtype=jnp.int32)).reshape(G, tile)
-                        # window cols start at each row tile's first pos
-                        col_pos = row_pos[:, :1] + \
-                            jnp.arange(W, dtype=jnp.int32)[None, :]
+                    valid = r_rows[:, :, None] & r_cols[:, None, :] \
+                        & (col_pos[:, None, :] > row_pos[:, :, None]) \
+                        & (c_rows[:, :, None] == c_cols[:, None, :])
+                    return _pair_kill_rect(rows, wincols, valid,
+                                           rmsd_thr)
 
-                        valid = r_rows[:, :, None] & r_cols[:, None, :] \
-                            & (col_pos[:, None, :] > row_pos[:, :, None]) \
-                            & (c_rows[:, :, None] == c_cols[:, None, :])
-                        return _pair_kill_rect(rows, wincols, valid,
-                                               rmsd_thr)
+                # fresh compaction packs actives into the FIRST slots,
+                # so groups past ceil(active/Gtile) hold only fill rows
+                # (real False -> no valid pair -> no kill): bound the
+                # group sweep by the live count
+                n_live = jnp.minimum(
+                    (jnp.sum(real) + Gtile - 1) // Gtile,
+                    n_groups).astype(jnp.int32)
 
-                    # fresh compaction packs actives into the FIRST
-                    # slots, so groups past ceil(active/Gtile) hold
-                    # only fill rows (real False -> no valid pair ->
-                    # no kill): bound the group sweep by the live count
-                    n_live = jnp.minimum(
-                        (jnp.sum(real) + Gtile - 1) // Gtile,
-                        n_groups).astype(jnp.int32)
+                def live_step(g, kill_buf):
+                    return jax.lax.dynamic_update_slice_in_dim(
+                        kill_buf, group_body(g)[None], g, 0)
 
-                    def live_step(g, kill_buf):
-                        return jax.lax.dynamic_update_slice_in_dim(
-                            kill_buf, group_body(g)[None], g, 0)
+                kill = jax.lax.fori_loop(
+                    0, n_live, live_step,
+                    jnp.zeros((n_groups, G, tile),
+                              dtype=bool)).reshape(s_mid)
+                # scatter kills back to FRAME space (kill is True only
+                # for real rows — valid requires both real)
+                frame_kill = jnp.zeros(s_mid + 1, dtype=bool)
+                frame_kill = frame_kill.at[
+                    jnp.where(kill, idx_c, s_mid)].set(True)
+                return a & ~frame_kill[:s_mid]
 
-                    kill = jax.lax.fori_loop(
-                        0, n_live, live_step,
-                        jnp.zeros((n_groups, G, tile),
-                                  dtype=bool)).reshape(s_mid)
-                    # scatter kills back to pool space (kill is True
-                    # only for real rows — valid requires both real)
-                    pool_kill = jnp.zeros(n_pool + 1, dtype=bool)
-                    pool_kill = pool_kill.at[
-                        jnp.where(kill, idx_c, n_pool)].set(True)
-                    return a & ~pool_kill[:n_pool]
-
-                return run
-
-            runs = [make_run(b) for b in bands]
-            if len(runs) == 1:
-                def dispatch(a):
-                    return runs[0](a)
-            else:
-                # narrowest variant whose window covers max_run
-                sel = sum((max_run > b).astype(jnp.int32)
-                          for b in bands[:-1])
-
-                def dispatch(a):
-                    return jax.lax.switch(sel, runs, a)
-
-            a2 = jax.lax.cond(fits & ok, dispatch, lambda a: a, a)
+            a2 = jax.lax.cond(fits & ok, run, lambda a: a, a)
             return a2, fits
 
         a, fits = jax.lax.cond(
@@ -1045,9 +1026,14 @@ def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128,
         ran_k1 = ran_k1 | (ran & (k == 1))
         return a, ok, ran_k1
 
-    a, ok, ran_k1 = jax.lax.fori_loop(0, ks.shape[0], one_pass,
-                                      (alive, True, False))
-    return a, ok, ran_k1
+    a_c, ok, ran_k1 = jax.lax.fori_loop(0, ks.shape[0], one_pass,
+                                        (real0, True, False))
+    # scatter the frame survivors back to pool space (fill rows start
+    # dead and kills only clear bits, so only true entry actives can
+    # land a pool bit)
+    out = jnp.zeros(n_pool + 1, dtype=bool)
+    out = out.at[jnp.where(a_c, idx0_c, n_pool)].set(True)
+    return out[:n_pool], ok, ran_k1
 
 
 # ensemble lengths whose whole-schedule single-program executable has
