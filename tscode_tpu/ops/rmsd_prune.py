@@ -902,21 +902,23 @@ def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128,
     ks = jnp.asarray([int(k) for k in K_SCHEDULE
                       if int(k) not in skip], jnp.int32)
 
-    # FRAME: the entry actives are gathered out of the pool ONCE; all
-    # later bookkeeping lives in this s_mid-sized frame. Every eligible
-    # pass RE-COMPACTS the current survivors (an entry-only compaction
-    # froze the run lengths `fits` sees at their entry values — the
-    # documented 4.72M-pose handoff was exactly that), but compacting
-    # WITHIN the frame costs an s_mid-sized nonzero + gather, not the
-    # n_pool-sized cumsum + (s_mid, N, 3) pool gather per pass that
-    # dominated the mid2 stage at million-row pools. Survivor-exact:
-    # kill semantics depend only on chunk ids and order, both carried
-    # by pool_pos0; nonzero is order-preserving so frame order = pool
-    # order throughout.
+    # FRAME: the entry actives are indexed out of the pool ONCE; all
+    # later bookkeeping lives in this s_mid-sized frame of int32/bool
+    # arrays — coordinates are NEVER materialized frame-wide. Every
+    # eligible pass RE-COMPACTS the current survivors (an entry-only
+    # compaction froze the run lengths `fits` sees at their entry
+    # values — the documented 4.72M-pose handoff was exactly that),
+    # but a re-compaction costs only s_mid-sized integer ops: the
+    # coordinate gathers happen per LIVE GROUP inside the window sweep
+    # (n_live * (Gtile + pad) rows per pass), not as the (s_mid, N, 3)
+    # full-frame gather per pass that dominated the mid2 stage — at
+    # tier-2 s_mid equals the pool size, so that gather moved ~360 MB
+    # per pass for ~37k live rows. Survivor-exact: kill semantics
+    # depend only on chunk ids and order, both carried by pool_pos0;
+    # nonzero is order-preserving so frame order = pool order.
     idx0 = jnp.nonzero(alive, size=s_mid, fill_value=n_pool)[0]
     real0 = idx0 < n_pool
     idx0_c = jnp.clip(idx0, 0, n_pool - 1)
-    sub0 = hs[idx0_c]                  # (s_mid, N, 3) — gathered once
     pool_pos0 = idx0                   # original pool position per row
 
     def one_pass(i, state):
@@ -954,9 +956,13 @@ def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128,
                 return jnp.concatenate(parts, axis=1)
 
             def run(a):
-                sub = sub0[idx_c]                  # (S, N, 3) frame gather
-                sub_ext = jnp.concatenate(
-                    [sub, jnp.zeros((pad_tail, N, 3), sub.dtype)])
+                # pool row per compacted slot (fill slots clip to a
+                # safe row; their real-bit is False so every pair they
+                # touch is invalid)
+                ppos_c = jnp.clip(jnp.where(real, ppos, 0),
+                                  0, n_pool - 1)
+                p_ext = jnp.concatenate(
+                    [ppos_c, jnp.zeros(pad_tail, ppos_c.dtype)])
                 r_ext = jnp.concatenate(
                     [real, jnp.zeros(pad_tail, bool)])
                 c_ext = jnp.concatenate(
@@ -964,22 +970,21 @@ def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128,
 
                 def group_body(g):
                     start = g * Gtile
-                    rows = jax.lax.dynamic_slice_in_dim(
-                        sub_ext, start, Gtile).reshape(G, tile, N, 3)
-                    span = jax.lax.dynamic_slice_in_dim(
-                        sub_ext, start, Gtile + pad_tail)
+                    # coordinates gathered HERE, straight from the
+                    # pool, one live group's span at a time
+                    span = hs[jax.lax.dynamic_slice_in_dim(
+                        p_ext, start, Gtile + pad_tail)]
+                    rows = span[:Gtile].reshape(G, tile, N, 3)
                     wincols = local_windows(span)  # (G, W, N, 3)
 
-                    r_rows = jax.lax.dynamic_slice_in_dim(
-                        r_ext, start, Gtile).reshape(G, tile)
-                    r_cols = local_windows(
-                        jax.lax.dynamic_slice_in_dim(
-                            r_ext, start, Gtile + pad_tail))
-                    c_rows = jax.lax.dynamic_slice_in_dim(
-                        c_ext, start, Gtile).reshape(G, tile)
-                    c_cols = local_windows(
-                        jax.lax.dynamic_slice_in_dim(
-                            c_ext, start, Gtile + pad_tail))
+                    r_span = jax.lax.dynamic_slice_in_dim(
+                        r_ext, start, Gtile + pad_tail)
+                    r_rows = r_span[:Gtile].reshape(G, tile)
+                    r_cols = local_windows(r_span)
+                    c_span = jax.lax.dynamic_slice_in_dim(
+                        c_ext, start, Gtile + pad_tail)
+                    c_rows = c_span[:Gtile].reshape(G, tile)
+                    c_cols = local_windows(c_span)
 
                     row_pos = (start + jnp.arange(
                         Gtile, dtype=jnp.int32)).reshape(G, tile)
