@@ -871,6 +871,16 @@ def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128,
     re-runs were pure waste (3 of ~8 passes at the 1.66M-pose tier-2
     config). Skipping them is survivor-exact by the same idempotency
     argument.
+
+    PRECONDITION (correctness, not just capacity): the number of entry
+    actives — sum(alive) — must fit s_mid. The frame design makes this
+    load-bearing: the entry nonzero(size=s_mid) TRUNCATES past s_mid,
+    and truncated actives are scattered back DEAD at exit — violating
+    the bound silently LOSES survivors rather than skipping them (the
+    old pool-space design merely left them uncompared). All current
+    callers guarantee it structurally: _device_schedule enters the
+    mid tier only under `active <= _MID_MAX` (= s_mid) and the mid2
+    tier with s_mid = _pow2(n) >= n >= active.
     '''
     if stop_below is None:
         stop_below = _FINISH_MAX        # defined below (module constants)
