@@ -591,6 +591,23 @@ def _noisy_molecule(tmp_path, name, n_confs, reactive, seed=3):
     return mol
 
 
+def test_string_embed_device_tfd_lane_matches_host(tmp_path, monkeypatch):
+    '''The device TFD novelty lane (TSCODE_DEVICE_TFD=1 — the
+    accelerator default) must produce the identical pose set as the
+    host LRU replay on the production string_embed path.'''
+    mol1 = _noisy_molecule(str(tmp_path), 'C2H4.xyz', 3, [0], seed=11)
+    mol2 = _noisy_molecule(str(tmp_path), 'CH3Cl.xyz', 4, [0], seed=12)
+    angles = np.linspace(0.0, 350.0, 24)
+
+    outs = {}
+    for flag in ('0', '1'):
+        monkeypatch.setenv('TSCODE_DEVICE_TFD', flag)
+        outs[flag] = string_embed(mol1, mol2, angles,
+                                  log=lambda *a, **k: None)
+    np.testing.assert_array_equal(outs['0'][0], outs['1'][0])
+    np.testing.assert_array_equal(outs['0'][1], outs['1'][1])
+
+
 def test_bimol_blocks_fast_matches_loop(tmp_path):
     '''The vectorized block-grid builder must reproduce the scalar loop
     field-for-field (values AND row order) — multi-conformer molecules,

@@ -128,6 +128,65 @@ def test_is_new_structure_lru():
     assert mask.tolist() == [True, False, True, False, False]
 
 
+def _clustered_fps(rng_, n, q=6, n_clusters=7, spread=0.5):
+    '''Fingerprint matrix with heavy near-duplication (the string-embed
+    survivor regime): cluster centers far apart, members within the
+    similarity threshold of their center, angles wrapped to [-180, 180].'''
+    centers = rng_.uniform(-180, 180, size=(n_clusters, q))
+    who = rng_.integers(0, n_clusters, n)
+    fps = centers[who] + rng_.normal(size=(n, q)) * spread
+    return ((fps + 180) % 360 - 180).astype(np.float32)
+
+
+def test_tfd_novelty_device_matches_host_replay():
+    for seed, n, accept_p in ((0, 700, 1.0), (1, 2500, 0.8), (2, 97, 0.5)):
+        r = np.random.default_rng(seed)
+        fps = _clustered_fps(r, n)
+        accept = r.random(n) < accept_p
+        want = tfd.is_new_structure_lru(fps, accept)
+        # small block/cache force multi-block scans + cache appends
+        got, ok = tfd.tfd_novelty_device(fps, accept_mask=accept,
+                                         block=128, cache_cap=64)
+        assert ok
+        np.testing.assert_array_equal(got, want)
+
+
+def test_tfd_novelty_device_chain_dependency():
+    # i0 accepted; i1 similar to i0 -> rejected; i2 similar ONLY to the
+    # REJECTED i1 -> accepted (the leader-clustering trap a naive
+    # "has similar predecessor" reduction gets wrong). The chain is
+    # split across block boundaries to exercise the cache handoff.
+    q = 4
+    f0 = np.zeros(q, np.float32)
+    f1 = f0 + 2.0          # L1 = 8 < 10 from f0
+    f2 = f1 + 2.0          # L1 = 8 from f1, 16 from f0
+    far = np.full(q, 90.0, np.float32)
+    fps = np.stack([f0, f1, far, f2]).astype(np.float32)
+    want = tfd.is_new_structure_lru(fps, np.ones(4, bool))
+    assert want.tolist() == [True, False, True, True]
+    for block in (2, 4, 128):
+        got, ok = tfd.tfd_novelty_device(fps, block=block, cache_cap=16)
+        assert ok
+        np.testing.assert_array_equal(got, want)
+
+
+def test_tfd_novelty_device_wrap_and_overflow():
+    # wrapped similarity: +179 vs -179 is 2 degrees apart, not 358
+    fps = np.array([[179.0] * 3, [-179.0] * 3], dtype=np.float32)
+    got, ok = tfd.tfd_novelty_device(fps, block=8, cache_cap=8)
+    assert ok and got.tolist() == [True, False]
+
+    # cache overflow -> ok False (every row is its own cluster)
+    r = np.random.default_rng(3)
+    fps = _clustered_fps(r, 64, n_clusters=64, spread=0.0)
+    got, ok = tfd.tfd_novelty_device(fps, block=16, cache_cap=4)
+    assert not ok
+
+    # degenerate inputs route to the host path
+    assert tfd.tfd_novelty_device(np.zeros((0, 3), np.float32))[1] is False
+    assert tfd.tfd_novelty_device(np.zeros((5, 0), np.float32))[1] is False
+
+
 # --------------------------------------------------------------------- MOI
 
 def test_moi_prune():

@@ -22,7 +22,8 @@ from tscode_tpu.errors import ZeroCandidatesError
 from tscode_tpu.graphs import get_quadruplets, get_sum_graph
 from tscode_tpu.ops.clash import cross_fragment_pair_mask
 from tscode_tpu.ops.linalg import rot_mat_from_pointer, rotation_matrix_from_vectors
-from tscode_tpu.ops.tfd import is_new_structure_lru, torsion_fingerprints
+from tscode_tpu.ops.tfd import (is_new_structure_lru, tfd_novelty_device,
+                                torsion_fingerprints)
 
 _CHUNK = 4096
 # lax.map tile size cap for the fused sweep (pow2; tests shrink it to
@@ -408,15 +409,29 @@ def string_embed(mol1, mol2, angles, clash_thresh=1.5, tfd_thresh=10,
     kept_poses_dev, kept_tfps_dev = fields
     t_finish = _time.perf_counter()
 
-    # order-dependent TFD novelty filter, replayed over survivors only
-    # (reference embeds.py:47-69 via is_new_structure); fingerprints
-    # are the only per-survivor data the filter needs, so they alone
-    # cross the link here
-    kept_tfps = np.asarray(kept_tfps_dev)
-    t_tfps = _time.perf_counter()
-    novel = is_new_structure_lru(kept_tfps,
-                                 np.ones(len(kept_tfps), dtype=bool),
-                                 thresh=tfd_thresh)
+    # order-dependent TFD novelty filter (reference embeds.py:47-69 via
+    # is_new_structure). On accelerator backends the filter itself runs
+    # ON DEVICE (ops/tfd.tfd_novelty_device — exact block-scan replay of
+    # the sequential leader rule) so only the novelty BITMASK crosses
+    # the link; the fingerprint pull + host LRU replay remain the
+    # fallback (cache overflow, torsion-free systems, CPU backend where
+    # the native loop is already link-free). TSCODE_DEVICE_TFD=0/1
+    # overrides the backend policy.
+    dev_tfd_env = _os.environ.get('TSCODE_DEVICE_TFD')
+    use_dev_tfd = (dev_tfd_env == '1'
+                   or (dev_tfd_env != '0'
+                       and jax.default_backend() not in ('cpu',)))
+    novel, tfd_lane = None, 'host'
+    if use_dev_tfd and len(kept_tfps_dev):
+        novel_dev, dev_ok = tfd_novelty_device(kept_tfps_dev,
+                                               thresh=tfd_thresh)
+        if dev_ok:
+            novel, tfd_lane = novel_dev, 'device'
+    if novel is None:
+        kept_tfps = np.asarray(kept_tfps_dev)
+        novel = is_new_structure_lru(kept_tfps,
+                                     np.ones(len(kept_tfps), dtype=bool),
+                                     thresh=tfd_thresh)
     novel_idx = np.nonzero(novel)[0]
     t_lru = _time.perf_counter()
 
@@ -431,11 +446,11 @@ def string_embed(mol1, mol2, angles, clash_thresh=1.5, tfd_thresh=10,
     if trace:
         import sys as _sys
         t_end = _time.perf_counter()
+        n_surv = len(kept_tfps_dev)
         print(f'[embed trace] sweep {t_sweep - t_0:.3f}s, '
               f'survivor compaction {t_finish - t_sweep:.3f}s, '
-              f'tfp pull {t_tfps - t_finish:.3f}s '
-              f'({kept_tfps.nbytes / 1e6:.1f} MB / {len(kept_tfps)} rows), '
-              f'tfd-lru {t_lru - t_tfps:.3f}s, '
+              f'tfd filter ({tfd_lane}) {t_lru - t_finish:.3f}s '
+              f'({n_surv} survivor rows), '
               f'novel pose pull {t_end - t_lru:.3f}s '
               f'({len(novel_idx)} rows)', file=_sys.stderr, flush=True)
 

@@ -9,6 +9,8 @@ first-match-per-structure edge collection and keep-first-of-component
 rule, driven by device-computed similarity blocks.
 '''
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import networkx as nx
@@ -178,6 +180,141 @@ def prune_conformers_tfd(structures, quadruplets, thresh=10, tf_mat=None,
                     final_mask[i + lo] = False
 
     return structures[final_mask], final_mask
+
+
+# ---------------------------------------------- device novelty filter
+#
+# Device-resident exact replay of the string embed's sequential TFD
+# novelty filter (reference embeds.py:47-69; host form below). The
+# sequential rule — accept pose i iff its fingerprint differs from
+# EVERY previously accepted one — is leader clustering, and its
+# dependency structure allows an exact parallel evaluation:
+#
+#  * rejection can only come from an ACCEPTED earlier pose, so poses
+#    masked out or already rejected never influence later decisions;
+#  * within a block of poses, a pose is DECIDABLE once all its similar
+#    predecessors are decided; each resolution round decides at least
+#    the first undecided pose, so the rounds loop converges in
+#    chain-length iterations (typically 1-3 on clustered ensembles).
+#
+# The whole filter is ONE jitted program: a lax.scan over fixed-size
+# row blocks carrying a fixed-capacity cache of accepted fingerprints
+# (compare-vs-cache batched over the block), with the within-block
+# chains resolved by a rounds while_loop on the block's similarity
+# matrix. Exceeding the cache capacity sets ok=False and the caller
+# falls back to the host replay (which stays the sequential oracle).
+#
+# Accumulation dtype matches the native C++ loop (double) when x64 is
+# enabled; on accelerator backends it is f32 — a decision can differ
+# from the oracle only for pair sums within f32 epsilon of the
+# threshold (the documented TPU-lane tolerance, cf. the clash screen).
+
+_NOVELTY_BLOCK = 1024
+_NOVELTY_CACHE = 1024
+
+
+@jax.jit
+def _wrapped_l1_rect(A, B):
+    '''(R, Q) x (C, Q) -> (R, C) total wrapped-L1 angle distance in the
+    parity accumulation dtype (f64 under x64, else f32).'''
+    acc_dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    d = jnp.abs(A.astype(acc_dt)[:, None, :] - B.astype(acc_dt)[None, :, :])
+    d = jnp.abs(d - (d > 180) * 360.0)
+    return jnp.sum(d, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=('block', 'cache_cap'))
+def _tfd_novelty_scan(fps, accept, n_real, thresh, block=_NOVELTY_BLOCK,
+                      cache_cap=_NOVELTY_CACHE):
+    '''fps (Bp, Q) f32 with Bp a multiple of `block`; accept (Bp,)
+    bool; rows at and past n_real are ignored. Returns
+    (novel (Bp,) bool, ok scalar bool, n_accepted i32): ok=False means
+    the accepted set outgrew cache_cap and the result is INVALID past
+    that point — callers must rerun on the host path.'''
+    Bp, Q = fps.shape
+    n_blocks = Bp // block
+    acc_dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    thresh = jnp.asarray(thresh, acc_dt)
+
+    live = jnp.arange(Bp, dtype=jnp.int32) < n_real
+    fb = fps.reshape(n_blocks, block, Q)
+    ab = (accept & live).reshape(n_blocks, block)
+
+    pos = jnp.arange(block)
+    predm = pos[None, :] < pos[:, None]          # [i, j]: j precedes i
+    cslot = jnp.arange(cache_cap + 1)
+
+    def blk(carry, xs):
+        cache, count, ok = carry
+        f, a = xs
+
+        # vs the accepted cache (all global predecessors)
+        sc = _wrapped_l1_rect.__wrapped__(f, cache)
+        cache_hit = jnp.any((sc < thresh) & (cslot[None, :] < count),
+                            axis=1)
+
+        # within-block similarity, predecessor-oriented
+        simB = (_wrapped_l1_rect.__wrapped__(f, f) < thresh) & predm
+
+        und0 = a & ~cache_hit
+
+        def undecided(st):
+            return jnp.any(st[0])
+
+        def resolve(st):
+            und, acc_b = st
+            has_und_pred = jnp.any(simB & und[None, :], axis=1)
+            dec = und & ~has_und_pred
+            rej = jnp.any(simB & acc_b[None, :], axis=1)
+            return und & ~dec, acc_b | (dec & ~rej)
+
+        _, acc_b = jax.lax.while_loop(
+            undecided, resolve, (und0, jnp.zeros(block, dtype=bool)))
+
+        # append accepted fingerprints to the cache in block order;
+        # non-accepted (and overflow) rows land in the dump slot
+        n_acc = jnp.sum(acc_b).astype(jnp.int32)
+        rank = (jnp.cumsum(acc_b) - 1).astype(jnp.int32)
+        slot = jnp.where(acc_b & (count + rank < cache_cap),
+                         count + rank, cache_cap)
+        cache = cache.at[slot].set(f)
+        ok = ok & (count + n_acc <= cache_cap)
+        count = jnp.minimum(count + n_acc, cache_cap)
+        return (cache, count, ok), acc_b
+
+    carry0 = (jnp.full((cache_cap + 1, Q), _TFD_PAD_VALUE, fps.dtype),
+              jnp.asarray(0, jnp.int32), jnp.asarray(True))
+    (_, count, ok), novel = jax.lax.scan(blk, carry0, (fb, ab))
+    return novel.reshape(-1), ok, count
+
+
+def tfd_novelty_device(fingerprints, accept_mask=None, thresh=10,
+                       block=_NOVELTY_BLOCK, cache_cap=_NOVELTY_CACHE):
+    '''Device form of is_new_structure_lru over a (possibly
+    device-resident) fingerprint tensor: only the novelty BITMASK
+    crosses the link. Returns (novel (B,) numpy bool, ok): ok=False
+    (cache overflow or no torsions) means the caller must use the host
+    replay instead. Rows are padded to fixed pow2 buckets so
+    executables are reused across survivor counts.'''
+    B = int(fingerprints.shape[0])
+    Q = int(fingerprints.shape[1]) if fingerprints.ndim == 2 else 0
+    if B == 0 or Q == 0:
+        return np.zeros(B, dtype=bool), False
+    Bp = max(block, 1 << max(0, (B - 1)).bit_length())
+    fps = jnp.asarray(fingerprints)
+    if Bp > B:
+        fps = jnp.pad(fps, ((0, Bp - B), (0, 0)))
+    if accept_mask is None:
+        acc = jnp.ones(Bp, dtype=bool)
+    else:
+        acc = jnp.asarray(np.pad(np.asarray(accept_mask, dtype=bool),
+                                 (0, Bp - B)))
+    novel, ok, _ = _tfd_novelty_scan(fps, acc, jnp.asarray(B, jnp.int32),
+                                     jnp.asarray(float(thresh)),
+                                     block=block, cache_cap=cache_cap)
+    if not bool(ok):
+        return np.zeros(B, dtype=bool), False
+    return np.asarray(novel)[:B], True
 
 
 def is_new_structure_lru(fingerprints, accept_mask, thresh=10):
