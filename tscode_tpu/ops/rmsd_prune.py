@@ -847,7 +847,7 @@ def _pair_kill_rect(Pr, Qc, valid, rmsd_thr):
 
 
 def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128,
-              stop_below=None, skip_ks=()):
+              stop_below=None, skip_ks=(), axis_name=None, n_dev=1):
     '''
     Banded mid-regime passes: CURRENT actives are re-compacted at every
     eligible pass (order preserved, so same-chunk actives sit in
@@ -881,6 +881,17 @@ def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128,
     callers guarantee it structurally: _device_schedule enters the
     mid tier only under `active <= _MID_MAX` (= s_mid) and the mid2
     tier with s_mid = _pow2(n) >= n >= active.
+
+    axis_name/n_dev (static): SPMD mode for shard_map callers
+    (parallel/prune.py). All inputs must then be REPLICATED across the
+    mesh axis (full pool + full frame mask on every chip): the frame
+    bookkeeping — compaction, chunk ids, run lengths, gates — is cheap
+    s_mid-sized integer work recomputed identically on every chip,
+    while the window sweep (the quadratic pair work, with its per-group
+    coordinate gathers) partitions the LIVE GROUPS contiguously across
+    chips, and each pass combines the per-chip frame kills with one
+    psum. Groups are independent and kills OR-combine, so the result is
+    bit-identical to the single-device sweep.
     '''
     if stop_below is None:
         stop_below = _FINISH_MAX        # defined below (module constants)
@@ -899,7 +910,9 @@ def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128,
     m = -(-band // tile)                               # look-ahead tiles
     W = (m + 1) * tile
     # row-group size: bound each group's pair tensors, T divisible
-    budget = max(1, (1 << 22) // (tile * W))
+    # (module constant so tests can shrink it to force multi-group
+    # sweeps — and multi-chip group partitions — at small pools)
+    budget = max(1, _MID_PAIR_BUDGET // (tile * W))
     G = 1
     while G * 2 <= budget and T % (G * 2) == 0:
         G *= 2
@@ -1011,17 +1024,27 @@ def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128,
                 # fresh compaction packs actives into the FIRST slots,
                 # so groups past ceil(active/Gtile) hold only fill rows
                 # (real False -> no valid pair -> no kill): bound the
-                # group sweep by the live count
+                # group sweep by the live count. Under SPMD, the live
+                # groups partition contiguously across the mesh — chip
+                # d sweeps groups [d*per, min((d+1)*per, n_live)).
                 n_live = jnp.minimum(
                     (jnp.sum(real) + Gtile - 1) // Gtile,
                     n_groups).astype(jnp.int32)
+                if axis_name is None:
+                    g_lo = jnp.asarray(0, jnp.int32)
+                    g_hi = n_live
+                else:
+                    per = (n_live + n_dev - 1) // n_dev
+                    me = jax.lax.axis_index(axis_name).astype(jnp.int32)
+                    g_lo = jnp.minimum(me * per, n_live)
+                    g_hi = jnp.minimum(g_lo + per, n_live)
 
                 def live_step(g, kill_buf):
                     return jax.lax.dynamic_update_slice_in_dim(
                         kill_buf, group_body(g)[None], g, 0)
 
                 kill = jax.lax.fori_loop(
-                    0, n_live, live_step,
+                    g_lo, g_hi, live_step,
                     jnp.zeros((n_groups, G, tile),
                               dtype=bool)).reshape(s_mid)
                 # scatter kills back to FRAME space (kill is True only
@@ -1029,7 +1052,13 @@ def _mid_body(hs, alive, n, rmsd_thr, s_mid, band, tile=128,
                 frame_kill = jnp.zeros(s_mid + 1, dtype=bool)
                 frame_kill = frame_kill.at[
                     jnp.where(kill, idx_c, s_mid)].set(True)
-                return a & ~frame_kill[:s_mid]
+                frame_kill = frame_kill[:s_mid]
+                if axis_name is not None:
+                    # OR-combine the per-chip group kills (n_dev < 128
+                    # keeps the int8 sum exact)
+                    frame_kill = jax.lax.psum(
+                        frame_kill.astype(jnp.int8), axis_name) > 0
+                return a & ~frame_kill
 
             a2 = jax.lax.cond(fits & ok, run, lambda a: a, a)
             return a2, fits
@@ -1189,6 +1218,10 @@ _MID_BAND = 128
 # windows, ~9x the pair work per pass — only worth it when the host
 # fallback alternative costs a full re-embed + host-orchestrated prune)
 _MID2_BAND = 1024
+
+# pair budget of one banded-pass row group: (tile x W) window tensors
+# per group are sized so G*tile*W stays under this
+_MID_PAIR_BUDGET = 1 << 22
 
 
 def warmup_prune_kernels(n_atoms, dtype=np.float32, stream_sizes=(1024,),

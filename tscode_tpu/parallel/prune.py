@@ -35,9 +35,12 @@ except ImportError:                     # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
     _NOCHECK = {'check_rep': False}
 
-from tscode_tpu.ops.rmsd_prune import (_FINISH_MAX,
-                                       _finish_body, _inplace_ks,
-                                       _pair_kill_core, _pow2)
+# regime constants are read through the module at TRACE time so tests
+# can monkeypatch them (and make_sharded_prune.cache_clear()) to force
+# the mid/finish regimes at small pools
+from tscode_tpu.ops import rmsd_prune as _rp
+from tscode_tpu.ops.rmsd_prune import (_finish_body, _inplace_ks,
+                                       _mid_body, _pair_kill_core, _pow2)
 
 
 def _halo_perm(n_dev):
@@ -151,9 +154,54 @@ def make_sharded_prune(mesh, n, n_pool, axis_name='poses'):
                                  functools.partial(fn, k=k),
                                  lambda al: al, alive)
 
+        # --- banded mid/mid2 tiers: survivor sets past the finish
+        # block's capacity (the 4k..2.5M regime every production-scale
+        # pool lands in). The pool is all-gathered ONCE and the frame
+        # bookkeeping replicates on every chip (cheap integer work);
+        # the window sweep's LIVE GROUPS — the quadratic pair work and
+        # its coordinate gathers — partition across chips inside
+        # _mid_body, with one psum per pass combining the kills.
+        # Gating mirrors ops.rmsd_prune._device_schedule exactly.
+        active_g = jax.lax.psum(jnp.sum(alive), axis_name)
+
+        def mid_tiers(alive):
+            hs_all = jax.lax.all_gather(hs, axis_name, axis=0,
+                                        tiled=True)
+            alive_all = jax.lax.all_gather(alive, axis_name, axis=0,
+                                           tiled=True)
+            n_t = jnp.asarray(n, jnp.int32)
+            active = jnp.sum(alive_all)
+            if n > 16 * _rp._MID_MAX:
+                alive_all, _, _ = jax.lax.cond(
+                    active > _rp._MID_MAX,
+                    lambda al: _mid_body(hs_all, al, n_t, rmsd_thr,
+                                         s_mid=_pow2(n, floor=_rp._MID2_BAND),
+                                         band=_rp._MID2_BAND,
+                                         stop_below=_rp._MID_MAX,
+                                         skip_ks=_inplace_ks(n),
+                                         axis_name=axis_name,
+                                         n_dev=n_dev),
+                    lambda al: (al, True, False), alive_all)
+                active = jnp.sum(alive_all)
+            need_mid = (active > _rp._FINISH_MAX) & (active <= _rp._MID_MAX)
+            alive_all, m_ok, m_done = jax.lax.cond(
+                need_mid,
+                lambda al: _mid_body(hs_all, al, n_t, rmsd_thr,
+                                     s_mid=_rp._MID_MAX, band=_rp._MID_BAND,
+                                     skip_ks=_inplace_ks(n),
+                                     axis_name=axis_name, n_dev=n_dev),
+                lambda al: (al, True, False), alive_all)
+            return (jax.lax.dynamic_slice_in_dim(alive_all, g0, s_local),
+                    m_ok, m_done)
+
+        alive, mid_ok, mid_done = jax.lax.cond(
+            active_g > _rp._FINISH_MAX, mid_tiers,
+            lambda al: (al, jnp.asarray(True), jnp.asarray(False)),
+            alive)
+
         # --- finish: remaining schedule on the gathered survivors ----
         active_g = jax.lax.psum(jnp.sum(alive), axis_name)
-        finished = active_g <= _FINISH_MAX
+        finished = mid_ok & (mid_done | (active_g <= _rp._FINISH_MAX))
 
         def fin(alive):
             hs_all = jax.lax.all_gather(hs, axis_name, axis=0,
@@ -162,10 +210,11 @@ def make_sharded_prune(mesh, n, n_pool, axis_name='poses'):
                                            tiled=True)
             out_all, _ = _finish_body(hs_all, alive_all,
                                       jnp.asarray(n, jnp.int32),
-                                      rmsd_thr, s_pad=_FINISH_MAX)
+                                      rmsd_thr, s_pad=_rp._FINISH_MAX)
             return jax.lax.dynamic_slice_in_dim(out_all, g0, s_local)
 
-        alive = jax.lax.cond(finished, fin, lambda al: al, alive)
+        alive = jax.lax.cond(finished & ~mid_done, fin,
+                             lambda al: al, alive)
         n_active = jax.lax.psum(jnp.sum(alive), axis_name)
         return alive, n_active, finished
 
@@ -177,44 +226,160 @@ def make_sharded_prune(mesh, n, n_pool, axis_name='poses'):
     return jax.jit(sharded)
 
 
-def prune_collective_model(n, n_pool, n_atoms, n_devices, dtype_bytes=4):
-    '''Analytic ICI-traffic model of the sharded whole-schedule prune:
-    per in-place pass, the halo path moves 2 forward ppermute messages
-    (H pose rows + H alive bits to the previous chip) and 1 backward
-    (H kill bits), where H = max(span_pad, tail_pad); passes whose H
-    exceeds the local slice fall back to one tiled all_gather of the
-    pool; every pass gate costs one scalar psum, and the finish block
-    adds one psum + one pool all_gather. Pure shape arithmetic — no
-    devices touched — so drivers can print the multi-chip message
-    budget without multi-chip hardware.
+# measured single-chip pass-start survivor trajectory of the TIER-2
+# bench config (1,663,488 poses -> 884,401 clash survivors pruned to
+# 29; BASELINE.md round-3 diagnostic 884,401 -> 37,246 -> 4,347 ->
+# 1,626 -> 29 mapped to the passes whose gates those counts satisfy):
+# {pass k: actives at that pass's start}. Passes between recorded
+# points reuse the nearest earlier value (actives only shrink).
+TIER2_SURVIVORS = {20000: 884401, 10000: 37246, 500: 4347, 100: 1626,
+                   1: 29}
 
-    Returns (rows, totals): one dict per schedule step with its mode
-    and byte counts, plus aggregate ppermute/all_gather bytes (per
-    device) and psum call count.'''
+
+def prune_collective_model(n, n_pool, n_atoms, n_devices, dtype_bytes=4,
+                           entry_actives=None, survivors=None,
+                           pair_rate=5.4e9, ici_bw=45e9):
+    '''Analytic ICI-traffic + roofline wall model of the sharded
+    whole-schedule prune. Pure shape arithmetic — no devices touched —
+    so drivers can print the multi-chip budget and a PROJECTED speedup
+    curve without multi-chip hardware.
+
+    Communication model (per chip): an in-place halo pass moves 2
+    forward ppermute messages (H pose rows + H alive bits) and 1
+    backward (H kill bits), H = max(span_pad, tail_pad); passes whose H
+    exceeds the local slice all_gather the pool instead and compute
+    redundantly; the mid tiers all_gather the pool ONCE at entry and
+    psum s_mid kill bytes per eligible pass; the finish block (if the
+    mid tier did not already complete) all_gathers and computes
+    redundantly. Every in-place pass gate costs one scalar psum.
+
+    Compute model (per chip): masked-QCP pair evaluations at pair_rate
+    pairs/s/chip (the measured single-chip banded-schedule rate,
+    BASELINE.md round-2 tier-2 analysis). In-place halo passes split
+    their (k-1)*span_pad^2/2 + tail_pad^2/2 pair budget ~evenly over
+    chips; mid passes partition ceil(n_live_groups / n_devices) whole
+    groups per chip (the actual _mid_body partition — so the projected
+    speedup saturates when groups < chips); gathered/finish stages
+    replicate (no division). Per-stage wall = max(compute, ICI bytes /
+    ici_bw) (full overlap assumption); stage walls add.
+
+    entry_actives: survivors entering the prune (clash-ok count);
+    defaults to n. survivors: {k: actives at pass start} trajectory
+    (measured or assumed; HEADLINE_SURVIVORS for the bench headline).
+    Fixed per-pass launch overheads are NOT modeled, so single-chip
+    projections undershoot measured walls at small pools — the model
+    is for RELATIVE scaling, not absolute rates.
+
+    Returns (rows, totals): one dict per schedule step with mode, byte
+    counts, per-chip pair work and wall seconds; totals aggregates
+    them and adds `projected_speedup` vs the same model at 1 chip.'''
+    from tscode_tpu.ops.rmsd_prune import K_SCHEDULE
+
     s_local = n_pool // n_devices
     row_bytes = n_atoms * 3 * dtype_bytes
     rows = []
-    totals = dict(ppermute_bytes=0, allgather_bytes=0, psum_calls=0)
-    for k in _inplace_ks(n):
+    totals = dict(ppermute_bytes=0, allgather_bytes=0, psum_calls=0,
+                  pair_work_per_chip=0.0, wall_s=0.0)
+    active = int(entry_actives) if entry_actives is not None else int(n)
+    survivors = dict(survivors or {})
+
+    def comm(b):
+        return b if n_devices > 1 else 0        # 1 chip moves nothing
+
+    def emit(row, pairs_chip, bytes_moved):
+        bytes_moved = comm(bytes_moved)
+        row['pair_work_per_chip'] = pairs_chip
+        row['wall_s'] = max(pairs_chip / pair_rate, bytes_moved / ici_bw)
+        totals['pair_work_per_chip'] += pairs_chip
+        totals['wall_s'] += row['wall_s']
+        rows.append(row)
+
+    inplace = _inplace_ks(n)
+    for k in inplace:
+        if int(k) in survivors:
+            active = survivors[int(k)]
+        if not 20 * k < active:
+            continue
         cs = n // k
-        H = max(_pow2(cs, floor=8), _pow2(n - (k - 1) * cs, floor=8))
+        span_pad = _pow2(cs, floor=8)
+        tail_pad = _pow2(n - (k - 1) * cs, floor=8)
+        H = max(span_pad, tail_pad)
         totals['psum_calls'] += 1
+        pairs = ((k - 1) * span_pad ** 2 + tail_pad ** 2) / 2
         if H <= s_local:
             fwd = H * (row_bytes + 1)          # pose rows + alive bits
             bwd = H                            # kill bits return
-            rows.append(dict(k=int(k), mode='halo', halo_rows=H,
-                             ppermute_bytes=fwd + bwd))
-            totals['ppermute_bytes'] += fwd + bwd
+            totals['ppermute_bytes'] += comm(fwd + bwd)
+            emit(dict(k=int(k), mode='halo', halo_rows=H,
+                      ppermute_bytes=fwd + bwd),
+                 pairs / n_devices, fwd + bwd)
         else:
             ag = n_pool * (row_bytes + 1)
-            rows.append(dict(k=int(k), mode='all_gather',
-                             allgather_bytes=ag))
-            totals['allgather_bytes'] += ag
-    # finish block: gate psum + pool all_gather + final count psum
-    totals['psum_calls'] += 2
-    totals['allgather_bytes'] += n_pool * (row_bytes + 1)
-    rows.append(dict(k=1, mode='finish all_gather',
-                     allgather_bytes=n_pool * (row_bytes + 1)))
+            totals['allgather_bytes'] += comm(ag)
+            emit(dict(k=int(k), mode='all_gather', allgather_bytes=ag),
+                 pairs, ag)                     # redundant compute
+
+    # --- banded mid tiers (entry all_gather + per-pass psum reduce) --
+    from tscode_tpu.ops import rmsd_prune as _c
+    tiers = []
+    if n > 16 * _c._MID_MAX:
+        tiers.append(('mid2', _pow2(n, floor=_c._MID2_BAND),
+                      _c._MID2_BAND, _c._MID_MAX))
+    tiers.append(('mid', _c._MID_MAX, _c._MID_BAND, _c._FINISH_MAX))
+    mid_entered = False
+    mid_done = False
+    tile = 128
+    for label, s_mid, band, stop_below in tiers:
+        m = -(-band // tile)
+        W = (m + 1) * tile
+        budget = max(1, _c._MID_PAIR_BUDGET // (tile * W))
+        G, T = 1, s_mid // tile
+        while G * 2 <= budget and T % (G * 2) == 0:
+            G *= 2
+        Gtile = G * tile
+        for k in K_SCHEDULE:
+            if int(k) in inplace:
+                continue
+            if int(k) in survivors:
+                active = survivors[int(k)]
+            if not ((k == 1 or 20 * k < active) and active > stop_below):
+                continue
+            if not mid_entered:                 # entry pool all_gather
+                mid_entered = True
+                ag = n_pool * (row_bytes + 1)
+                totals['allgather_bytes'] += comm(ag)
+                emit(dict(k=None, mode=f'{label} entry all_gather',
+                          allgather_bytes=ag), 0.0, ag)
+            n_live = -(-active // Gtile)
+            per_chip_groups = -(-n_live // n_devices)
+            pairs_chip = per_chip_groups * G * tile * W
+            red = 2 * s_mid                     # psum'd kill bytes
+            totals['ppermute_bytes'] += comm(red)
+            emit(dict(k=int(k), mode=f'{label} banded', band=band,
+                      live_groups=n_live, ppermute_bytes=red),
+                 pairs_chip, red)
+            if k == 1:
+                mid_done = True
+
+    # --- finish block (replicated on the gathered survivors) ---------
+    if not mid_done:
+        totals['psum_calls'] += 2
+        ag = n_pool * (row_bytes + 1)
+        totals['allgather_bytes'] += comm(ag)
+        s_pad = _c._FINISH_MAX
+        pairs = s_pad ** 2 / 2 * 3              # ~3 live finish passes
+        emit(dict(k=1, mode='finish all_gather', allgather_bytes=ag),
+             pairs, ag)
+
+    if n_devices > 1:
+        _, t1 = prune_collective_model(
+            n, n_pool, n_atoms, 1, dtype_bytes=dtype_bytes,
+            entry_actives=entry_actives, survivors=survivors,
+            pair_rate=pair_rate, ici_bw=ici_bw)
+        totals['projected_speedup'] = (t1['wall_s'] / totals['wall_s']
+                                       if totals['wall_s'] else 1.0)
+    else:
+        totals['projected_speedup'] = 1.0
     return rows, totals
 
 
