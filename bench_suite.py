@@ -161,11 +161,11 @@ def _config_files(name, workdir):
     elif name == 'da_cyclical_xl':
         # BENCH-SCALE cyclical: the reference's main embed family
         # (embeds.py:475-720) at >= 1M poses through the PRODUCTION
-        # pipeline — 50 conformers/molecule -> 50*50*432 = 1,080,000
+        # pipeline — 62 conformers/molecule -> 62*62*288 = 1,107,072
         # candidates through the rigid cyclical block sweep + greedy
         # angular dedup + similarity pipeline. Not in the default ALL
         # list (it is the on-chip scale measurement; run it by name).
-        xl = int(os.environ.get('TSCODE_SUITE_XL_CONFS', '50'))
+        xl = int(os.environ.get('TSCODE_SUITE_XL_CONFS', '62'))
         _write_noisy(j(FIX, 'C2H4.xyz'), j(workdir, 'm1.xyz'), xl, rng)
         _write_noisy(j(FIX, 'CH3Cl.xyz'), j(workdir, 'm2.xyz'), xl, rng)
         content = ('NOOPT RIGID DIST(a=2.2,b=2.3)\n'

@@ -754,16 +754,20 @@ def _bimol_rigid_screen_survivors(blk, coords1, coords2, angle_grid,
 def _assemble_survivors(surv_poses, keep, ids_arr):
     '''Fold the compacted survivor poses into per-row pose lists +
     per-pose constraint ids, preserving generation order (reference
-    embeds.py:820-853 appends survivors block by block).'''
-    poses_out, cons_out = [], []
-    lo = 0
-    for b in range(len(keep)):
-        n = int(keep[b].sum())
-        if n:
-            poses_out.append(surv_poses[lo:lo + n])
-            cons_out.extend([ids_arr[b]] * n)
-        lo += n
-    return poses_out, cons_out
+    embeds.py:820-853 appends survivors block by block). The survivor
+    rows already sit in block order, so the pose side is the compacted
+    array itself and the constraint ids are one vectorized repeat —
+    the previous per-block Python loop cost ~1.5 s at the 46k-block
+    bench-scale cyclical config.'''
+    keep = np.asarray(keep)
+    if keep.size == 0:
+        return [], []
+    counts = keep.sum(axis=1).astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return [], []
+    cons_out = list(np.repeat(np.asarray(ids_arr), counts, axis=0))
+    return [np.asarray(surv_poses)[:total]], cons_out
 
 
 def _bimol_rigid_screen_rows(blk, coords1, coords2, angle_grid, pair_mask,
@@ -848,6 +852,9 @@ def cyclical_embed_bimol_rigid(mol1, mol2, systematic_angles,
     (reference embeds.py:777).
     Returns (poses (B, N, 3), constrained_indices (B, 2, 2)).
     '''
+    import time as _time
+    trace = os.environ.get('TSCODE_EMBED_TRACE') == '1'
+    t0 = _time.perf_counter()
     ids = (mol1.n_atoms, mol2.n_atoms)
     angles = np.asarray(systematic_angles, dtype=float)
     A = len(angles)
@@ -861,11 +868,13 @@ def cyclical_embed_bimol_rigid(mol1, mol2, systematic_angles,
 
     log(f'--> Performing cyclical embed '
         f'({len(blk["c1"]) * A} candidates, {len(blk["c1"])} blocks)')
+    t1 = _time.perf_counter()
 
     surv, keep = _bimol_rigid_screen_survivors(
         blk, jnp.asarray(mol1.atomcoords), jnp.asarray(mol2.atomcoords),
         jnp.asarray(angles), jnp.asarray(cross_fragment_pair_mask(ids)),
         clash_thresh, mesh=mesh, block_chunk=block_chunk)
+    t2 = _time.perf_counter()
 
     poses_out, cons_out = _assemble_survivors(surv, keep, blk['ids'])
 
@@ -876,7 +885,14 @@ def cyclical_embed_bimol_rigid(mol1, mol2, systematic_angles,
             'reactive centers at a great distance,\n    preventing the '
             'other two molecules from forming a closed, cyclical structure.')
 
-    return np.concatenate(poses_out), np.array(cons_out)
+    out = np.concatenate(poses_out), np.array(cons_out)
+    if trace:
+        import sys as _sys
+        print(f'[cyc trace] blocks {t1 - t0:.3f}s, screen {t2 - t1:.3f}s, '
+              f'assemble {_time.perf_counter() - t2:.3f}s '
+              f'({len(blk["c1"])} blocks, {len(out[0])} survivors)',
+              file=_sys.stderr, flush=True)
+    return out
 
 
 def _get_directions(norms):

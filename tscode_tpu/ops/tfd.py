@@ -209,7 +209,10 @@ def prune_conformers_tfd(structures, quadruplets, thresh=10, tf_mat=None,
 # from the oracle only for pair sums within f32 epsilon of the
 # threshold (the documented TPU-lane tolerance, cf. the clash screen).
 
-_NOVELTY_BLOCK = 1024
+# block=4096 measured best on chip at 371,697 survivors (0.153 s vs
+# 0.184 at 1024 and 0.264 at 8192 — the scan wall is per-step fixed
+# cost until the block pair matrix outgrows fusion; BASELINE.md r5)
+_NOVELTY_BLOCK = 4096
 _NOVELTY_CACHE = 1024
 
 
@@ -289,13 +292,19 @@ def _tfd_novelty_scan(fps, accept, n_real, thresh, block=_NOVELTY_BLOCK,
 
 
 def tfd_novelty_device(fingerprints, accept_mask=None, thresh=10,
-                       block=_NOVELTY_BLOCK, cache_cap=_NOVELTY_CACHE):
+                       block=None, cache_cap=_NOVELTY_CACHE):
     '''Device form of is_new_structure_lru over a (possibly
     device-resident) fingerprint tensor: only the novelty BITMASK
     crosses the link. Returns (novel (B,) numpy bool, ok): ok=False
     (cache overflow or no torsions) means the caller must use the host
     replay instead. Rows are padded to fixed pow2 buckets so
     executables are reused across survivor counts.'''
+    if block is None:
+        # the scan's wall at production survivor counts is per-step
+        # fixed cost, not pair math — larger blocks cut step count
+        # (identical results at any block size; parity tests sweep it)
+        import os
+        block = int(os.environ.get('TSCODE_TFD_BLOCK', _NOVELTY_BLOCK))
     B = int(fingerprints.shape[0])
     Q = int(fingerprints.shape[1]) if fingerprints.ndim == 2 else 0
     if B == 0 or Q == 0:
