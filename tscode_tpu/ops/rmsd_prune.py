@@ -695,7 +695,7 @@ def _gathered_kill_stream(sub, n_act, rmsd_thr,
                              jnp.zeros(S, dtype=bool))
 
 
-def _finish_body(hs, alive, n, rmsd_thr, s_pad):
+def _finish_body(hs, alive, n, rmsd_thr, s_pad, axis_name=None, n_dev=1):
     '''
     Run the ENTIRE remaining k-bucket schedule in one device program:
     actives are compacted once (order-preserving nonzero), every
@@ -706,6 +706,13 @@ def _finish_body(hs, alive, n, rmsd_thr, s_pad):
     Re-evaluating already-run ks is a no-op (surviving pairs were
     already compared under identical boundaries), so the full schedule
     is always safe. Returns (updated pool mask, n_active).
+
+    axis_name/n_dev (static): SPMD mode for shard_map callers with
+    REPLICATED inputs (same contract as _mid_body) — each pass's row
+    tiles partition contiguously across chips and the per-pass kill
+    bits OR-combine with one psum, so every chip carries the identical
+    mask into the next pass. Bit-identical to the single-device run
+    (kills use the pass-start mask either way).
     '''
     n_pool = hs.shape[0]
     idx = jnp.nonzero(alive, size=s_pad, fill_value=n_pool)[0]
@@ -774,8 +781,18 @@ def _finish_body(hs, alive, n, rmsd_thr, s_pad):
                 return jax.lax.dynamic_update_slice_in_dim(
                     kill_acc, kill_rows, r0, 0)
 
-            kill = jax.lax.fori_loop(0, n_tiles, row_body,
+            if axis_name is None:
+                t_lo = 0
+                t_hi = n_tiles
+            else:
+                per = -(-n_tiles // n_dev)
+                me = jax.lax.axis_index(axis_name).astype(jnp.int32)
+                t_lo = jnp.minimum(me * per, n_tiles)
+                t_hi = jnp.minimum(t_lo + per, n_tiles)
+            kill = jax.lax.fori_loop(t_lo, t_hi, row_body,
                                      jnp.zeros(S_len, dtype=bool))
+            if axis_name is not None:
+                kill = jax.lax.psum(kill.astype(jnp.int8), axis_name) > 0
             return a & ~kill
 
         active = jnp.sum(a)

@@ -210,7 +210,8 @@ def make_sharded_prune(mesh, n, n_pool, axis_name='poses'):
                                            tiled=True)
             out_all, _ = _finish_body(hs_all, alive_all,
                                       jnp.asarray(n, jnp.int32),
-                                      rmsd_thr, s_pad=_rp._FINISH_MAX)
+                                      rmsd_thr, s_pad=_rp._FINISH_MAX,
+                                      axis_name=axis_name, n_dev=n_dev)
             return jax.lax.dynamic_slice_in_dim(out_all, g0, s_local)
 
         alive = jax.lax.cond(finished & ~mid_done, fin,
@@ -361,15 +362,20 @@ def prune_collective_model(n, n_pool, n_atoms, n_devices, dtype_bytes=4,
             if k == 1:
                 mid_done = True
 
-    # --- finish block (replicated on the gathered survivors) ---------
+    # --- finish block (gathered survivors; row tiles partition across
+    # chips with one psum'd kill combine per live pass) ---------------
     if not mid_done:
         totals['psum_calls'] += 2
         ag = n_pool * (row_bytes + 1)
         totals['allgather_bytes'] += comm(ag)
         s_pad = _c._FINISH_MAX
-        pairs = s_pad ** 2 / 2 * 3              # ~3 live finish passes
-        emit(dict(k=1, mode='finish all_gather', allgather_bytes=ag),
-             pairs, ag)
+        n_passes = 3                            # ~3 live finish passes
+        pairs = s_pad ** 2 / 2 * n_passes / n_devices
+        red = 2 * s_pad * n_passes              # psum'd kill bytes
+        totals['ppermute_bytes'] += comm(red)
+        emit(dict(k=1, mode='finish all_gather', allgather_bytes=ag,
+                  ppermute_bytes=red),
+             pairs, ag + red)
 
     if n_devices > 1:
         _, t1 = prune_collective_model(
