@@ -304,7 +304,16 @@ def tfd_novelty_device(fingerprints, accept_mask=None, thresh=10,
         # fixed cost, not pair math — larger blocks cut step count
         # (identical results at any block size; parity tests sweep it)
         import os
-        block = int(os.environ.get('TSCODE_TFD_BLOCK', _NOVELTY_BLOCK))
+        try:
+            block = int(os.environ.get('TSCODE_TFD_BLOCK',
+                                       _NOVELTY_BLOCK))
+        except ValueError:
+            block = _NOVELTY_BLOCK
+    # the scan reshapes a pow2-padded pool into blocks, so the block
+    # size must itself be a pow2 (and sane): round up rather than crash
+    # on a hand-set TSCODE_TFD_BLOCK like 3000 or 0
+    if block < 8 or block & (block - 1):
+        block = max(8, 1 << max(0, int(block) - 1).bit_length())
     B = int(fingerprints.shape[0])
     Q = int(fingerprints.shape[1]) if fingerprints.ndim == 2 else 0
     if B == 0 or Q == 0:

@@ -266,7 +266,7 @@ def prune_collective_model(n, n_pool, n_atoms, n_devices, dtype_bytes=4,
 
     entry_actives: survivors entering the prune (clash-ok count);
     defaults to n. survivors: {k: actives at pass start} trajectory
-    (measured or assumed; HEADLINE_SURVIVORS for the bench headline).
+    (measured or assumed; TIER2_SURVIVORS for the 1.66M-pose config).
     Fixed per-pass launch overheads are NOT modeled, so single-chip
     projections undershoot measured walls at small pools — the model
     is for RELATIVE scaling, not absolute rates.
@@ -281,8 +281,17 @@ def prune_collective_model(n, n_pool, n_atoms, n_devices, dtype_bytes=4,
     rows = []
     totals = dict(ppermute_bytes=0, allgather_bytes=0, psum_calls=0,
                   pair_work_per_chip=0.0, wall_s=0.0)
-    active = int(entry_actives) if entry_actives is not None else int(n)
     survivors = dict(survivors or {})
+    # pass-start actives per schedule k: ONE forward walk of the
+    # schedule applies the recorded checkpoints, so every later tier
+    # loop reads a consistent value (a per-loop running variable went
+    # stale across tiers and skipped checkpoint keys — r5 review)
+    active = int(entry_actives) if entry_actives is not None else int(n)
+    active_at = {}
+    for k in K_SCHEDULE:
+        if int(k) in survivors:
+            active = survivors[int(k)]
+        active_at[int(k)] = active
 
     def comm(b):
         return b if n_devices > 1 else 0        # 1 chip moves nothing
@@ -297,15 +306,15 @@ def prune_collective_model(n, n_pool, n_atoms, n_devices, dtype_bytes=4,
 
     inplace = _inplace_ks(n)
     for k in inplace:
-        if int(k) in survivors:
-            active = survivors[int(k)]
-        if not 20 * k < active:
+        # the SPMD program psums the gate for EVERY in-place k,
+        # gated or not
+        totals['psum_calls'] += 1
+        if not 20 * k < active_at[int(k)]:
             continue
         cs = n // k
         span_pad = _pow2(cs, floor=8)
         tail_pad = _pow2(n - (k - 1) * cs, floor=8)
         H = max(span_pad, tail_pad)
-        totals['psum_calls'] += 1
         pairs = ((k - 1) * span_pad ** 2 + tail_pad ** 2) / 2
         if H <= s_local:
             fwd = H * (row_bytes + 1)          # pose rows + alive bits
@@ -341,8 +350,7 @@ def prune_collective_model(n, n_pool, n_atoms, n_devices, dtype_bytes=4,
         for k in K_SCHEDULE:
             if int(k) in inplace:
                 continue
-            if int(k) in survivors:
-                active = survivors[int(k)]
+            active = active_at[int(k)]
             if not ((k == 1 or 20 * k < active) and active > stop_below):
                 continue
             if not mid_entered:                 # entry pool all_gather
