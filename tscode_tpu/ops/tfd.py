@@ -256,23 +256,31 @@ def _tfd_novelty_scan(fps, accept, n_real, thresh, block=_NOVELTY_BLOCK,
         cache_hit = jnp.any((sc < thresh) & (cslot[None, :] < count),
                             axis=1)
 
-        # within-block similarity, predecessor-oriented
-        simB = (_wrapped_l1_rect.__wrapped__(f, f) < thresh) & predm
-
         und0 = a & ~cache_hit
 
-        def undecided(st):
-            return jnp.any(st[0])
+        # the within-block similarity matrix (the block scan's biggest
+        # HBM term) is only needed when some row survived the cache
+        # compare — in steady state whole blocks are cache-hits and the
+        # cond skips the (L, L, Q) evaluation entirely
+        def with_rounds(_):
+            simB = (_wrapped_l1_rect.__wrapped__(f, f) < thresh) & predm
 
-        def resolve(st):
-            und, acc_b = st
-            has_und_pred = jnp.any(simB & und[None, :], axis=1)
-            dec = und & ~has_und_pred
-            rej = jnp.any(simB & acc_b[None, :], axis=1)
-            return und & ~dec, acc_b | (dec & ~rej)
+            def undecided(st):
+                return jnp.any(st[0])
 
-        _, acc_b = jax.lax.while_loop(
-            undecided, resolve, (und0, jnp.zeros(block, dtype=bool)))
+            def resolve(st):
+                und, acc_b = st
+                has_und_pred = jnp.any(simB & und[None, :], axis=1)
+                dec = und & ~has_und_pred
+                rej = jnp.any(simB & acc_b[None, :], axis=1)
+                return und & ~dec, acc_b | (dec & ~rej)
+
+            return jax.lax.while_loop(
+                undecided, resolve,
+                (und0, jnp.zeros(block, dtype=bool)))[1]
+
+        acc_b = jax.lax.cond(jnp.any(und0), with_rounds,
+                             lambda _: jnp.zeros(block, dtype=bool), 0)
 
         # append accepted fingerprints to the cache in block order;
         # non-accepted (and overflow) rows land in the dump slot
