@@ -125,6 +125,23 @@ def _inplace_survivors(hs, rmsd_thr=0.5):
     return active
 
 
+def test_sharded_prune_gathered_pass_fallback():
+    '''Tiny pool on 8 chips: every in-place pass's chunk span exceeds
+    the 16-row local slice, so the run_pass_gathered fallback (gather +
+    redundant compute + slice) carries the whole in-place stage — must
+    still be bit-identical to the single-device pruner.'''
+    from tscode_tpu.ops.rmsd_prune import prune_conformers_rmsd_device
+    mesh = make_mesh()
+    n = 16 * mesh.devices.size            # s_local 16 < every span_pad
+    hs = _clustered4(n, 13, 12, noise=0.08)
+    want = np.asarray(prune_conformers_rmsd_device(
+        jnp.asarray(hs), rmsd_thr=0.5))
+    got, n_act, fin = _run_sharded(hs, mesh)
+    assert fin
+    np.testing.assert_array_equal(got, want)
+    assert n_act == want.sum()
+
+
 def test_sharded_prune_mid_tier_multigroup(monkeypatch):
     '''The banded mid tier runs SHARDED (live groups partitioned over
     the 8 chips, psum-combined kills) and completes the schedule —
